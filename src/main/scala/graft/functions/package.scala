@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Shared Column helpers. All are built from codegen'd
+  * `org.apache.spark.sql.functions` — no UDFs — so they stay inside
+  * whole-stage codegen and keep Catalyst pushdown intact.
+  */
+package object gfunctions {
+
+  /** Money/quantity math: the oracle hash-compares values, and sums of
+    * doubles are order-dependent. `decimal(18,2)` sums are exact and
+    * associative in both Spark and DuckDB, so aggregate in decimal and
+    * surface as double.
+    */
+  def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Exact decimal sum surfaced as a double (engine-portable). */
+  def dsum(c: Column): Column = sum(dec2(c)).cast("double")
+
+  /** Exact mean: decimal sum, one double division — deterministic in
+    * both engines (vs avg(double) whose summation order differs).
+    */
+  def davg(c: Column): Column = sum(dec2(c)).cast("double") / count(lit(1))
+
+  /** TPC-H style discounted revenue, exact at scale 4. */
+  def revenue(price: Column, discount: Column): Column =
+    sum(dec2(price) * (lit(1).cast(DecimalType(18, 2)) - dec2(discount))).cast("double")
+
+  /** Portable deterministic 31-ary polynomial string hash mod 2^31-1.
+    * Reproducible in DuckDB SQL (`list_reduce` over `ascii` codes) —
+    * unlike engine-internal hashes (xxhash64 / duckdb hash()).
+    * Built from codegen'd collection functions; no UDF.
+    */
+  def polyHash(s: Column): Column =
+    aggregate(
+      transform(split(s, ""), c => ascii(c).cast("long")),
+      lit(0L),
+      (acc, c) => (acc * 31L + c) % 2147483647L,
+    )
+
+  /** Cosine similarity of two equal-length float/double array columns.
+    * Pure `zip_with`/`aggregate` — codegen'd, no UDF.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (s, v) => s + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Dot product of two array columns (doubles). */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (p, q) => p * q), lit(0.0), (s, v) => s + v)
+
+  /** L2 norm of an array column. */
+  def l2norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (s, v) => s + v))
+}
