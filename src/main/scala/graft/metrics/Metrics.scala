@@ -1,0 +1,345 @@
+package graft.metrics
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.GraftQuery
+import graft.gfunctions._
+import graft.sources.Tables
+
+/** JMX/metrics engine (SURVEY.md §2.A) — the reference's own surface
+  * re-expressed over the `events` metric stream (series key =
+  * (user_id, event_type), sample = (ts, value), payload = props).
+  *
+  * Reference behaviors covered: JSON payload normalization + metadata
+  * injection (JMXScraper.py:95-118), windowed shipping & rollups
+  * (dashboards), counter→rate, latest-per-series, poll gating
+  * (JMXScraper.py:186-199), server dedup (JMXScraper.py:26-46), ES
+  * bulk format + date-rotated index (ElasticSearchAppender.py:86-117),
+  * Connect task-status explode (ConnectRESTMetrics.py).
+  *
+  * All series ops shuffle exactly once on the series key; rollups are
+  * map-side partial; the stats join in m6 broadcasts.
+  */
+object Metrics {
+
+  /** Oracle-side CTE: events with ts truncated to micros (Spark reads
+    * the ns column truncated — see Tables.events).
+    */
+  private val E =
+    "WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events)"
+
+  /** m1: JSON payload parse + typed projection + metadata injection —
+    * JMXScraper.internal_get_structured_json_from_response semantics:
+    * extract payload fields, inject host/server-type/createdDateTime.
+    */
+  val flattenProps = GraftQuery(
+    "m1_flatten_props",
+    Some(s"""
+      $E
+      SELECT event_id,
+             CAST(json_extract(props, '$$.k') AS BIGINT) AS prop_k,
+             'user-' || CAST(user_id AS VARCHAR) AS injected_host,
+             event_type AS injected_server_type,
+             epoch_ms(ts) AS created_date_time
+      FROM e
+      ORDER BY event_id"""),
+    (s, d) =>
+      Tables.events(s, d)
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("prop_k"),
+          concat(lit("user-"), col("user_id")).as("injected_host"),
+          col("event_type").as("injected_server_type"),
+          unix_millis(col("ts")).as("created_date_time"))
+        .orderBy("event_id"),
+  )
+
+  /** m2: tumbling-window rollup per series (dashboard aggregation). */
+  val windowRollup = GraftQuery(
+    "m2_window_rollup",
+    Some(s"""
+      $E
+      SELECT date_trunc('hour', ts) AS win_start, event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mean_value
+      FROM e
+      GROUP BY 1, 2
+      ORDER BY win_start, event_type"""),
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          dsum(col("value")).as("total"),
+          davg(col("value")).as("mean_value"))
+        .select(col("window.start").as("win_start"), col("event_type"),
+          col("n"), col("total"), col("mean_value"))
+        .orderBy("win_start", "event_type"),
+  )
+
+  /** m3: counter→rate per series (delta value / delta seconds). */
+  val rate = GraftQuery(
+    "m3_rate",
+    Some(s"""
+      $E
+      SELECT event_id, user_id, event_type, ts, value,
+             (value - LAG(value) OVER w)
+               / ((epoch_us(ts) - LAG(epoch_us(ts)) OVER w) / 1000000.0) AS rate
+      FROM e
+      WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+      ORDER BY user_id, event_type, ts, event_id"""),
+    (s, d) => {
+      val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"), col("value"),
+          ((col("value") - lag(col("value"), 1).over(w)) /
+            ((unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)) / lit(1000000.0)))
+            .as("rate"))
+        .orderBy("user_id", "event_type", "ts", "event_id")
+    },
+  )
+
+  /** m4: latest sample per series (gauge panels). */
+  val latestPerSeries = GraftQuery(
+    "m4_latest_per_series",
+    Some(s"""
+      $E
+      SELECT user_id, event_type, ts AS last_ts, value AS last_value
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+              ORDER BY ts DESC, event_id DESC) AS rn FROM e) t
+      WHERE rn = 1
+      ORDER BY user_id, event_type"""),
+    (s, d) => {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"),
+          col("ts").as("last_ts"), col("value").as("last_value"))
+        .orderBy("user_id", "event_type")
+    },
+  )
+
+  /** m5: gap-based sessionization (30-min inactivity boundary). */
+  val sessionize = GraftQuery(
+    "m5_sessionize",
+    Some(s"""
+      $E
+      SELECT user_id, session_id,
+             MIN(ts) AS session_start, MAX(ts) AS session_end,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+      FROM (
+        SELECT user_id, ts, value,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM (
+          SELECT user_id, ts, value, event_id,
+                 CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+                   OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                 THEN 1 ELSE 0 END AS is_new
+          FROM e) x) y
+      GROUP BY user_id, session_id
+      ORDER BY user_id, session_id"""),
+    (s, d) => {
+      val byTs = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val cum = byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byTs))
+        .withColumn("is_new",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1).otherwise(0))
+        .withColumn("session_id", sum(col("is_new")).over(cum))
+        .groupBy("user_id", "session_id")
+        .agg(
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"),
+          dsum(col("value")).as("session_value"))
+        .orderBy("user_id", "session_id")
+    },
+  )
+
+  /** m6: per-series z-score anomaly flags. Mean/variance from exact
+    * decimal sums (order-independent), stats broadcast back.
+    */
+  val anomalyZscore = GraftQuery(
+    "m6_anomaly_zscore",
+    Some(s"""
+      $E, stats AS (
+        SELECT event_type,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2,
+               COUNT(*) AS n
+        FROM e GROUP BY event_type)
+      SELECT e.event_id, e.event_type, e.value,
+             (e.value - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1)) AS z
+      FROM e JOIN stats USING (event_type)
+      WHERE abs((e.value - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1))) > 2.5
+      ORDER BY event_id"""),
+    (s, d) => {
+      val e = Tables.events(s, d)
+      val stats = e.groupBy("event_type").agg(
+        dsum(col("value")).as("s1"),
+        sum(dec2(col("value")) * dec2(col("value"))).cast("double").as("s2"),
+        count(lit(1)).as("n"))
+      val z = (col("value") - col("s1") / col("n")) /
+        sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+      e.join(broadcast(stats), Seq("event_type"))
+        .select(col("event_id"), col("event_type"), col("value"), z.as("z"))
+        .filter(abs(col("z")) > 2.5)
+        .orderBy("event_id")
+    },
+  )
+
+  /** m7: Elasticsearch bulk NDJSON lines + date-rotated index name
+    * (ElasticSearchAppender.py:86-117: `{"index":...}` action line per
+    * doc, index `name-YYYY-MM-DD`).
+    */
+  val esBulkFormat = GraftQuery(
+    "m7_es_bulk_format",
+    Some(s"""
+      $E
+      SELECT event_id,
+             'kafka-jmx-logs-' || strftime(ts, '%Y-%m-%d') AS es_index,
+             '{"index":{"_index":"kafka-jmx-logs-' || strftime(ts, '%Y-%m-%d') || '","_type":"doc"}}' AS action_line,
+             '{"event_id":' || CAST(event_id AS VARCHAR) ||
+               ',"event_type":"' || event_type ||
+               '","value":' || CAST(value AS VARCHAR) ||
+               ',"createdDateTime":' || CAST(epoch_ms(ts) AS VARCHAR) || '}' AS doc_line
+      FROM e
+      ORDER BY event_id"""),
+    (s, d) => {
+      val idx = concat(lit("kafka-jmx-logs-"), date_format(col("ts"), "yyyy-MM-dd"))
+      Tables.events(s, d)
+        .select(
+          col("event_id"),
+          idx.as("es_index"),
+          concat(lit("{\"index\":{\"_index\":\""), idx, lit("\",\"_type\":\"doc\"}}")).as("action_line"),
+          concat(
+            lit("{\"event_id\":"), col("event_id").cast("string"),
+            lit(",\"event_type\":\""), col("event_type"),
+            lit("\",\"value\":"), col("value").cast("string"),
+            lit(",\"createdDateTime\":"), unix_millis(col("ts")).cast("string"),
+            lit("}")).as("doc_line"))
+        .orderBy("event_id")
+    },
+  )
+
+  /** m8: server-URL build + parse + dedup (unique server list,
+    * JMXScraper.get_unique_server_list).
+    */
+  val serverDedup = GraftQuery(
+    "m8_server_dedup",
+    Some(s"""
+      $E
+      SELECT DISTINCT
+             event_type AS server_type,
+             'host-' || CAST(user_id % 16 AS VARCHAR) AS host,
+             7770 + user_id % 8 AS port,
+             'http://host-' || CAST(user_id % 16 AS VARCHAR) || ':' ||
+               CAST(7770 + user_id % 8 AS VARCHAR) AS url
+      FROM e
+      ORDER BY server_type, host, port"""),
+    (s, d) =>
+      Tables.events(s, d)
+        .select(
+          col("event_type").as("server_type"),
+          concat(lit("host-"), (col("user_id") % 16).cast("string")).as("host"),
+          (lit(7770) + col("user_id") % 8).as("port"))
+        .withColumn("url", concat(lit("http://"), col("host"), lit(":"), col("port").cast("string")))
+        .distinct()
+        .orderBy("server_type", "host", "port"),
+  )
+
+  /** m9: Connect REST status payload → per-task rows. The payload is
+    * synthesized from the row, parsed with from_json, tasks exploded —
+    * the oracle recomputes the expected rows directly.
+    */
+  val connectStatus = GraftQuery(
+    "m9_connect_status",
+    Some(s"""
+      $E
+      SELECT event_id,
+             'conn-' || CAST(user_id % 4 AS VARCHAR) AS connector_name,
+             upper(event_type) AS connector_state,
+             t.task_id,
+             CASE WHEN t.task_id = 0 THEN 'RUNNING' ELSE upper(event_type) END AS task_state
+      FROM e CROSS JOIN (SELECT UNNEST([0, 1]) AS task_id) t
+      ORDER BY event_id, task_id"""),
+    (s, d) => {
+      val payload = concat(
+        lit("{\"name\":\"conn-"), (col("user_id") % 4).cast("string"),
+        lit("\",\"connector\":{\"state\":\""), upper(col("event_type")),
+        lit("\"},\"tasks\":[{\"id\":0,\"state\":\"RUNNING\"},{\"id\":1,\"state\":\""),
+        upper(col("event_type")), lit("\"}]}"))
+      val schema = "STRUCT<name: STRING, connector: STRUCT<state: STRING>, tasks: ARRAY<STRUCT<id: INT, state: STRING>>>"
+      Tables.events(s, d)
+        .select(col("event_id"), from_json(payload, org.apache.spark.sql.types.DataType.fromDDL(schema)).as("p"))
+        .select(col("event_id"), col("p.name").as("connector_name"),
+          col("p.connector.state").as("connector_state"), explode(col("p.tasks")).as("t"))
+        .select(col("event_id"), col("connector_name"), col("connector_state"),
+          col("t.id").as("task_id"), col("t.state").as("task_state"))
+        .orderBy("event_id", "task_id")
+    },
+  )
+
+  /** m10: top-k series by aggregate (dashboard top-N panel). */
+  val topSeries = GraftQuery(
+    "m10_top_series",
+    Some(s"""
+      $E
+      SELECT user_id, event_type,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             COUNT(*) AS n
+      FROM e
+      GROUP BY user_id, event_type
+      ORDER BY total DESC, user_id, event_type
+      LIMIT 25"""),
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy("user_id", "event_type")
+        .agg(dsum(col("value")).as("total"), count(lit(1)).as("n"))
+        .orderBy(col("total").desc, col("user_id"), col("event_type"))
+        .limit(25),
+  )
+
+  /** m11: poll-interval gating — keep first sample per series per
+    * 1-minute window (JMXScraper freshness gate as set semantics).
+    */
+  val pollGating = GraftQuery(
+    "m11_poll_gating",
+    Some(s"""
+      $E
+      SELECT event_type, COUNT(*) AS n_kept,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS kept_value
+      FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY user_id, event_type, date_trunc('minute', ts)
+              ORDER BY ts, event_id) AS rn FROM e) t
+      WHERE rn = 1
+      GROUP BY event_type
+      ORDER BY event_type"""),
+    (s, d) => {
+      val w = Window
+        .partitionBy(col("user_id"), col("event_type"), date_trunc("minute", col("ts")))
+        .orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_kept"), dsum(col("value")).as("kept_value"))
+        .orderBy("event_type")
+    },
+  )
+
+  def all: Seq[GraftQuery] = Seq(
+    flattenProps, windowRollup, rate, latestPerSeries, sessionize,
+    anomalyZscore, esBulkFormat, serverDedup, connectStatus, topSeries,
+    pollGating,
+  )
+}
