@@ -1,0 +1,273 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.GraftQuery
+import graft.gfunctions._
+import graft.sources.Tables
+import graft.text.Text
+
+/** Deduplication operators for training-data pipelines (SURVEY.md
+  * §2.D). Every near-dup operator goes through a *blocking* stage
+  * (shingle inverted index with frequency cap, LSH bands, SimHash
+  * blocks) so the pairwise stage is ~O(n·k), never O(n²) — the only
+  * shape that survives 100 TB.
+  */
+object Dedup {
+
+  /** Word 3-gram shingle set per doc (distinct). */
+  def shingleTable(docs: DataFrame): DataFrame = {
+    val t = col("t")
+    docs.withColumn("t", Text.toks(col("text")))
+      .select(col("doc_id"), explode(when(size(t) >= 3,
+        transform(sequence(lit(1), size(t) - 2),
+          i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
+        .otherwise(array().cast("array<string>"))).as("shingle"))
+      .distinct()
+  }
+
+  private val ShSql =
+    s"""sh AS (SELECT DISTINCT doc_id,
+       |  unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+       |  FROM d)""".stripMargin
+
+  /** Portable polynomial hash of a string column, oracle-side. */
+  private def polySql(colName: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(range(1, length($colName) + 1),
+       |    i -> CAST(ascii(substr($colName, CAST(i AS INT), 1)) AS BIGINT))),
+       |  (acc, c) -> (acc * 31 + c) % 2147483647)""".stripMargin
+
+  /** d_exact: hash-groupBy exact dedup → canonical id + group size. */
+  val exact = GraftQuery(
+    "d_exact",
+    Some(s"""
+      WITH h AS (SELECT doc_id, md5(${Text.NormSql}) AS content_hash FROM documents)
+      SELECT doc_id, content_hash,
+             MIN(doc_id) OVER (PARTITION BY content_hash) AS canonical_id,
+             COUNT(*) OVER (PARTITION BY content_hash) AS group_size
+      FROM h
+      ORDER BY doc_id"""),
+    (s, d) => {
+      val w = Window.partitionBy("content_hash")
+      Tables.documents(s, d)
+        .select(col("doc_id"), md5(Text.normText(col("text"))).as("content_hash"))
+        .withColumn("canonical_id", min("doc_id").over(w))
+        .withColumn("group_size", count(lit(1)).over(w))
+        .orderBy("doc_id")
+    },
+  )
+
+  /** d_ngram_jaccard: near-dup pairs via shingle inverted-index join.
+    * Shingles with document frequency above the cap are dropped from
+    * the index (skew guard: a stopword-trigram would otherwise create
+    * a quadratic hot key at scale); set sizes stay uncapped.
+    */
+  val ngramJaccard = GraftQuery(
+    "d_ngram_jaccard",
+    Some(s"""
+      WITH d AS (SELECT doc_id, ${Text.ToksSql} AS t FROM documents),
+      $ShSql,
+      shf AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 1000),
+      shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN shf USING (shingle)),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+                FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT doc_a, doc_b,
+             ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 4) AS jaccard
+      FROM pairs JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 4) >= 0.5
+      ORDER BY jaccard DESC, doc_a, doc_b"""),
+    (s, d) => {
+      val sh = shingleTable(Tables.documents(s, d))
+      val freqOk = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 1000).select("shingle")
+      val shc = sh.join(freqOk, Seq("shingle"))
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val pairs = shc.as("a")
+        .join(shc.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_common"))
+      val jacc = round(col("n_common").cast("double") /
+        (col("sa.n") + col("sb.n") - col("n_common")), 4)
+      pairs
+        .join(sizes.as("sa"), col("sa.doc_id") === col("doc_a"))
+        .join(sizes.as("sb"), col("sb.doc_id") === col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), jacc.as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+    },
+  )
+
+  /** MinHash parameters: 16 permutations h_i(x) = (a_i·x + b_i) mod p,
+    * banded 4×4. Fixed constants so the oracle can replay them.
+    */
+  private val P = 2147483647L
+  private val HashA = Seq(1610612741L, 805306457L, 402653189L, 201326611L,
+    100663319L, 50331653L, 25165843L, 12582917L, 6291469L, 3145739L,
+    1572869L, 786433L, 393241L, 196613L, 98317L, 49157L)
+  private val HashB = Seq(7L, 11L, 13L, 17L, 19L, 23L, 29L, 31L, 37L, 41L,
+    43L, 47L, 53L, 59L, 61L, 67L)
+
+  private val ParamsSql = HashA.zip(HashB).zipWithIndex
+    .map { case ((a, b), i) => s"($i, $a, $b)" }
+    .mkString("params(i, a, b) AS (VALUES ", ", ", ")")
+
+  /** d_minhash_lsh: MinHash signature → band buckets → candidate pairs
+    * → exact-Jaccard verification restricted to candidates. The
+    * pairwise stage only ever sees same-band collisions.
+    */
+  val minhashLsh = GraftQuery(
+    "d_minhash_lsh",
+    Some(s"""
+      WITH d AS (SELECT doc_id, ${Text.ToksSql} AS t FROM documents),
+      $ShSql,
+      $ParamsSql,
+      fp AS (SELECT doc_id, ${polySql("shingle")} AS f FROM sh),
+      sig AS (SELECT doc_id, i, MIN((a * f + b) % $P) AS mh
+              FROM fp CROSS JOIN params GROUP BY doc_id, i),
+      bands AS (SELECT doc_id, i // 4 AS band,
+                       string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bsig
+                FROM sig GROUP BY doc_id, i // 4),
+      cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+               FROM bands x JOIN bands y
+                 ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      ic AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+             FROM cand c
+             JOIN sh a ON a.doc_id = c.doc_a
+             JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+             GROUP BY 1, 2)
+      SELECT ic.doc_a, ic.doc_b,
+             ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 4) AS jaccard
+      FROM ic JOIN sizes sa ON sa.doc_id = ic.doc_a JOIN sizes sb ON sb.doc_id = ic.doc_b
+      WHERE ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 4) >= 0.5
+      ORDER BY jaccard DESC, doc_a, doc_b"""),
+    (s, d) => {
+      import s.implicits._
+      val sh = shingleTable(Tables.documents(s, d))
+      val params = HashA.zip(HashB).zipWithIndex
+        .map { case ((a, b), i) => (i, a, b) }.toDF("i", "a", "b")
+      val fp = sh.select(col("doc_id"), polyHash(col("shingle")).as("f"))
+      val sig = fp.crossJoin(broadcast(params))
+        .groupBy("doc_id", "i")
+        .agg(min((col("a") * col("f") + col("b")) % P).as("mh"))
+      val bands = sig
+        .groupBy(col("doc_id"), expr("i div 4").as("band"))
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("i"), col("mh")))),
+            x => x.getField("mh").cast("string")), ",").as("bsig"))
+      val cand = bands.as("x")
+        .join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val ic = cand
+        .join(sh.as("a"), col("a.doc_id") === col("doc_a"))
+        .join(sh.as("b"), col("b.doc_id") === col("doc_b") && col("b.shingle") === col("a.shingle"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("n_common"))
+      val jacc = round(col("n_common").cast("double") /
+        (col("sa.n") + col("sb.n") - col("n_common")), 4)
+      ic
+        .join(sizes.as("sa"), col("sa.doc_id") === col("doc_a"))
+        .join(sizes.as("sb"), col("sb.doc_id") === col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), jacc.as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+    },
+  )
+
+  /** d_simhash: 31-bit SimHash over token counts; candidates via 4
+    * 8-bit block buckets (pigeonhole: hamming ≤ 3 ⇒ ≥1 identical
+    * block, so the blocked join loses nothing vs the oracle's full
+    * pairwise join).
+    */
+  val simhash = GraftQuery(
+    "d_simhash",
+    Some(s"""
+      WITH d AS (SELECT doc_id, ${Text.ToksSql} AS t FROM documents),
+      tok AS (SELECT doc_id, unnest(t) AS token FROM d),
+      tc AS (SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY doc_id, token),
+      th AS (SELECT doc_id, c, ${polySql("token")} AS h FROM tc),
+      bits AS (SELECT doc_id, j,
+                 SUM(CASE WHEN (h // CAST(pow(2, j) AS BIGINT)) % 2 = 1 THEN c ELSE -c END) AS s
+               FROM th CROSS JOIN (SELECT unnest(range(0, 31)) AS j)
+               GROUP BY doc_id, j),
+      sh2 AS (SELECT doc_id,
+                CAST(SUM(CASE WHEN s > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+              FROM bits GROUP BY doc_id)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+      FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+      ORDER BY doc_a, doc_b"""),
+    (s, d) => {
+      val tc = Tables.documents(s, d)
+        .withColumn("t", Text.toks(col("text")))
+        .select(col("doc_id"), explode(col("t")).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+      val bits = tc
+        .select(col("doc_id"), col("c"), polyHash(col("token")).as("h"),
+          explode(sequence(lit(0), lit(30))).as("j"))
+        .groupBy("doc_id", "j")
+        .agg(sum(when(expr("(h div cast(pow(2, j) as bigint)) % 2") === 1, col("c"))
+          .otherwise(-col("c"))).as("s"))
+      val sim = bits.groupBy("doc_id")
+        .agg(sum(when(col("s") > 0, expr("cast(pow(2, j) as bigint)")).otherwise(0L))
+          .cast("long").as("simhash"))
+      val blocks = sim
+        .select(col("doc_id"), col("simhash"), explode(sequence(lit(0), lit(3))).as("blk"))
+        .withColumn("bval", expr("(simhash div cast(pow(256, blk) as bigint)) % 256"))
+      val cand = blocks.as("x")
+        .join(blocks.as("y"),
+          col("x.blk") === col("y.blk") && col("x.bval") === col("y.bval") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          col("x.simhash").as("ha"), col("y.simhash").as("hb"))
+        .distinct()
+      cand
+        .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+        .filter(col("hamming") <= 3)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+        .orderBy("doc_a", "doc_b")
+    },
+  )
+
+  /** d_embed_dup: embedding-cosine near-dup pairs. Brute pairs at test
+    * SF; the scale path is the LSH-bucketed ANN (s_lsh_ann) feeding
+    * the same threshold filter.
+    */
+  val embedDup = GraftQuery(
+    "d_embed_dup",
+    Some("""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+              list_reduce(list_prepend(0.0, list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])), (x, y) -> x + y) AS dab,
+              list_reduce(list_prepend(0.0, list_transform(range(1, len(a.v) + 1), i -> a.v[i] * a.v[i])), (x, y) -> x + y) AS daa,
+              list_reduce(list_prepend(0.0, list_transform(range(1, len(b.v) + 1), i -> b.v[i] * b.v[i])), (x, y) -> x + y) AS dbb
+            FROM e a JOIN e b ON a.vec_id < b.vec_id)
+      SELECT vec_a, vec_b, ROUND(dab / (sqrt(daa) * sqrt(dbb)), 4) AS cos_sim
+      FROM p
+      WHERE ROUND(dab / (sqrt(daa) * sqrt(dbb)), 4) >= 0.45
+      ORDER BY cos_sim DESC, vec_a, vec_b"""),
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          round(cosine(col("a.v"), col("b.v")), 4).as("cos_sim"))
+        .filter(col("cos_sim") >= 0.45)
+        .orderBy(col("cos_sim").desc, col("vec_a"), col("vec_b"))
+    },
+  )
+
+  def all: Seq[GraftQuery] = Seq(exact, ngramJaccard, minhashLsh, simhash, embedDup)
+}

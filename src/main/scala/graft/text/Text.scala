@@ -1,0 +1,190 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.GraftQuery
+import graft.gfunctions._
+import graft.sources.Tables
+
+/** Text analysis for training-data pipelines (SURVEY.md §2.C), over the
+  * `documents` table. Everything is built from codegen'd collection
+  * functions (no UDFs): tokenization stays inside whole-stage codegen
+  * and scales as a pure map over the scan — no shuffle except final
+  * aggregates.
+  */
+object Text {
+
+  /** Whitespace-normalized token array. */
+  def toks(c: Column): Column = split(regexp_replace(trim(c), "\\s+", " "), " ")
+
+  /** Oracle-side equivalent (DuckDB needs the 'g' flag). */
+  val ToksSql = "string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')"
+
+  /** Normalized document text (for fingerprint / exact dedup). */
+  def normText(c: Column): Column = regexp_replace(trim(lower(c)), "\\s+", " ")
+  val NormSql = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+
+  val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+  private val stopSql = stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** t_token_stats: token/char counting (the "token counting" op —
+    * whitespace tokenizer; a BPE-ish regex variant is in quality).
+    */
+  val tokenStats = GraftQuery(
+    "t_token_stats",
+    Some(s"""
+      WITH d AS (SELECT doc_id, text, $ToksSql AS t FROM documents)
+      SELECT doc_id,
+             len(t) AS n_tokens,
+             length(text) AS text_len,
+             len(list_distinct(t)) AS n_distinct,
+             CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t) AS mean_token_len
+      FROM d
+      ORDER BY doc_id"""),
+    (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("t", toks(col("text")))
+        .select(
+          col("doc_id"),
+          size(col("t")).as("n_tokens"),
+          length(col("text")).as("text_len"),
+          size(array_distinct(col("t"))).as("n_distinct"),
+          (aggregate(transform(col("t"), x => length(x)), lit(0), (a, b) => a + b)
+            .cast("double") / size(col("t"))).as("mean_token_len"))
+        .orderBy("doc_id"),
+  )
+
+  /** t_quality_score: stopword ratio + lexical-diversity quality score
+    * (the usual pre-training quality heuristics).
+    */
+  val qualityScore = GraftQuery(
+    "t_quality_score",
+    Some(s"""
+      WITH d AS (SELECT doc_id, n_chars, $ToksSql AS t FROM documents)
+      SELECT doc_id,
+             len(list_filter(t, x -> x IN ($stopSql))) AS n_stop,
+             CAST(len(list_filter(t, x -> x IN ($stopSql))) AS DOUBLE) / len(t) AS stop_ratio,
+             CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS diversity,
+             ROUND(0.5 * (CAST(len(list_distinct(t)) AS DOUBLE) / len(t))
+                 + 0.5 * (1.0 - CAST(len(list_filter(t, x -> x IN ($stopSql))) AS DOUBLE) / len(t)), 4) AS quality,
+             n_chars < 200 AS is_short
+      FROM d
+      ORDER BY doc_id"""),
+    (s, d) => {
+      val stopArr = array(stopwords.map(lit): _*)
+      val t = col("t")
+      val nStop = size(filter(t, x => array_contains(stopArr, x)))
+      val stopRatio = nStop.cast("double") / size(t)
+      val diversity = size(array_distinct(t)).cast("double") / size(t)
+      Tables.documents(s, d)
+        .withColumn("t", toks(col("text")))
+        .select(
+          col("doc_id"),
+          nStop.as("n_stop"),
+          stopRatio.as("stop_ratio"),
+          diversity.as("diversity"),
+          round(lit(0.5) * diversity + lit(0.5) * (lit(1.0) - stopRatio), 4).as("quality"),
+          (col("n_chars") < 200).as("is_short"))
+        .orderBy("doc_id")
+    },
+  )
+
+  /** t_langid: marker-lexicon language ID with deterministic
+    * alphabetical tie-break ('und' when no marker hits).
+    */
+  val langid = GraftQuery(
+    "t_langid",
+    Some(s"""
+      WITH d AS (SELECT doc_id, lang, $ToksSql AS t FROM documents),
+      sc AS (SELECT doc_id, lang,
+               len(list_filter(t, x -> x IN ('der', 'und', 'das'))) AS s_de,
+               len(list_filter(t, x -> x IN ('the', 'and', 'of')))  AS s_en,
+               len(list_filter(t, x -> x IN ('el', 'la', 'los')))   AS s_es,
+               len(list_filter(t, x -> x IN ('le', 'les', 'et')))   AS s_fr
+             FROM d)
+      SELECT doc_id, lang,
+             CASE WHEN s_de + s_en + s_es + s_fr = 0 THEN 'und'
+                  WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                  WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                  WHEN s_es >= s_fr THEN 'es'
+                  ELSE 'fr' END AS predicted,
+             CASE WHEN s_de + s_en + s_es + s_fr = 0 THEN 'und'
+                  WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                  WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                  WHEN s_es >= s_fr THEN 'es'
+                  ELSE 'fr' END = lang AS is_match
+      FROM sc
+      ORDER BY doc_id"""),
+    (s, d) => {
+      def score(words: String*) = {
+        val arr = array(words.map(lit): _*)
+        size(filter(col("t"), x => array_contains(arr, x)))
+      }
+      val withScores = Tables.documents(s, d)
+        .withColumn("t", toks(col("text")))
+        .select(col("doc_id"), col("lang"),
+          score("der", "und", "das").as("s_de"),
+          score("the", "and", "of").as("s_en"),
+          score("el", "la", "los").as("s_es"),
+          score("le", "les", "et").as("s_fr"))
+      val pred = when(col("s_de") + col("s_en") + col("s_es") + col("s_fr") === 0, "und")
+        .when(col("s_de") >= col("s_en") && col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
+        .when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), "en")
+        .when(col("s_es") >= col("s_fr"), "es")
+        .otherwise("fr")
+      withScores
+        .select(col("doc_id"), col("lang"), pred.as("predicted"), (pred === col("lang")).as("is_match"))
+        .orderBy("doc_id")
+    },
+  )
+
+  /** t_fingerprint: rolling polynomial hash of the normalized text —
+    * engine-portable (see gfunctions.polyHash), reproduced in the
+    * oracle with list_reduce over character codes.
+    */
+  val fingerprint = GraftQuery(
+    "t_fingerprint",
+    Some(s"""
+      WITH d AS (SELECT doc_id, $NormSql AS s FROM documents)
+      SELECT doc_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, length(s) + 1),
+                 i -> CAST(ascii(substr(s, CAST(i AS INT), 1)) AS BIGINT))),
+               (acc, c) -> (acc * 31 + c) % 2147483647) AS fp
+      FROM d
+      ORDER BY doc_id"""),
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), polyHash(normText(col("text"))).as("fp"))
+        .orderBy("doc_id"),
+  )
+
+  /** t_bigram_freq: global top-30 bigram counts. */
+  val bigramFreq = GraftQuery(
+    "t_bigram_freq",
+    Some(s"""
+      WITH d AS (SELECT doc_id, $ToksSql AS t FROM documents),
+      bg AS (SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS bigram FROM d)
+      SELECT bigram, COUNT(*) AS cnt
+      FROM bg
+      GROUP BY bigram
+      ORDER BY cnt DESC, bigram
+      LIMIT 30"""),
+    (s, d) => {
+      val t = col("t")
+      Tables.documents(s, d)
+        .withColumn("t", toks(col("text")))
+        .select(explode(when(size(t) >= 2,
+          transform(sequence(lit(1), size(t) - 1),
+            i => concat(element_at(t, i), lit(" "), element_at(t, i + 1))))
+          .otherwise(array().cast("array<string>"))).as("bigram"))
+        .groupBy("bigram")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("bigram"))
+        .limit(30)
+    },
+  )
+
+  def all: Seq[GraftQuery] = Seq(tokenStats, qualityScore, langid, fingerprint, bigramFreq)
+}
