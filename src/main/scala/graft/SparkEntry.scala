@@ -8,7 +8,9 @@ object SparkEntry {
   /** Every registered operator, assembled from the module registries. */
   def registry: Seq[GraftQuery] =
     graft.olap.Olap.all ++ graft.metrics.Metrics.all ++
-      graft.text.Text.all ++ graft.dedup.Dedup.all
+      graft.text.Text.all ++ graft.dedup.Dedup.all ++
+      graft.sim.Sim.all ++ graft.multimodal.Multimodal.all ++
+      graft.jolokia.Jolokia.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

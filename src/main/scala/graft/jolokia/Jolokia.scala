@@ -1,0 +1,110 @@
+package graft.jolokia
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataType
+
+import graft.GraftQuery
+
+/** Jolokia payload normalization + K8s discovery (SURVEY.md §2.A),
+  * the structural core of the reference
+  * (JMXScraper.py:95-118, KubernetesAutomator.py).
+  */
+object Jolokia {
+
+  /** Jolokia read-response envelope (wildcard read: value is a map of
+    * mbean name → attribute map).
+    */
+  val envelopeSchema: DataType = DataType.fromDDL(
+    "STRUCT<status: INT, timestamp: LONG, request: STRUCT<mbean: STRING, type: STRING>, " +
+      "value: MAP<STRING, MAP<STRING, STRING>>>")
+
+  /** Normalize a column of Jolokia JSON payloads into flat metric rows:
+    * one row per (mbean, attribute), the mbean name split into domain +
+    * `k=v` properties (kept as a map column), with injected host /
+    * server-type / createdDateTime metadata — the exact record shape of
+    * JMXScraper.internal_get_structured_json_from_response.
+    *
+    * Pure from_json + explode (codegen'd); error rows (status != 200)
+    * are dropped like the reference does.
+    */
+  def normalize(payloads: DataFrame, payloadCol: String, hostCol: String,
+                serverTypeCol: String): DataFrame = {
+    val parsed = payloads
+      .withColumn("_env", from_json(col(payloadCol), envelopeSchema))
+      .filter(col("_env.status") === 200)
+    parsed
+      .select(col(hostCol).as("injected_host_name"),
+        col(serverTypeCol).as("injected_server_type"),
+        col("_env.timestamp").as("created_date_time"),
+        explode(col("_env.value")).as(Seq("mbean_name", "attrs")))
+      .withColumn("injected_bean_name", split(col("mbean_name"), ":").getItem(0))
+      .withColumn("bean_props",
+        map_from_entries(transform(
+          split(split(col("mbean_name"), ":").getItem(1), ","),
+          kv => struct(split(kv, "=").getItem(0).as("key"),
+            split(kv, "=").getItem(1).as("value")))))
+      .select(col("injected_host_name"), col("injected_server_type"),
+        col("created_date_time"), col("mbean_name"), col("injected_bean_name"),
+        col("bean_props"), explode(col("attrs")).as(Seq("attribute", "value")))
+  }
+
+  /** Deterministic in-code pod inventory standing in for the K8s API
+    * (annotations drive discovery exactly like KubernetesAutomator:
+    * jolokia/is_enabled, jolokia/port, jolokia/server_type; only
+    * Running pods are eligible).
+    */
+  private val pods: Seq[(String, String, String, Map[String, String])] = Seq(
+    ("kafka-0", "10.0.0.10", "Running",
+      Map("jolokia/is_enabled" -> "true", "jolokia/port" -> "7771", "jolokia/server_type" -> "KafkaBroker")),
+    ("kafka-1", "10.0.0.11", "Running",
+      Map("jolokia/is_enabled" -> "true", "jolokia/port" -> "7771", "jolokia/server_type" -> "KafkaBroker")),
+    ("kafka-2", "10.0.0.12", "Pending",
+      Map("jolokia/is_enabled" -> "true", "jolokia/port" -> "7771", "jolokia/server_type" -> "KafkaBroker")),
+    ("zk-0", "10.0.1.10", "Running",
+      Map("jolokia/is_enabled" -> "true", "jolokia/port" -> "7772", "jolokia/server_type" -> "ZooKeeper")),
+    ("zk-1", "10.0.1.11", "Running",
+      Map("jolokia/is_enabled" -> "false", "jolokia/port" -> "7772", "jolokia/server_type" -> "ZooKeeper")),
+    ("connect-0", "10.0.2.10", "Running",
+      Map("jolokia/is_enabled" -> "true", "jolokia/port" -> "7773", "jolokia/server_type" -> "KafkaConnect")),
+    ("web-0", "10.0.3.10", "Running", Map.empty),
+    ("ksql-0", "10.0.4.10", "Running",
+      Map("jolokia/is_enabled" -> "true", "jolokia/port" -> "7774")),
+  )
+
+  /** Annotation-driven pod → Jolokia URL discovery table. Server type
+    * falls back to "Discovered" like the reference.
+    */
+  def discover(s: SparkSession): DataFrame = {
+    import s.implicits._
+    pods.toDF("pod_name", "pod_ip", "phase", "annotations")
+      .filter(col("phase") === "Running" &&
+        element_at(col("annotations"), "jolokia/is_enabled") === "true")
+      .select(
+        col("pod_name"),
+        coalesce(element_at(col("annotations"), "jolokia/server_type"), lit("Discovered"))
+          .as("server_type"),
+        concat(lit("http://"), col("pod_ip"), lit(":"),
+          element_at(col("annotations"), "jolokia/port"), lit("/jolokia/read/")).as("base_url"))
+      .orderBy("pod_name")
+  }
+
+  /** m12: oracle-checked via a literal VALUES replay of the expected
+    * discovery output (the transform must reproduce it exactly).
+    */
+  val k8sDiscovery = GraftQuery(
+    "m12_k8s_discovery",
+    Some("""
+      SELECT * FROM (VALUES
+        ('connect-0', 'KafkaConnect', 'http://10.0.2.10:7773/jolokia/read/'),
+        ('kafka-0',   'KafkaBroker',  'http://10.0.0.10:7771/jolokia/read/'),
+        ('kafka-1',   'KafkaBroker',  'http://10.0.0.11:7771/jolokia/read/'),
+        ('ksql-0',    'Discovered',   'http://10.0.4.10:7774/jolokia/read/'),
+        ('zk-0',      'ZooKeeper',    'http://10.0.1.10:7772/jolokia/read/')
+      ) AS t(pod_name, server_type, base_url)
+      ORDER BY pod_name"""),
+    (s, _) => discover(s),
+  )
+
+  def all: Seq[GraftQuery] = Seq(k8sDiscovery)
+}

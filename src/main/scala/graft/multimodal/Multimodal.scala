@@ -1,0 +1,95 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.GraftQuery
+import graft.sources.Tables
+
+/** Multimodal-column plumbing (SURVEY.md §2.F).
+  *
+  * Media payloads are opaque `binary` columns + typed metadata. The
+  * container has no image/audio codecs, so the decode step is a
+  * clearly-marked deterministic STUB — everything Spark-side (schema,
+  * binary handling, partition batching, feature schema) is real.
+  */
+object Multimodal {
+
+  /** mm_binary_meta: binary payload + metadata extraction — byte
+    * length, sha256 fingerprint, cheap format sniff on the leading
+    * byte. All codegen'd built-ins over a binary column.
+    */
+  val binaryMeta = GraftQuery(
+    "mm_binary_meta",
+    Some("""
+      SELECT doc_id,
+             octet_length(encode(text)) AS n_bytes,
+             sha256(text) AS sha,
+             CASE WHEN ascii(substr(text, 1, 1)) BETWEEN 97 AND 109 THEN 'lo'
+                  WHEN ascii(substr(text, 1, 1)) BETWEEN 110 AND 122 THEN 'hi'
+                  ELSE 'other' END AS kind
+      FROM documents
+      ORDER BY doc_id"""),
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          octet_length(encode(col("text"), "UTF-8")).as("n_bytes"),
+          sha2(encode(col("text"), "UTF-8"), 256).as("sha"),
+          when(ascii(substring(col("text"), 1, 1)).between(97, 109), "lo")
+            .when(ascii(substring(col("text"), 1, 1)).between(110, 122), "hi")
+            .otherwise("other").as("kind"))
+        .orderBy("doc_id"),
+  )
+
+  /** The decode stub: a real pipeline would decode the media payload
+    * here (image decode / audio PCM / video frame-sample). Offline
+    * container ⇒ deterministic fake features derived from the bytes.
+    * Signature and batch shape match what a codec-backed decoder
+    * would use: Iterator[batch of payloads] → Iterator[features].
+    */
+  private def stubDecodeBatch(payloads: Seq[Array[Byte]]): Seq[Array[Double]] =
+    payloads.map { bytes =>
+      // STUB — stands in for codec output; deterministic in the bytes.
+      val n = bytes.length.max(1)
+      val mean = bytes.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / n
+      val mx = if (bytes.isEmpty) 0.0 else (bytes.map(b => b & 0xff).max).toDouble
+      val mn = if (bytes.isEmpty) 0.0 else (bytes.map(b => b & 0xff).min).toDouble
+      Array(n.toDouble, mean, mx, mn)
+    }
+
+  private val featSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_bytes", IntegerType),
+    StructField("features", ArrayType(DoubleType)),
+  ))
+
+  /** mm_feature_extract: partition-batched decode/feature pipeline —
+    * mapPartitions with fixed-size batches (the shape a vectorized
+    * codec needs), no shuffle: features are computed where the bytes
+    * live. Rows-only in the harness; asserted in ScalaTest.
+    */
+  val featureExtract = GraftQuery(
+    "mm_feature_extract",
+    None,
+    (s, d) => {
+      val src = Tables.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      val enc = org.apache.spark.sql.Encoders.row(featSchema)
+      src.mapPartitions { rows =>
+        rows.grouped(32).flatMap { batch =>
+          val ids = batch.map(_.getLong(0))
+          val payloads = batch.map(_.getAs[Array[Byte]](1))
+          val feats = stubDecodeBatch(payloads)
+          ids.lazyZip(payloads).lazyZip(feats).map { (id, p, f) =>
+            Row(id, p.length, f)
+          }
+        }
+      }(enc)
+        .orderBy("doc_id")
+    },
+  )
+
+  def all: Seq[GraftQuery] = Seq(binaryMeta, featureExtract)
+}

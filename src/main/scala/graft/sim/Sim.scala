@@ -1,0 +1,190 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.GraftQuery
+import graft.gfunctions._
+import graft.sources.Tables
+
+/** Similarity search over the embedding column (SURVEY.md §2.E).
+  *
+  * Scale shape: the probe set is always the small side and is
+  * broadcast; brute force is the correctness baseline, LSH bucketing
+  * is the scale path (candidates only within a bucket), IVF bounds the
+  * search to nearest-centroid partitions.
+  */
+object Sim {
+
+  private def vecs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+
+  /** Oracle-side left-fold dot product — same summation order as
+    * gfunctions.cosine's aggregate().
+    */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])), (x, y) -> x + y)"
+
+  private def cosSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  /** s_brute_topk: exact cosine top-k for a probe set — broadcast
+    * probes × scan corpus, per-probe top-k window.
+    */
+  val bruteTopk = GraftQuery(
+    "s_brute_topk",
+    Some(s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      p AS (SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+              ${cosSql("a.v", "b.v")} AS cs
+            FROM e a JOIN e b ON b.vec_id <> a.vec_id
+            WHERE a.vec_id < 10),
+      r AS (SELECT probe_id, neighbor_id, cs,
+              ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cs DESC, neighbor_id) AS rank
+            FROM p)
+      SELECT probe_id, neighbor_id, rank, ROUND(cs, 4) AS cos_sim
+      FROM r WHERE rank <= 5
+      ORDER BY probe_id, rank"""),
+    (s, d) => {
+      val e = vecs(s, d)
+      val probes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+      val w = Window.partitionBy("probe_id").orderBy(col("cs").desc, col("neighbor_id"))
+      broadcast(probes)
+        .join(e.select(col("vec_id").as("neighbor_id"), col("v")),
+          col("neighbor_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("neighbor_id"), cosine(col("pv"), col("v")).as("cs"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("probe_id"), col("neighbor_id"), col("rank"), round(col("cs"), 4).as("cos_sim"))
+        .orderBy("probe_id", "rank")
+    },
+  )
+
+  /** Deterministic pseudo-random hyperplane weight for plane j, dim i
+    * (Knuth multiplicative constant, mod a prime, centered).
+    */
+  private def planeW(j: Column, i: Column): Column =
+    ((j * 64 + (i - 1)) * 2654435761L) % 97 - 48
+  private def planeWSql(j: String, i: String): String =
+    s"(($j * 64 + ($i - 1)) * 2654435761) % 97 - 48"
+
+  /** s_lsh_ann: random-hyperplane LSH (4 planes → 16 buckets); probe
+    * searches only its bucket, exact cosine re-rank top-3. Candidate
+    * volume per probe is n/2^planes — that ratio is the scale knob.
+    */
+  val lshAnn = GraftQuery(
+    "s_lsh_ann",
+    Some(s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      sig AS (SELECT vec_id, v, CAST(list_sum(list_transform(range(0, 4), j ->
+                CASE WHEN list_reduce(list_prepend(0.0,
+                       list_transform(range(1, 65), i -> v[i] * (${planeWSql("j", "i")}))),
+                     (x, y) -> x + y) > 0
+                THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bucket
+              FROM e),
+      cand AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+                 ${cosSql("p.v", "c.v")} AS cs
+               FROM sig p JOIN sig c ON p.bucket = c.bucket AND c.vec_id <> p.vec_id
+               WHERE p.vec_id < 10),
+      r AS (SELECT probe_id, neighbor_id, cs,
+              ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cs DESC, neighbor_id) AS rank
+            FROM cand)
+      SELECT probe_id, neighbor_id, rank, ROUND(cs, 4) AS cos_sim
+      FROM r WHERE rank <= 3
+      ORDER BY probe_id, rank"""),
+    (s, d) => {
+      val e = vecs(s, d)
+      val bucketBits = transform(sequence(lit(0), lit(3)), j =>
+        when(aggregate(
+          transform(sequence(lit(1), lit(64)),
+            i => element_at(col("v"), i) * planeW(j, i)),
+          lit(0.0), (acc, x) => acc + x) > 0,
+          pow(lit(2), j).cast("long")).otherwise(0L))
+      val sig = e.select(col("vec_id"), col("v"),
+        aggregate(bucketBits, lit(0L), (a, b) => a + b).as("bucket"))
+      val probes = sig.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("bucket"))
+      val w = Window.partitionBy("probe_id").orderBy(col("cs").desc, col("neighbor_id"))
+      broadcast(probes)
+        .join(sig.select(col("vec_id").as("neighbor_id"), col("v"), col("bucket")),
+          Seq("bucket"))
+        .filter(col("neighbor_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("neighbor_id"), cosine(col("pv"), col("v")).as("cs"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("probe_id"), col("neighbor_id"), col("rank"), round(col("cs"), 4).as("cos_sim"))
+        .orderBy("probe_id", "rank")
+    },
+  )
+
+  /** s_label_cohesion: intra- vs inter-label mean cosine on a sampled
+    * pair set. Mean via round-to-6 + decimal sum (order-independent).
+    */
+  val labelCohesion = GraftQuery(
+    "s_label_cohesion",
+    Some(s"""
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 5 = 0),
+      p AS (SELECT a.label = b.label AS same_label,
+              ROUND(${cosSql("a.v", "b.v")}, 6) AS cs
+            FROM e a JOIN e b ON a.vec_id < b.vec_id)
+      SELECT same_label, COUNT(*) AS n_pairs,
+             CAST(SUM(CAST(cs AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mean_cos
+      FROM p
+      GROUP BY same_label
+      ORDER BY same_label"""),
+    (s, d) => {
+      val e = vecs(s, d).filter(col("vec_id") % 5 === 0)
+      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select((col("a.label") === col("b.label")).as("same_label"),
+          round(cosine(col("a.v"), col("b.v")), 6).as("cs"))
+        .groupBy("same_label")
+        .agg(count(lit(1)).as("n_pairs"),
+          (sum(col("cs").cast(org.apache.spark.sql.types.DecimalType(18, 6))).cast("double") /
+            count(lit(1))).as("mean_cos"))
+        .orderBy("same_label")
+    },
+  )
+
+  /** s_centroid_ivf: IVF-style index — Lloyd's iterations build k
+    * centroids (broadcast), vectors partition by nearest centroid,
+    * probes search only their own cell. Driver check is rows-only
+    * (the k-means loop is not expressible as one SQL statement).
+    */
+  val centroidIvf = GraftQuery(
+    "s_centroid_ivf",
+    None,
+    (s, d) => {
+      val e = vecs(s, d)
+      val k = 8
+      // init: first k vectors as centroids
+      var centroids: DataFrame = e.filter(col("vec_id") < k)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val dist2 = aggregate(zip_with(col("v"), col("cv"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x)
+      val wBest = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
+      def assign(cs: DataFrame): DataFrame =
+        e.crossJoin(broadcast(cs))
+          .select(col("vec_id"), col("v"), col("cid"), dist2.as("d2"))
+          .withColumn("rn", row_number().over(wBest))
+          .filter(col("rn") === 1)
+      for (_ <- 1 to 3) {
+        val assigned = assign(centroids)
+        centroids = assigned
+          .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+          .groupBy("cid", "dim").agg(avg("x").as("mx"))
+          .groupBy("cid")
+          .agg(transform(array_sort(collect_list(struct(col("dim"), col("mx")))),
+            p => p.getField("mx")).as("cv"))
+      }
+      assign(centroids)
+        .groupBy("cid").agg(count(lit(1)).as("n_vectors"),
+          round(avg(sqrt(col("d2"))), 4).as("mean_dist"))
+        .orderBy("cid")
+    },
+  )
+
+  def all: Seq[GraftQuery] = Seq(bruteTopk, lshAnn, labelCohesion, centroidIvf)
+}
