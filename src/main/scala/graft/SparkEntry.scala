@@ -10,7 +10,7 @@ object SparkEntry {
     graft.olap.Olap.all ++ graft.olap.TemporalJoins.all ++ graft.metrics.Metrics.all ++
       graft.text.Text.all ++ graft.dedup.Dedup.all ++
       graft.sim.Sim.all ++ graft.multimodal.Multimodal.all ++
-      graft.jolokia.Jolokia.all
+      graft.jolokia.Jolokia.all ++ graft.streaming.Streaming.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

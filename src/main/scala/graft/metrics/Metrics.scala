@@ -46,13 +46,8 @@ object Metrics {
       FROM e
       ORDER BY event_id"""),
     (s, d) =>
-      Tables.events(s, d)
-        .select(
-          col("event_id"),
-          get_json_object(col("props"), "$.k").cast("long").as("prop_k"),
-          concat(lit("user-"), col("user_id")).as("injected_host"),
-          col("event_type").as("injected_server_type"),
-          unix_millis(col("ts")).as("created_date_time"))
+      Transforms.flattenProps(Tables.events(s, d))
+        .drop("ts", "value")
         .orderBy("event_id"),
   )
 
@@ -69,14 +64,7 @@ object Metrics {
       GROUP BY 1, 2
       ORDER BY win_start, event_type"""),
     (s, d) =>
-      Tables.events(s, d)
-        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(
-          count(lit(1)).as("n"),
-          dsum(col("value")).as("total"),
-          davg(col("value")).as("mean_value"))
-        .select(col("window.start").as("win_start"), col("event_type"),
-          col("n"), col("total"), col("mean_value"))
+      Transforms.hourlyRollup(Tables.events(s, d))
         .orderBy("win_start", "event_type"),
   )
 

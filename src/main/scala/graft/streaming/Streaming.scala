@@ -1,0 +1,185 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.GraftQuery
+import graft.metrics.Transforms
+import graft.sinks.Sinks
+
+/** Structured-streaming pipelines (SURVEY.md §2.G) — the reference's
+  * poll loop (main.py: scrape → normalize → fan out to sinks) as a
+  * continuous dataflow. The transforms are the *same functions* the
+  * batch operators use (metrics.Transforms), so batch/stream parity is
+  * structural; the harness oracle-checks each stream's materialized
+  * output against the batch SQL.
+  *
+  * Scale: file micro-batches here stand in for a Kafka source — the
+  * plan after the source is identical. State is bounded by watermarks
+  * (windowed aggs) and event-time timeouts (flatMapGroupsWithState).
+  */
+object Streaming {
+
+  private val runSeq = new AtomicInteger(0)
+
+  /** Events parquet as a micro-batched stream (ns ts → µs, same as the
+    * batch loader).
+    */
+  private def streamEvents(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$d/events.parquet"
+    val sch = s.read.parquet(path).schema
+    s.readStream.schema(sch).option("pathGlobFilter", "events.parquet").parquet(d)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Run a stream to completion into an in-memory table and return the
+    * static result (the harness then parquet-dumps it like any batch
+    * query).
+    */
+  private def runToTable(s: SparkSession, out: DataFrame, mode: OutputMode): DataFrame = {
+    val name = s"graft_stream_${runSeq.incrementAndGet()}"
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode(mode).option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+    s.table(name)
+  }
+
+  /** st_pipeline: readStream → jolokia flatten → watermark → 1h
+    * windowed rollup — the m1→m2 chain as one continuous query.
+    * Complete mode ⇒ the materialized table equals the batch rollup
+    * exactly, so the batch oracle applies verbatim.
+    */
+  val pipeline = GraftQuery(
+    "st_pipeline",
+    Some("""
+      WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events)
+      SELECT date_trunc('hour', ts) AS win_start, event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mean_value
+      FROM e
+      GROUP BY 1, 2
+      ORDER BY win_start, event_type"""),
+    (s, d) => {
+      val flat = Transforms.flattenProps(streamEvents(s, d).withWatermark("ts", "2 hours"))
+        .withColumnRenamed("injected_server_type", "event_type")
+      val rolled = Transforms.hourlyRollup(flat)
+      runToTable(s, rolled, OutputMode.Complete())
+        .orderBy("win_start", "event_type")
+    },
+  )
+
+  // ---- st_stateful_rate -------------------------------------------------
+
+  /** Per-series counter→rate with explicit state: last (ts, value) per
+    * (user, type); state expires one hour of event time after the last
+    * sample (the reference's poll-freshness gate as a state bound).
+    * Batch parity: identical to m3's lag() with the first-sample null
+    * dropped.
+    */
+  private def rateFn(key: (Long, String), rows: Iterator[Ev],
+                     state: GroupState[SeriesState]): Iterator[RateOut] = {
+    val batch = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
+    if (batch.isEmpty) {
+      if (state.hasTimedOut) state.remove()
+      Iterator.empty
+    } else {
+      var prev = state.getOption
+      val out = batch.flatMap { e =>
+        val r = prev.map(p =>
+          RateOut(e.user_id, e.event_type, e.event_id,
+            (e.value - p.lastValue) / ((e.ts_us - p.lastTsUs) / 1e6)))
+        prev = Some(SeriesState(e.ts_us, e.value))
+        r
+      }
+      state.update(prev.get)
+      state.setTimeoutTimestamp(batch.last.ts_us / 1000L + 3600L * 1000)
+      out.iterator
+    }
+  }
+
+  val statefulRate = GraftQuery(
+    "st_stateful_rate",
+    Some("""
+      WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events),
+      r AS (
+        SELECT user_id, event_type, event_id,
+               (value - LAG(value) OVER w)
+                 / ((epoch_us(ts) - LAG(epoch_us(ts)) OVER w) / 1000000.0) AS rate
+        FROM e
+        WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id))
+      SELECT user_id, event_type, event_id, rate
+      FROM r WHERE rate IS NOT NULL
+      ORDER BY user_id, event_type, event_id"""),
+    (s, d) => {
+      import s.implicits._
+      val evs: Dataset[Ev] = streamEvents(s, d)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("ts"), unix_micros(col("ts")).as("ts_us"), col("value"))
+        .withWatermark("ts", "2 hours")
+        .as[Ev]
+      val rates = evs
+        .groupByKey(e => (e.user_id, e.event_type))
+        .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(rateFn)
+      runToTable(s, rates.toDF(), OutputMode.Append())
+        .orderBy("user_id", "event_type", "event_id")
+    },
+  )
+
+  /** st_sinks: foreachBatch fan-out of every micro-batch to both sinks
+    * (main.py's appender loop): ES bulk NDJSON partitioned by the
+    * date-rotated index, and Kafka-shaped key-partitioned JSONL. The
+    * query's result is read back from the ES sink's files — per-index
+    * physical line counts (action + doc line per record) — so the
+    * on-disk bytes themselves are what the oracle checks.
+    */
+  val sinkFanout = GraftQuery(
+    "st_sinks",
+    Some("""
+      WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events)
+      SELECT 'kafka-jmx-logs-' || strftime(ts, '%Y-%m-%d') AS es_index,
+             COUNT(*) * 2 AS n_lines
+      FROM e
+      GROUP BY 1
+      ORDER BY es_index"""),
+    (s, d) => {
+      val esDir = Files.createTempDirectory("graft_es_sink").toString
+      val kafkaDir = Files.createTempDirectory("graft_kafka_sink").toString
+      val src = streamEvents(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      val ckpt = Files.createTempDirectory("graft_ckpt").toString
+      val q = src.writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val docs = batch.withColumn("doc",
+            to_json(struct(col("event_id"), col("event_type"), col("value"))))
+          Sinks.writeEsBulk(docs, "ts", "doc", "kafka-jmx-logs", esDir)
+          Sinks.writeKafkaJsonl(batch, "user_id", kafkaDir)
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      s.read.text(esDir)
+        .groupBy("es_index").agg(count(lit(1)).as("n_lines"))
+        .select(col("es_index").cast("string"), col("n_lines"))
+        .orderBy("es_index")
+    },
+  )
+
+  def all: Seq[GraftQuery] = Seq(pipeline, statefulRate, sinkFanout)
+}
+
+// Encoder-visible row types for the stateful stream (must not be
+// private: Catalyst's generated projections access them reflectively).
+case class Ev(user_id: Long, event_type: String, event_id: Long,
+              ts: java.sql.Timestamp, ts_us: Long, value: Double)
+case class SeriesState(lastTsUs: Long, lastValue: Double)
+case class RateOut(user_id: Long, event_type: String, event_id: Long, rate: Double)
