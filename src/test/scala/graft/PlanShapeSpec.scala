@@ -1,0 +1,35 @@
+package graft
+
+/** Scale guardrails: the plans we'd want at 100 TB — parquet pushdown
+  * + pruned scans, broadcast joins for dims, no cartesian products
+  * anywhere in the registry.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q1: shipdate filter pushed to parquet, scan pruned to used columns") {
+    val p = plan(graft.olap.Olap.q1.run(spark, sfDir))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+    assert(!p.contains("l_orderkey"), "scan should prune unused columns")
+  }
+
+  test("q3/q5: dimension joins broadcast") {
+    assert(plan(graft.olap.Olap.q3.run(spark, sfDir)).contains("BroadcastHashJoin"))
+    assert(plan(graft.olap.Olap.q5.run(spark, sfDir)).contains("BroadcastHashJoin"))
+  }
+
+  test("q3: top-k runs as TakeOrderedAndProject, not a global sort") {
+    assert(plan(graft.olap.Olap.q3.run(spark, sfDir)).contains("TakeOrderedAndProject"))
+  }
+
+  test("no operator plans a cartesian product") {
+    for (q <- SparkEntry.registry if q.name != "s_centroid_ivf") {
+      val p = plan(q.run(spark, sfDir))
+      assert(!p.contains("CartesianProduct"), s"${q.name} plans a cartesian product")
+    }
+    // s_centroid_ivf is exempt: its probe×centroid cross join is k=8
+    // broadcast rows per vector by construction.
+  }
+}

@@ -1,0 +1,27 @@
+package graft
+
+/** Stream/batch parity: the streaming pipelines materialize exactly
+  * what their batch counterparts compute on the same input.
+  */
+class StreamingParitySpec extends SparkSpec {
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq
+
+  test("st_pipeline == m2 batch rollup") {
+    val streamed = graft.streaming.Streaming.pipeline.run(spark, sfDir)
+    val batch = graft.metrics.Metrics.windowRollup.run(spark, sfDir)
+    assert(rows(streamed) === rows(batch))
+  }
+
+  test("st_stateful_rate == m3 batch lag-rate (nulls dropped)") {
+    import org.apache.spark.sql.functions._
+    val streamed = graft.streaming.Streaming.statefulRate.run(spark, sfDir)
+      .select("user_id", "event_type", "event_id", "rate")
+    val batch = graft.metrics.Metrics.rate.run(spark, sfDir)
+      .filter(col("rate").isNotNull)
+      .select("user_id", "event_type", "event_id", "rate")
+      .orderBy("user_id", "event_type", "event_id")
+    assert(rows(streamed) === rows(batch))
+  }
+}
