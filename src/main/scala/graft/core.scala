@@ -26,6 +26,7 @@ object GraftSession {
       .builder()
       .master(s"local[$threads]")
       .appName("graft")
+      .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", threads)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -41,18 +41,20 @@ package object gfunctions {
       (acc, c) => (acc * 31L + c) % 2147483647L,
     )
 
-  /** Cosine similarity of two equal-length float/double array columns.
-    * Pure `zip_with`/`aggregate` — codegen'd, no UDF.
+  /** Dot product of two double-array columns — graft's native Catalyst
+    * expression (functions.DotProduct): one codegen'd loop, no
+    * intermediate array, same left-fold float semantics as the HOF
+    * `aggregate(zip_with(...))` it replaces.
     */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (s, v) => s + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  def dotProduct(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftshim.Shim
+    Shim.column(graft.functions.DotProduct(
+      Shim.expression(a.cast("array<double>")), Shim.expression(b.cast("array<double>"))))
   }
 
-  /** Dot product of two array columns (doubles). */
-  def dotProduct(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (p, q) => p * q), lit(0.0), (s, v) => s + v)
+  /** Cosine similarity of two equal-length double array columns. */
+  def cosine(a: Column, b: Column): Column =
+    dotProduct(a, b) / (sqrt(dotProduct(a, a)) * sqrt(dotProduct(b, b)))
 
   /** L2 norm of an array column. */
   def l2norm(a: Column): Column =

@@ -162,8 +162,12 @@ object Sim {
       // init: first k vectors as centroids
       var centroids: DataFrame = e.filter(col("vec_id") < k)
         .select(col("vec_id").as("cid"), col("v").as("cv"))
-      val dist2 = aggregate(zip_with(col("v"), col("cv"), (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, x) => acc + x)
+      // |a-b|² via norms + dot (one native-dot pass); clamp: float
+      // cancellation can dip a few ulps below zero for near-identical
+      // vectors, which would NaN the sqrt.
+      val dist2 = greatest(
+        dotProduct(col("v"), col("v")) + dotProduct(col("cv"), col("cv")) -
+          lit(2.0) * dotProduct(col("v"), col("cv")), lit(0.0))
       val wBest = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
       def assign(cs: DataFrame): DataFrame =
         e.crossJoin(broadcast(cs))

@@ -1,0 +1,15 @@
+package org.apache.spark.sql
+package graftshim
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇄ Expression bridge. Spark 4 made these helpers
+  * `private[sql]`; an extension library providing native expressions
+  * needs exactly these two conversions, so this shim lives in the sql
+  * package scope (the conventional pattern for Spark-native addons).
+  */
+object Shim {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
