@@ -31,15 +31,13 @@ package object gfunctions {
 
   /** Portable deterministic 31-ary polynomial string hash mod 2^31-1.
     * Reproducible in DuckDB SQL (`list_reduce` over `ascii` codes) —
-    * unlike engine-internal hashes (xxhash64 / duckdb hash()).
-    * Built from codegen'd collection functions; no UDF.
+    * unlike engine-internal hashes (xxhash64 / duckdb hash()). Native
+    * codegen'd expression (functions.PolyHash).
     */
-  def polyHash(s: Column): Column =
-    aggregate(
-      transform(split(s, ""), c => ascii(c).cast("long")),
-      lit(0L),
-      (acc, c) => (acc * 31L + c) % 2147483647L,
-    )
+  def polyHash(s: Column): Column = {
+    import org.apache.spark.sql.graftshim.Shim
+    Shim.column(graft.functions.PolyHash(Shim.expression(s.cast("string"))))
+  }
 
   /** Dot product of two double-array columns — graft's native Catalyst
     * expression (functions.DotProduct): one codegen'd loop, no
