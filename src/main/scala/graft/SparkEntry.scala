@@ -7,7 +7,8 @@ object SparkEntry {
 
   /** Every registered operator, assembled from the module registries. */
   def registry: Seq[GraftQuery] =
-    graft.olap.Olap.all ++ graft.olap.TemporalJoins.all ++ graft.metrics.Metrics.all ++
+    graft.olap.Olap.all ++ graft.olap.Olap2.all ++
+      graft.olap.TemporalJoins.all ++ graft.metrics.Metrics.all ++
       graft.text.Text.all ++ graft.dedup.Dedup.all ++
       graft.sim.Sim.all ++ graft.multimodal.Multimodal.all ++
       graft.jolokia.Jolokia.all ++ graft.streaming.Streaming.all

@@ -325,9 +325,31 @@ object Metrics {
     },
   )
 
+  /** m13: per-series value histogram (fixed-width buckets) — the
+    * dashboard distribution panel. One shuffle on (series, bucket),
+    * map-side partial counts.
+    */
+  val valueHistogram = GraftQuery(
+    "m13_value_histogram",
+    Some(s"""
+      $E
+      SELECT event_type, CAST(floor(value / 50) AS BIGINT) AS bucket,
+             COUNT(*) AS n,
+             CAST(MIN(value) AS DOUBLE) AS lo,
+             CAST(MAX(value) AS DOUBLE) AS hi
+      FROM e
+      GROUP BY event_type, bucket
+      ORDER BY event_type, bucket"""),
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"), floor(col("value") / 50).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"), min("value").as("lo"), max("value").as("hi"))
+        .orderBy("event_type", "bucket"),
+  )
+
   def all: Seq[GraftQuery] = Seq(
     flattenProps, windowRollup, rate, latestPerSeries, sessionize,
     anomalyZscore, esBulkFormat, serverDedup, connectStatus, topSeries,
-    pollGating,
+    pollGating, valueHistogram,
   )
 }

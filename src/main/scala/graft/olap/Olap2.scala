@@ -1,0 +1,93 @@
+package graft.olap
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.GraftQuery
+import graft.gfunctions._
+import graft.sources.Tables
+
+/** Second OLAP batch: pivot, cube, correlated-subquery pattern —
+  * rounding out the relational surface (SURVEY.md §2.B).
+  */
+object Olap2 {
+
+  private val Priorities =
+    Seq("1-URGENT" -> "p_urgent", "2-HIGH" -> "p_high", "3-MEDIUM" -> "p_medium",
+      "4-NOT SPECIFIED" -> "p_notspec", "5-LOW" -> "p_low")
+
+  /** q_pivot: status × priority contingency pivot. Fixed value list so
+    * the plan is a single-shuffle conditional aggregation (no extra
+    * distinct pass to discover pivot values — at scale that pass is a
+    * full shuffle you don't want).
+    */
+  val pivot = GraftQuery(
+    "q_pivot",
+    Some(s"""
+      SELECT o_orderstatus,
+             ${Priorities.map { case (v, a) => s"COUNT(CASE WHEN o_orderpriority = '$v' THEN 1 END) AS $a" }.mkString(", ")}
+      FROM orders
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus"""),
+    (s, d) => {
+      val p = Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority", Priorities.map(_._1))
+        .count()
+      Priorities.foldLeft(p) { case (df, (v, a)) => df.withColumnRenamed(v, a) }
+        .na.fill(0L, Priorities.map(_._2))
+        .orderBy("o_orderstatus")
+    },
+  )
+
+  /** q_cube: full CUBE over (status, priority) — all four grouping
+    * sets in one pass (Expand + single shuffle).
+    */
+  val cube2 = GraftQuery(
+    "q_cube",
+    Some("""
+      SELECT o_orderstatus, o_orderpriority,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             COUNT(*) AS n
+      FROM orders
+      GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""),
+    (s, d) =>
+      Tables.orders(s, d)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(dsum(col("o_totalprice")).as("total"), count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority")),
+  )
+
+  /** q_correlated: each customer's orders priced above their own mean
+    * (correlated `> (SELECT AVG … WHERE same customer)` pattern) — as
+    * one window pass instead of a self-join, so it shuffles once on
+    * o_custkey.
+    */
+  val correlated = GraftQuery(
+    "q_correlated",
+    Some("""
+      WITH m AS (SELECT o_custkey,
+                        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                          / COUNT(*) AS cust_mean
+                 FROM orders GROUP BY o_custkey)
+      SELECT o.o_custkey, COUNT(*) AS n_above,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS above_total
+      FROM orders o JOIN m ON o.o_custkey = m.o_custkey
+      WHERE o.o_totalprice > m.cust_mean
+      GROUP BY o.o_custkey
+      ORDER BY o.o_custkey"""),
+    (s, d) => {
+      val w = Window.partitionBy("o_custkey")
+      Tables.orders(s, d)
+        .withColumn("cust_mean",
+          sum(dec2(col("o_totalprice"))).over(w).cast("double") / count(lit(1)).over(w))
+        .filter(col("o_totalprice") > col("cust_mean"))
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_above"), dsum(col("o_totalprice")).as("above_total"))
+        .orderBy("o_custkey")
+    },
+  )
+
+  def all: Seq[GraftQuery] = Seq(pivot, cube2, correlated)
+}

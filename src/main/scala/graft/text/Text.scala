@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.GraftQuery
@@ -186,5 +187,49 @@ object Text {
     },
   )
 
-  def all: Seq[GraftQuery] = Seq(tokenStats, qualityScore, langid, fingerprint, bigramFreq)
+  /** t_tfidf: top-3 TF-IDF terms per document (probe set doc_id < 50;
+    * DF is still global). Two aggregations + a broadcast of the tiny
+    * doc-count scalar; ranking rounds the score first so the
+    * cross-engine float compare is on the rounded value.
+    */
+  val tfidf = GraftQuery(
+    "t_tfidf",
+    Some(s"""
+      WITH d AS (SELECT doc_id, $ToksSql AS t FROM documents),
+      tok AS (SELECT doc_id, unnest(t) AS token FROM d),
+      tf AS (SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY doc_id, token),
+      df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+      n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      sc AS (SELECT tf.doc_id, tf.token,
+               ROUND(tf.c * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4) AS score
+             FROM tf JOIN df USING (token) CROSS JOIN n
+             WHERE tf.doc_id < 50),
+      r AS (SELECT doc_id, token, score,
+              ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rnk
+            FROM sc)
+      SELECT doc_id, token, score, rnk
+      FROM r WHERE rnk <= 3
+      ORDER BY doc_id, rnk"""),
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val tf = docs.withColumn("t", toks(col("text")))
+        .select(col("doc_id"), explode(col("t")).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+      val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("token"))
+      tf.filter(col("doc_id") < 50)
+        .join(df, Seq("token"))
+        .crossJoin(broadcast(nDocs))
+        .select(col("doc_id"), col("token"),
+          round(col("c") * log(col("n_docs").cast("double") / col("df")), 4).as("score"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select("doc_id", "token", "score", "rnk")
+        .orderBy("doc_id", "rnk")
+    },
+  )
+
+  def all: Seq[GraftQuery] =
+    Seq(tokenStats, qualityScore, langid, fingerprint, bigramFreq, tfidf)
 }
