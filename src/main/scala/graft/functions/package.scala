@@ -56,5 +56,37 @@ package object gfunctions {
 
   /** L2 norm of an array column. */
   def l2norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (s, v) => s + v))
+    sqrt(dotProduct(a, a))
+
+  // ---- skew salting ----------------------------------------------------
+  //
+  // For hot keys that AQE's skew-join split can't fix (e.g. a single
+  // key holding >1/32 of a 100 TB fact table): spread the fact side
+  // across `n` sub-keys with a deterministic salt, replicate the
+  // other side n×, join on (key, salt). Join output is identical to
+  // the unsalted join; the shuffle is n-way finer on the hot key.
+
+  /** Deterministic salt in [0, n) derived from spreader columns (pick
+    * high-cardinality columns of the skewed side).
+    */
+  def salt(n: Int, spreaders: Column*): Column =
+    pmod(hash(spreaders: _*), lit(n))
+
+  /** Replicate each row n× with salt values 0..n-1 (for the small /
+    * build side of a salted join).
+    */
+  def explodeSalt(df: org.apache.spark.sql.DataFrame, n: Int): org.apache.spark.sql.DataFrame =
+    df.withColumn("_salt", explode(sequence(lit(0), lit(n - 1))))
+
+  /** Skew-safe equi-join: `skewed ⋈ other` on `key`, with the skewed
+    * side salted n ways and the other side replicated n×. Result
+    * equals the plain inner join.
+    */
+  def saltedJoin(skewed: org.apache.spark.sql.DataFrame,
+                 other: org.apache.spark.sql.DataFrame,
+                 key: String, n: Int,
+                 spreaders: Seq[String]): org.apache.spark.sql.DataFrame =
+    skewed.withColumn("_salt", salt(n, spreaders.map(col): _*))
+      .join(explodeSalt(other, n), Seq(key, "_salt"))
+      .drop("_salt")
 }

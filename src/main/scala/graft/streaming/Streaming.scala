@@ -174,7 +174,32 @@ object Streaming {
     },
   )
 
-  def all: Seq[GraftQuery] = Seq(pipeline, statefulRate, sinkFanout)
+  /** st_dedup: streaming dedup — `dropDuplicates` on the series-minute
+    * key under a watermark, so state is bounded to the watermark
+    * horizon (the reference's poll-gating as a stream). Output projects
+    * only the key columns (which row of a dup-group survives is
+    * arrival-order dependent; the key set is deterministic and is what
+    * the oracle checks).
+    */
+  val streamDedup = GraftQuery(
+    "st_dedup",
+    Some("""
+      WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events)
+      SELECT DISTINCT user_id, event_type, date_trunc('minute', ts) AS minute
+      FROM e
+      ORDER BY user_id, event_type, minute"""),
+    (s, d) => {
+      val deduped = streamEvents(s, d)
+        .withColumn("minute", date_trunc("minute", col("ts")))
+        .withWatermark("minute", "2 hours")
+        .dropDuplicates("user_id", "event_type", "minute")
+        .select("user_id", "event_type", "minute")
+      runToTable(s, deduped, OutputMode.Append())
+        .orderBy("user_id", "event_type", "minute")
+    },
+  )
+
+  def all: Seq[GraftQuery] = Seq(pipeline, statefulRate, sinkFanout, streamDedup)
 }
 
 // Encoder-visible row types for the stateful stream (must not be
