@@ -56,19 +56,13 @@ object TemporalJoins {
       ORDER BY user_id, event_id"""),
     (s, d) => {
       val e = Tables.events(s, d)
-      val tagged = e.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("is_l"))
-        .unionByName(e.filter(col("event_type") === "view")
-          .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("is_l")))
-      val w = Window.partitionBy("user_id")
-        .orderBy(col("ts"), col("is_l"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      tagged
-        .withColumn("view_event_id",
-          last(when(col("is_l") === 0, col("event_id")), ignoreNulls = true).over(w))
-        .withColumn("view_ts",
-          last(when(col("is_l") === 0, col("ts")), ignoreNulls = true).over(w))
-        .filter(col("is_l") === 1)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("user_id", "event_id", "ts")
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_event_id"),
+          col("ts").as("view_ts"))
+      Temporal.asofJoin(purchases, views, Seq("user_id"), "ts", "view_ts",
+          Seq("view_event_id", "view_ts"))
         .select(col("user_id"), col("event_id"), col("ts"),
           coalesce(col("view_event_id"), lit(-1L)).as("view_event_id"),
           coalesce(col("view_ts"), to_timestamp(lit("1970-01-01"))).as("view_ts"))
@@ -105,15 +99,11 @@ object TemporalJoins {
     (s, d) => {
       val e = Tables.events(s, d)
       val purchases = e.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("event_id"), col("ts"),
-          unix_micros(col("ts")).as("pus"))
+        .select("user_id", "event_id", "ts")
       val clicks = e.filter(col("event_type") === "click")
-        .select(col("user_id"), unix_micros(col("ts")).as("cus"), col("value"),
-          expr(s"unix_micros(ts) div $HourUs").as("bucket"))
-      val probes = purchases.withColumn("bucket",
-        explode(array(expr(s"pus div $HourUs"), expr(s"pus div $HourUs - 1"))))
-      val agg = probes.join(clicks, Seq("user_id", "bucket"))
-        .filter(col("cus") > col("pus") - HourUs && col("cus") <= col("pus"))
+        .select(col("user_id"), col("ts").as("click_ts"), col("value"))
+      val agg = Temporal.rangeJoin(purchases, clicks, Seq("user_id"),
+          "ts", "click_ts", -HourUs, 0L)
         .groupBy("user_id", "event_id")
         .agg(count(lit(1)).as("n_clicks"), dsum(col("value")).as("click_value"))
       purchases
