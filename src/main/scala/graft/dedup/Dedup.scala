@@ -83,7 +83,12 @@ object Dedup {
       WHERE ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 4) >= 0.5
       ORDER BY jaccard DESC, doc_a, doc_b"""),
     (s, d) => {
+      // The shingle index feeds three branches (freq cap, join, sizes);
+      // per-branch column pruning defeats exchange reuse, so materialize
+      // it once — at cluster scale this persisted frame IS the inverted
+      // index artifact.
       val sh = shingleTable(Tables.documents(s, d))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val freqOk = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
         .filter(col("df") <= 1000).select("shingle")
       val shc = sh.join(freqOk, Seq("shingle"))
@@ -150,6 +155,7 @@ object Dedup {
       ORDER BY jaccard DESC, doc_a, doc_b"""),
     (s, d) => {
       val sh = shingleTable(Tables.documents(s, d))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val fp = sh.select(col("doc_id"), polyHash(col("shingle")).as("f"))
       // 16 min() columns in ONE groupBy (map-side partial per column)
       // instead of a 16× row explode + shuffle — same signature, 1/16th
@@ -158,10 +164,12 @@ object Dedup {
         min((lit(a) * col("f") + lit(b)) % P).as(s"mh$i")
       }
       val sig = fp.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+      // bands self-joins: persist so the signature pipeline runs once.
       val bands = sig.select(col("doc_id"),
         posexplode(array((0 until 4).map(b => concat_ws(",",
           (0 until 4).map(k => col(s"mh${b * 4 + k}").cast("string")): _*)): _*))
           .as(Seq("band", "bsig")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cand = bands.as("x")
         .join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
@@ -224,6 +232,7 @@ object Dedup {
         .select(col("doc_id"),
           (0 to 30).map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L))
             .reduce(_ + _).cast("long").as("simhash"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // self-joined below
       val blocks = sim
         .select(col("doc_id"), col("simhash"), explode(sequence(lit(0), lit(3))).as("blk"))
         .withColumn("bval", expr("(simhash >> (blk * 8)) & 255"))
@@ -277,6 +286,7 @@ object Dedup {
       val blocks = e
         .groupBy(pmod(col("vec_id"), lit(nb)).cast("int").as("bid"))
         .agg(collect_list(struct(col("vec_id"), col("v"))).as("items"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // self-joined tiles
       val tiles = blocks.as("x").join(blocks.as("y"), col("x.bid") <= col("y.bid"))
         .select(col("x.bid").as("ba"), col("x.items").as("ia"),
           col("y.bid").as("bb"), col("y.items").as("ib"))

@@ -103,8 +103,11 @@ object Sim {
             i => element_at(col("v"), i) * planeW(j, i)),
           lit(0.0), (acc, x) => acc + x) > 0,
           pow(lit(2), j).cast("long")).otherwise(0L))
+      // The LSH index is probed by both sides of the bucket join:
+      // materialize it once (it is the index artifact at scale).
       val sig = e.select(col("vec_id"), col("v"),
         aggregate(bucketBits, lit(0L), (a, b) => a + b).as("bucket"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val probes = sig.filter(col("vec_id") < 10)
         .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("bucket"))
       val w = Window.partitionBy("probe_id").orderBy(col("cs").desc, col("neighbor_id"))
@@ -157,7 +160,8 @@ object Sim {
     "s_centroid_ivf",
     None,
     (s, d) => {
-      val e = vecs(s, d)
+      // Re-read by every Lloyd iteration and the final assignment.
+      val e = vecs(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val k = 8
       // init: first k vectors as centroids
       var centroids: DataFrame = e.filter(col("vec_id") < k)
