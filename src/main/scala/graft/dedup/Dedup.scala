@@ -278,57 +278,10 @@ object Dedup {
       FROM p
       WHERE ROUND(dab / (sqrt(daa) * sqrt(dbb)), 4) >= 0.45
       ORDER BY cos_sim DESC, vec_a, vec_b"""),
-    (s, d) => {
-      import s.implicits._
-      val nb = 16
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val blocks = e
-        .groupBy(pmod(col("vec_id"), lit(nb)).cast("int").as("bid"))
-        .agg(collect_list(struct(col("vec_id"), col("v"))).as("items"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // self-joined tiles
-      val tiles = blocks.as("x").join(blocks.as("y"), col("x.bid") <= col("y.bid"))
-        .select(col("x.bid").as("ba"), col("x.items").as("ia"),
-          col("y.bid").as("bb"), col("y.items").as("ib"))
-      val pairs = tiles.flatMap { r =>
-        def block(i: Int): Array[(Long, Array[Double])] =
-          r.getSeq[org.apache.spark.sql.Row](i)
-            .map(x => (x.getLong(0), x.getSeq[Double](1).toArray)).toArray
-        val same = r.getInt(0) == r.getInt(2)
-        val ia = block(1)
-        val ib = if (same) ia else block(3)
-        def selfDot(v: Array[Double]): Double = {
-          var s = 0.0; var k = 0
-          while (k < v.length) { s += v(k) * v(k); k += 1 }
-          s
-        }
-        val sa = ia.map(x => selfDot(x._2))
-        val sb = if (same) sa else ib.map(x => selfDot(x._2))
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-        var i = 0
-        while (i < ia.length) {
-          var j = 0
-          while (j < ib.length) {
-            val idA = ia(i)._1; val idB = ib(j)._1
-            if (if (same) idA < idB else idA != idB) {
-              val va = ia(i)._2; val vb = ib(j)._2
-              var dab = 0.0; var k = 0
-              while (k < va.length) { dab += va(k) * vb(k); k += 1 }
-              val cos = dab / (math.sqrt(sa(i)) * math.sqrt(sb(j)))
-              val rounded = java.math.BigDecimal.valueOf(cos)
-                .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
-              if (rounded >= 0.45)
-                out += (if (idA < idB) (idA, idB, rounded) else (idB, idA, rounded))
-            }
-            j += 1
-          }
-          i += 1
-        }
-        out
-      }
-      pairs.toDF("vec_a", "vec_b", "cos_sim")
-        .orderBy(col("cos_sim").desc, col("vec_a"), col("vec_b"))
-    },
+    (s, d) =>
+      graft.sim.Embed.cosinePairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.45)
+        .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"), col("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_a"), col("vec_b")),
   )
 
   def all: Seq[GraftQuery] = Seq(exact, ngramJaccard, minhashLsh, simhash, embedDup)

@@ -91,5 +91,36 @@ object Multimodal {
     },
   )
 
-  def all: Seq[GraftQuery] = Seq(binaryMeta, featureExtract)
+  /** mm_frame_sample: frame-sampling over a binary payload — the video
+    * keyframe pattern: payload → fixed-size frames → every k-th frame →
+    * per-frame fingerprint. Pure codegen'd expressions (sequence /
+    * explode / substring / sha2); no shuffle — frames are derived where
+    * the bytes live. Probe set doc_id < 100 bounds the output.
+    */
+  val frameSample = GraftQuery(
+    "mm_frame_sample",
+    Some("""
+      WITH f AS (SELECT doc_id, text, length(text) // 16 AS n_frames FROM documents WHERE doc_id < 100),
+      x AS (SELECT doc_id, text, unnest(range(0, n_frames)) AS frame_idx FROM f)
+      SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+             sha256(substr(text, CAST(frame_idx * 16 + 1 AS INT), 16)) AS frame_sha
+      FROM x
+      WHERE frame_idx % 4 = 0
+      ORDER BY doc_id, frame_idx"""),
+    (s, d) => {
+      val nFrames = (length(col("text")) / 16).cast("int")
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("text"),
+          explode(when(nFrames >= 1, sequence(lit(0), nFrames - 1))
+            .otherwise(array().cast("array<int>"))).as("frame_idx"))
+        .filter(col("frame_idx") % 4 === 0)
+        .select(col("doc_id"), col("frame_idx"),
+          sha2(encode(expr("substring(text, frame_idx * 16 + 1, 16)"), "UTF-8"), 256)
+            .as("frame_sha"))
+        .orderBy("doc_id", "frame_idx")
+    },
+  )
+
+  def all: Seq[GraftQuery] = Seq(binaryMeta, featureExtract, frameSample)
 }
