@@ -347,9 +347,41 @@ object Metrics {
         .orderBy("event_type", "bucket"),
   )
 
+  /** m14: exact EWMA (α=0.3) per series — the dashboard smoothing op.
+    * One shuffle: values collect per series in event order, one fold.
+    * The fold order is the recurrence itself, so DuckDB's list_reduce
+    * replays it bit-exact (first element seeds, like pandas ewm
+    * adjust=false).
+    */
+  val ewma = GraftQuery(
+    "m14_ewma",
+    Some(s"""
+      $E,
+      g AS (SELECT user_id, event_type,
+              list(value ORDER BY ts, event_id) AS vs
+            FROM e GROUP BY user_id, event_type)
+      SELECT user_id, event_type,
+             ROUND(list_reduce(vs, (acc, x) -> 0.3 * x + 0.7 * acc), 4) AS ewma,
+             len(vs) AS n
+      FROM g
+      ORDER BY user_id, event_type"""),
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy("user_id", "event_type")
+        .agg(transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"), col("value")))),
+          r => r.getField("value")).as("vs"))
+        .select(col("user_id"), col("event_type"),
+          round(aggregate(slice(col("vs"), lit(2), size(col("vs"))),
+            element_at(col("vs"), 1),
+            (acc, x) => lit(0.3) * x + lit(0.7) * acc), 4).as("ewma"),
+          size(col("vs")).as("n"))
+        .orderBy("user_id", "event_type"),
+  )
+
   def all: Seq[GraftQuery] = Seq(
     flattenProps, windowRollup, rate, latestPerSeries, sessionize,
     anomalyZscore, esBulkFormat, serverDedup, connectStatus, topSeries,
-    pollGating, valueHistogram,
+    pollGating, valueHistogram, ewma,
   )
 }

@@ -89,5 +89,31 @@ object Olap2 {
     },
   )
 
-  def all: Seq[GraftQuery] = Seq(pivot, cube2, correlated)
+  /** q_salted_join: the skew-salting path through the oracle gate —
+    * orders ⋈ customer via gfunctions.saltedJoin (8-way salt on the
+    * fact side, dim replicated 8×), aggregated per segment. The oracle
+    * is the PLAIN join: passing proves salting changes the shuffle
+    * layout, not the result.
+    */
+  val saltedJoinQ = GraftQuery(
+    "q_salted_join",
+    Some("""
+      SELECT c_mktsegment,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment"""),
+    (s, d) => {
+      val c = Tables.customer(s, d)
+        .withColumnRenamed("c_custkey", "o_custkey")
+      graft.gfunctions.saltedJoin(Tables.orders(s, d), c, "o_custkey", 8,
+          Seq("o_orderkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("c_mktsegment")
+    },
+  )
+
+  def all: Seq[GraftQuery] = Seq(pivot, cube2, correlated, saltedJoinQ)
 }

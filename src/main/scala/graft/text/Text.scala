@@ -230,6 +230,34 @@ object Text {
     },
   )
 
+  /** t_bpe_tokens: BPE-style pre-tokenization — regex pieces (letter
+    * runs / digit runs / single other-glyphs), the split a BPE encoder
+    * applies before merges. Pure regexp_extract_all map + counts.
+    */
+  val bpeTokens = GraftQuery(
+    "t_bpe_tokens",
+    Some("""
+      WITH p AS (SELECT doc_id,
+                   regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]') AS pieces
+                 FROM documents)
+      SELECT doc_id,
+             len(pieces) AS n_pieces,
+             len(list_filter(pieces, x -> regexp_matches(x, '^[a-z]+$'))) AS n_word_pieces,
+             len(list_filter(pieces, x -> regexp_matches(x, '^[0-9]+$'))) AS n_num_pieces
+      FROM p
+      ORDER BY doc_id"""),
+    (s, d) => {
+      val pieces = expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)")
+      Tables.documents(s, d)
+        .select(col("doc_id"), pieces.as("pieces"))
+        .select(col("doc_id"),
+          size(col("pieces")).as("n_pieces"),
+          size(filter(col("pieces"), x => x.rlike("^[a-z]+$"))).as("n_word_pieces"),
+          size(filter(col("pieces"), x => x.rlike("^[0-9]+$"))).as("n_num_pieces"))
+        .orderBy("doc_id")
+    },
+  )
+
   def all: Seq[GraftQuery] =
-    Seq(tokenStats, qualityScore, langid, fingerprint, bigramFreq, tfidf)
+    Seq(tokenStats, qualityScore, langid, fingerprint, bigramFreq, tfidf, bpeTokens)
 }
