@@ -100,16 +100,15 @@ object Metrics {
               ORDER BY ts DESC, event_id DESC) AS rn FROM e) t
       WHERE rn = 1
       ORDER BY user_id, event_type"""),
-    (s, d) => {
-      val w = Window.partitionBy("user_id", "event_type")
-        .orderBy(col("ts").desc, col("event_id").desc)
-      Tables.events(s, d)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+    (s, d) =>
+      // TopK.perKey(k=1): map-side partial keeps one candidate per
+      // series per partition, so the shuffle carries series·partitions
+      // rows, not the whole stream.
+      graft.olap.TopK.perKey(Tables.events(s, d),
+          Seq("user_id", "event_type"), Seq(col("ts").desc, col("event_id").desc), 1)
         .select(col("user_id"), col("event_type"),
           col("ts").as("last_ts"), col("value").as("last_value"))
-        .orderBy("user_id", "event_type")
-    },
+        .orderBy("user_id", "event_type"),
   )
 
   /** m5: gap-based sessionization (30-min inactivity boundary). */
