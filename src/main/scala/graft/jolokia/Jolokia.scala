@@ -49,6 +49,41 @@ object Jolokia {
         col("bean_props"), explode(col("attrs")).as(Seq("attribute", "value")))
   }
 
+  /** Single-mbean read envelope: `value` is the attribute map itself
+    * and the mbean name comes from the request (the reference
+    * normalizes both shapes — JMXScraper.py:120-146 wraps a
+    * single-mbean response into the wildcard form before flattening).
+    */
+  val singleEnvelopeSchema: DataType = DataType.fromDDL(
+    "STRUCT<status: INT, timestamp: LONG, request: STRUCT<mbean: STRING, type: STRING>, " +
+      "value: MAP<STRING, STRING>>")
+
+  /** Normalize single-mbean responses to the same flat record shape as
+    * [[normalize]]: wrap the attribute map under the requested mbean
+    * name, then share the wildcard path's splitting/injection.
+    */
+  def normalizeSingle(payloads: DataFrame, payloadCol: String, hostCol: String,
+                      serverTypeCol: String): DataFrame = {
+    val parsed = payloads
+      .withColumn("_env", from_json(col(payloadCol), singleEnvelopeSchema))
+      .filter(col("_env.status") === 200)
+    parsed
+      .select(col(hostCol).as("injected_host_name"),
+        col(serverTypeCol).as("injected_server_type"),
+        col("_env.timestamp").as("created_date_time"),
+        col("_env.request.mbean").as("mbean_name"),
+        col("_env.value").as("attrs"))
+      .withColumn("injected_bean_name", split(col("mbean_name"), ":").getItem(0))
+      .withColumn("bean_props",
+        map_from_entries(transform(
+          split(split(col("mbean_name"), ":").getItem(1), ","),
+          kv => struct(split(kv, "=").getItem(0).as("key"),
+            split(kv, "=").getItem(1).as("value")))))
+      .select(col("injected_host_name"), col("injected_server_type"),
+        col("created_date_time"), col("mbean_name"), col("injected_bean_name"),
+        col("bean_props"), explode(col("attrs")).as(Seq("attribute", "value")))
+  }
+
   /** Deterministic in-code pod inventory standing in for the K8s API
     * (annotations drive discovery exactly like KubernetesAutomator:
     * jolokia/is_enabled, jolokia/port, jolokia/server_type; only

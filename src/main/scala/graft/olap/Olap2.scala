@@ -115,5 +115,46 @@ object Olap2 {
     },
   )
 
-  def all: Seq[GraftQuery] = Seq(pivot, cube2, correlated, saltedJoinQ)
+  /** One ANSI SQL text, two engines: this exact string runs unchanged
+    * in Spark (via temp views) AND as the DuckDB oracle — the
+    * engine's SQL front door, not just the DataFrame API.
+    */
+  private val AnsiSql = """
+      SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             RANK() OVER (PARTITION BY c_mktsegment
+               ORDER BY CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) DESC,
+                        o_orderpriority) AS rnk
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment, o_orderpriority
+      ORDER BY c_mktsegment, rnk"""
+
+  val ansiSql = GraftQuery(
+    "q_ansi_sql",
+    Some(AnsiSql),
+    (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      s.sql(AnsiSql)
+    },
+  )
+
+  /** q_approx_distinct: HLL++ distinct-count per group — the sketch
+    * you actually run at 100 TB (fixed-size state, one pass, no exact
+    * distinct shuffle). Engines' sketches differ, so the harness check
+    * is rows-only; the ScalaTest asserts the estimate lands within
+    * HLL++'s error envelope of the exact count.
+    */
+  val approxDistinct = GraftQuery(
+    "q_approx_distinct",
+    None,
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_customers"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority"),
+  )
+
+  def all: Seq[GraftQuery] = Seq(pivot, cube2, correlated, saltedJoinQ, ansiSql, approxDistinct)
 }
