@@ -156,5 +156,59 @@ object Olap2 {
         .orderBy("o_orderpriority"),
   )
 
-  def all: Seq[GraftQuery] = Seq(pivot, cube2, correlated, saltedJoinQ, ansiSql, approxDistinct)
+  /** q_profile: column profiling (null count / distinct / min / max
+    * per column) in ONE scan — the data-quality pass a pipeline runs
+    * before training. One wide aggregate row unpivoted to per-column
+    * rows; no per-column jobs.
+    */
+  val profile = GraftQuery(
+    "q_profile",
+    Some("""
+      WITH a AS (
+        SELECT COUNT(*) AS n_rows,
+               SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nn_custkey,
+               COUNT(DISTINCT o_custkey) AS nd_custkey,
+               CAST(MIN(o_custkey) AS VARCHAR) AS mn_custkey, CAST(MAX(o_custkey) AS VARCHAR) AS mx_custkey,
+               SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS nn_status,
+               COUNT(DISTINCT o_orderstatus) AS nd_status,
+               MIN(o_orderstatus) AS mn_status, MAX(o_orderstatus) AS mx_status,
+               SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS nn_price,
+               COUNT(DISTINCT o_totalprice) AS nd_price,
+               CAST(MIN(o_totalprice) AS VARCHAR) AS mn_price, CAST(MAX(o_totalprice) AS VARCHAR) AS mx_price
+        FROM orders)
+      SELECT * FROM (
+        SELECT 'o_custkey' AS column_name, n_rows, nn_custkey AS n_null, nd_custkey AS n_distinct, mn_custkey AS min_val, mx_custkey AS max_val FROM a
+        UNION ALL
+        SELECT 'o_orderstatus', n_rows, nn_status, nd_status, mn_status, mx_status FROM a
+        UNION ALL
+        SELECT 'o_totalprice', n_rows, nn_price, nd_price, mn_price, mx_price FROM a)
+      ORDER BY column_name"""),
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val a = o.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("o_custkey").isNull, 1).otherwise(0)).as("nn_custkey"),
+        countDistinct(col("o_custkey")).as("nd_custkey"),
+        min(col("o_custkey")).cast("string").as("mn_custkey"),
+        max(col("o_custkey")).cast("string").as("mx_custkey"),
+        sum(when(col("o_orderstatus").isNull, 1).otherwise(0)).as("nn_status"),
+        countDistinct(col("o_orderstatus")).as("nd_status"),
+        min(col("o_orderstatus")).as("mn_status"),
+        max(col("o_orderstatus")).as("mx_status"),
+        sum(when(col("o_totalprice").isNull, 1).otherwise(0)).as("nn_price"),
+        countDistinct(col("o_totalprice")).as("nd_price"),
+        min(col("o_totalprice")).cast("string").as("mn_price"),
+        max(col("o_totalprice")).cast("string").as("mx_price"))
+      a.selectExpr(
+        """stack(3,
+           'o_custkey',     n_rows, nn_custkey, nd_custkey, mn_custkey, mx_custkey,
+           'o_orderstatus', n_rows, nn_status,  nd_status,  mn_status,  mx_status,
+           'o_totalprice',  n_rows, nn_price,   nd_price,   mn_price,   mx_price)
+           AS (column_name, n_rows, n_null, n_distinct, min_val, max_val)""")
+        .orderBy("column_name")
+    },
+  )
+
+  def all: Seq[GraftQuery] =
+    Seq(pivot, cube2, correlated, saltedJoinQ, ansiSql, approxDistinct, profile)
 }

@@ -29,6 +29,15 @@ object Text {
   val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
   private val stopSql = stopwords.map(w => s"'$w'").mkString(", ")
 
+  /** Oracle-side replay of gfunctions.polyHash over an arbitrary SQL
+    * string expression.
+    */
+  def polySqlPublic(colExpr: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(range(1, length($colExpr) + 1),
+       |    i -> CAST(ascii(substr($colExpr, CAST(i AS INT), 1)) AS BIGINT))),
+       |  (acc, c) -> (acc * 31 + c) % 2147483647)""".stripMargin
+
   /** t_token_stats: token/char counting (the "token counting" op —
     * whitespace tokenizer; a BPE-ish regex variant is in quality).
     */
@@ -258,6 +267,39 @@ object Text {
     },
   )
 
+  /** t_split: deterministic stratified train/val/test split — the
+    * portable polynomial hash of the doc id buckets each document
+    * 80/10/10 within its language stratum. Reproducible across engines
+    * and runs (never `rand()`: a re-run must yield the same split).
+    */
+  val split80 = GraftQuery(
+    "t_split",
+    Some(s"""
+      WITH h AS (SELECT doc_id, lang,
+                   ${polySqlPublic("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+                 FROM documents)
+      SELECT lang,
+             CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+             COUNT(*) AS n,
+             MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      FROM h
+      GROUP BY 1, 2
+      ORDER BY lang, split"""),
+    (s, d) => {
+      val bucket = polyHash(col("doc_id").cast("string")) % 100
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), bucket.as("bucket"))
+        .select(col("doc_id"), col("lang"),
+          when(col("bucket") < 80, "train").when(col("bucket") < 90, "val")
+            .otherwise("test").as("split"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+        .orderBy("lang", "split")
+    },
+  )
+
   def all: Seq[GraftQuery] =
-    Seq(tokenStats, qualityScore, langid, fingerprint, bigramFreq, tfidf, bpeTokens)
+    Seq(tokenStats, qualityScore, langid, fingerprint, bigramFreq, tfidf, bpeTokens,
+      split80)
 }
