@@ -199,7 +199,43 @@ object Streaming {
     },
   )
 
-  def all: Seq[GraftQuery] = Seq(pipeline, statefulRate, sinkFanout, streamDedup)
+  /** st_join: stream-stream interval join — each purchase joins the
+    * same user's clicks from the preceding hour (inclusive bounds).
+    * Both sides carry watermarks and the join has a time-range
+    * constraint, so Spark bounds each side's state to the watermark
+    * horizon — the streaming twin of the batch range join.
+    */
+  val streamJoin = GraftQuery(
+    "st_join",
+    Some("""
+      WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events),
+      p AS (SELECT user_id, event_id AS purchase_id, ts AS pts FROM e WHERE event_type = 'purchase'),
+      c AS (SELECT user_id, event_id AS click_id, ts AS cts FROM e WHERE event_type = 'click')
+      SELECT p.user_id, purchase_id, click_id
+      FROM p JOIN c ON p.user_id = c.user_id
+           AND c.cts >= p.pts - INTERVAL 1 HOUR AND c.cts <= p.pts
+      ORDER BY purchase_id, click_id"""),
+    (s, d) => {
+      val purchases = streamEvents(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("pts"))
+        .withWatermark("pts", "2 hours")
+      val clicks = streamEvents(s, d)
+        .filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user_id"), col("event_id").as("click_id"),
+          col("ts").as("cts"))
+        .withWatermark("cts", "2 hours")
+      val joined = purchases.join(clicks,
+        col("user_id") === col("c_user_id") &&
+          col("cts") >= col("pts") - expr("INTERVAL 1 HOUR") &&
+          col("cts") <= col("pts"))
+        .select("user_id", "purchase_id", "click_id")
+      runToTable(s, joined, OutputMode.Append())
+        .orderBy("purchase_id", "click_id")
+    },
+  )
+
+  def all: Seq[GraftQuery] = Seq(pipeline, statefulRate, sinkFanout, streamDedup, streamJoin)
 }
 
 // Encoder-visible row types for the stateful stream (must not be
