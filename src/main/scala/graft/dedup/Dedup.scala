@@ -51,15 +51,19 @@ object Dedup {
              COUNT(*) OVER (PARTITION BY content_hash) AS group_size
       FROM h
       ORDER BY doc_id"""),
-    (s, d) => {
-      val w = Window.partitionBy("content_hash")
-      Tables.documents(s, d)
-        .select(col("doc_id"), md5(Text.normText(col("text"))).as("content_hash"))
-        .withColumn("canonical_id", min("doc_id").over(w))
-        .withColumn("group_size", count(lit(1)).over(w))
-        .orderBy("doc_id")
-    },
+    (s, d) => exactGroups(Tables.documents(s, d)).orderBy("doc_id"),
   )
+
+  /** Exact-dup groups for any (doc_id, text) frame: content hash,
+    * canonical (min) id and group size per row.
+    */
+  def exactGroups(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("content_hash")
+    docs
+      .select(col("doc_id"), md5(Text.normText(col("text"))).as("content_hash"))
+      .withColumn("canonical_id", min("doc_id").over(w))
+      .withColumn("group_size", count(lit(1)).over(w))
+  }
 
   /** d_ngram_jaccard: near-dup pairs via shingle inverted-index join.
     * Shingles with document frequency above the cap are dropped from
@@ -82,15 +86,23 @@ object Dedup {
       FROM pairs JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
       WHERE ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 4) >= 0.5
       ORDER BY jaccard DESC, doc_a, doc_b"""),
-    (s, d) => {
+    (s, d) => ngramJaccardPairs(Tables.documents(s, d))
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b")),
+  )
+
+  /** Near-dup pairs by n-gram Jaccard for any (doc_id, text) frame:
+    * shingle-inverted-index join with a document-frequency cap.
+    */
+  def ngramJaccardPairs(docs: DataFrame, maxDf: Long = 1000,
+                        threshold: Double = 0.5): DataFrame = {
       // The shingle index feeds three branches (freq cap, join, sizes);
       // per-branch column pruning defeats exchange reuse, so materialize
       // it once — at cluster scale this persisted frame IS the inverted
       // index artifact.
-      val sh = shingleTable(Tables.documents(s, d))
+      val sh = shingleTable(docs)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val freqOk = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= 1000).select("shingle")
+        .filter(col("df") <= maxDf).select("shingle")
       val shc = sh.join(freqOk, Seq("shingle"))
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val pairs = shc.as("a")
@@ -104,10 +116,8 @@ object Dedup {
         .join(sizes.as("sa"), col("sa.doc_id") === col("doc_a"))
         .join(sizes.as("sb"), col("sb.doc_id") === col("doc_b"))
         .select(col("doc_a"), col("doc_b"), jacc.as("jaccard"))
-        .filter(col("jaccard") >= 0.5)
-        .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
-    },
-  )
+        .filter(col("jaccard") >= threshold)
+  }
 
   /** MinHash parameters: 16 permutations h_i(x) = (a_i·x + b_i) mod p,
     * banded 4×4. Fixed constants so the oracle can replay them.
@@ -153,8 +163,15 @@ object Dedup {
       FROM ic JOIN sizes sa ON sa.doc_id = ic.doc_a JOIN sizes sb ON sb.doc_id = ic.doc_b
       WHERE ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 4) >= 0.5
       ORDER BY jaccard DESC, doc_a, doc_b"""),
-    (s, d) => {
-      val sh = shingleTable(Tables.documents(s, d))
+    (s, d) => minhashLshPairs(Tables.documents(s, d))
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b")),
+  )
+
+  /** Near-dup pairs via MinHash+LSH banding for any (doc_id, text)
+    * frame; candidates verified with exact Jaccard.
+    */
+  def minhashLshPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+      val sh = shingleTable(docs)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val fp = sh.select(col("doc_id"), polyHash(col("shingle")).as("f"))
       // 16 min() columns in ONE groupBy (map-side partial per column)
@@ -188,10 +205,8 @@ object Dedup {
         .join(sizes.as("sa"), col("sa.doc_id") === col("doc_a"))
         .join(sizes.as("sb"), col("sb.doc_id") === col("doc_b"))
         .select(col("doc_a"), col("doc_b"), jacc.as("jaccard"))
-        .filter(col("jaccard") >= 0.5)
-        .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
-    },
-  )
+        .filter(col("jaccard") >= threshold)
+  }
 
   /** d_simhash: 31-bit SimHash over token counts; candidates via 4
     * 8-bit block buckets (pigeonhole: hamming ≤ 3 ⇒ ≥1 identical
@@ -217,8 +232,15 @@ object Dedup {
       FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id
       WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
       ORDER BY doc_a, doc_b"""),
-    (s, d) => {
-      val tc = Tables.documents(s, d)
+    (s, d) => simhashPairs(Tables.documents(s, d)).orderBy("doc_a", "doc_b"),
+  )
+
+  /** Near-dup pairs by SimHash Hamming distance for any (doc_id,
+    * text) frame; blocked by the 4×8-bit pigeonhole so no full
+    * pairwise join ever runs.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+      val tc = docs
         .withColumn("t", Text.toks(col("text")))
         .select(col("doc_id"), explode(col("t")).as("token"))
         .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
@@ -245,11 +267,9 @@ object Dedup {
         .distinct()
       cand
         .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
-        .filter(col("hamming") <= 3)
+        .filter(col("hamming") <= maxHamming)
         .select(col("doc_a"), col("doc_b"), col("hamming"))
-        .orderBy("doc_a", "doc_b")
-    },
-  )
+  }
 
   /** d_embed_dup: embedding-cosine near-dup pairs, exact (every pair
     * with cos ≥ 0.45), executed as a **block-matrix cross product**:
@@ -283,6 +303,12 @@ object Dedup {
         .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"), col("cos_sim"))
         .orderBy(col("cos_sim").desc, col("vec_a"), col("vec_b")),
   )
+
+  /** Adapt any frame to the canonical (doc_id, text) shape the
+    * pipeline functions above consume.
+    */
+  def canonical(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("doc_id"), col(textCol).cast("string").as("text"))
 
   def all: Seq[GraftQuery] = Seq(exact, ngramJaccard, minhashLsh, simhash, embedDup)
 }

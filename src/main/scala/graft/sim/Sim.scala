@@ -156,14 +156,14 @@ object Sim {
     * probes search only their own cell. Driver check is rows-only
     * (the k-means loop is not expressible as one SQL statement).
     */
-  val centroidIvf = GraftQuery(
-    "s_centroid_ivf",
-    None,
-    (s, d) => {
-      // Re-read by every Lloyd iteration and the final assignment.
-      val e = vecs(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val k = 8
-      // init: first k vectors as centroids
+  /** Build an IVF index over (vec_id, v): `iters` Lloyd iterations
+    * from a deterministic seed (first k vectors). Returns vectors with
+    * their assigned cell and the squared distance to its centroid.
+    * Centroids broadcast every iteration; the corpus is persisted
+    * (re-read each iteration + final assignment).
+    */
+  def buildIvf(e0: DataFrame, k: Int, iters: Int): DataFrame = {
+      val e = e0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       var centroids: DataFrame = e.filter(col("vec_id") < k)
         .select(col("vec_id").as("cid"), col("v").as("cv"))
       // |a-b|² via norms + dot (one native-dot pass); clamp: float
@@ -178,7 +178,7 @@ object Sim {
           .select(col("vec_id"), col("v"), col("cid"), dist2.as("d2"))
           .withColumn("rn", row_number().over(wBest))
           .filter(col("rn") === 1)
-      for (_ <- 1 to 3) {
+      for (_ <- 1 to iters) {
         val assigned = assign(centroids)
         centroids = assigned
           .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
@@ -188,11 +188,50 @@ object Sim {
             p => p.getField("mx")).as("cv"))
       }
       assign(centroids)
+  }
+
+  /** s_centroid_ivf: cell population stats of the built index.
+    * Rows-only in the harness (the k-means loop is not one SQL
+    * statement); ScalaTest covers the search path's recall.
+    */
+  val centroidIvf = GraftQuery(
+    "s_centroid_ivf",
+    None,
+    (s, d) =>
+      buildIvf(vecs(s, d), k = 8, iters = 3)
         .groupBy("cid").agg(count(lit(1)).as("n_vectors"),
           round(avg(sqrt(col("d2"))), 4).as("mean_dist"))
-        .orderBy("cid")
+        .orderBy("cid"),
+  )
+
+  /** s_ivf_search: probe-limited ANN — each probe searches ONLY its
+    * own IVF cell (1-probe), exact cosine top-3 inside the cell. The
+    * per-probe candidate count is n/k: that ratio (and nprobe) is the
+    * recall/latency knob at scale. Rows-only; recall vs brute force
+    * asserted in ScalaTest.
+    */
+  val ivfSearch = GraftQuery(
+    "s_ivf_search",
+    None,
+    (s, d) => {
+      val assigned = buildIvf(vecs(s, d), k = 8, iters = 3)
+        .select(col("vec_id"), col("v"), col("cid"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val probes = assigned.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("cid"))
+      val w = Window.partitionBy("probe_id").orderBy(col("cs").desc, col("neighbor_id"))
+      broadcast(probes)
+        .join(assigned.select(col("vec_id").as("neighbor_id"), col("v"), col("cid")),
+          Seq("cid"))
+        .filter(col("neighbor_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("neighbor_id"), cosine(col("pv"), col("v")).as("cs"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("probe_id"), col("neighbor_id"), col("rank"),
+          round(col("cs"), 4).as("cos_sim"))
+        .orderBy("probe_id", "rank")
     },
   )
 
-  def all: Seq[GraftQuery] = Seq(bruteTopk, lshAnn, labelCohesion, centroidIvf)
+  def all: Seq[GraftQuery] = Seq(bruteTopk, lshAnn, labelCohesion, centroidIvf, ivfSearch)
 }
