@@ -84,6 +84,30 @@ object Jolokia {
         col("bean_props"), explode(col("attrs")).as(Seq("attribute", "value")))
   }
 
+  /** Recursive attribute flatten (ReusableCodes.py:16-22): JMX
+    * attribute values that are themselves nested JSON objects (e.g. a
+    * percentile map) flatten into path-concatenated keys
+    * (`Latency.p50`). One pass per nesting level; `depth` bounds the
+    * recursion like the reference's dict walk (JMX beans are ≤ 2-3
+    * deep in practice). Scalar attributes pass through unchanged.
+    *
+    * Input: normalize()/normalizeSingle() output (one row per
+    * (mbean, attribute, value)); output: same shape, nested objects
+    * expanded.
+    */
+  def flattenNestedAttrs(flat: DataFrame, depth: Int = 2): DataFrame = {
+    val mapType = org.apache.spark.sql.types.DataType.fromDDL("MAP<STRING, STRING>")
+    (1 to depth).foldLeft(flat) { (df, _) =>
+      val parsed = from_json(col("value"), mapType)
+      val asMap = when(parsed.isNotNull,
+        transform_keys(parsed, (k, _) => concat(col("attribute"), lit("."), k)))
+        .otherwise(map(col("attribute"), col("value")))
+      df.select(df.columns.filterNot(Set("attribute", "value")).map(col) :+ asMap.as("_m"): _*)
+        .select(col("*"), explode(col("_m")).as(Seq("attribute", "value")))
+        .drop("_m")
+    }
+  }
+
   /** Deterministic in-code pod inventory standing in for the K8s API
     * (annotations drive discovery exactly like KubernetesAutomator:
     * jolokia/is_enabled, jolokia/port, jolokia/server_type; only

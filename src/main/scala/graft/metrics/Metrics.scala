@@ -256,22 +256,27 @@ object Metrics {
              'conn-' || CAST(user_id % 4 AS VARCHAR) AS connector_name,
              upper(event_type) AS connector_state,
              t.task_id,
-             CASE WHEN t.task_id = 0 THEN 'RUNNING' ELSE upper(event_type) END AS task_state
+             CASE WHEN t.task_id = 0 THEN 'RUNNING' ELSE upper(event_type) END AS task_state,
+             'worker-' || CAST(user_id % 8 AS VARCHAR) || ':8083' AS worker_id
       FROM e CROSS JOIN (SELECT UNNEST([0, 1]) AS task_id) t
       ORDER BY event_id, task_id"""),
     (s, d) => {
+      val worker = concat(lit("worker-"), (col("user_id") % 8).cast("string"), lit(":8083"))
       val payload = concat(
         lit("{\"name\":\"conn-"), (col("user_id") % 4).cast("string"),
         lit("\",\"connector\":{\"state\":\""), upper(col("event_type")),
-        lit("\"},\"tasks\":[{\"id\":0,\"state\":\"RUNNING\"},{\"id\":1,\"state\":\""),
-        upper(col("event_type")), lit("\"}]}"))
-      val schema = "STRUCT<name: STRING, connector: STRUCT<state: STRING>, tasks: ARRAY<STRUCT<id: INT, state: STRING>>>"
+        lit("\"},\"tasks\":[{\"id\":0,\"state\":\"RUNNING\",\"worker_id\":\""), worker,
+        lit("\"},{\"id\":1,\"state\":\""), upper(col("event_type")),
+        lit("\",\"worker_id\":\""), worker, lit("\"}]}"))
+      val schema = "STRUCT<name: STRING, connector: STRUCT<state: STRING>, " +
+        "tasks: ARRAY<STRUCT<id: INT, state: STRING, worker_id: STRING>>>"
       Tables.events(s, d)
         .select(col("event_id"), from_json(payload, org.apache.spark.sql.types.DataType.fromDDL(schema)).as("p"))
         .select(col("event_id"), col("p.name").as("connector_name"),
           col("p.connector.state").as("connector_state"), explode(col("p.tasks")).as("t"))
         .select(col("event_id"), col("connector_name"), col("connector_state"),
-          col("t.id").as("task_id"), col("t.state").as("task_state"))
+          col("t.id").as("task_id"), col("t.state").as("task_state"),
+          col("t.worker_id").as("worker_id"))
         .orderBy("event_id", "task_id")
     },
   )
