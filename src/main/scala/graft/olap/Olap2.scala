@@ -209,6 +209,32 @@ object Olap2 {
     },
   )
 
+  /** q_window_range: RANGE-frame trailing window — each order's
+    * customer spend over the trailing 30 days (value-based frame, not
+    * row-count). Order key is epoch micros so the frame bound is a
+    * plain long offset in both engines.
+    */
+  val windowRange = GraftQuery(
+    "q_window_range",
+    Some("""
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
+               RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_30d
+      FROM orders
+      ORDER BY o_custkey, o_orderdate, o_orderkey"""),
+    (s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(unix_micros(col("o_orderdate").cast("timestamp")))
+        .rangeBetween(-2592000000000L, Window.currentRow)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          sum(dec2(col("o_totalprice"))).over(w).cast("double").as("trailing_30d"))
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    },
+  )
+
   def all: Seq[GraftQuery] =
-    Seq(pivot, cube2, correlated, saltedJoinQ, ansiSql, approxDistinct, profile)
+    Seq(pivot, cube2, correlated, saltedJoinQ, ansiSql, approxDistinct, profile,
+      windowRange)
 }
