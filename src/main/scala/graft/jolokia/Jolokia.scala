@@ -102,7 +102,7 @@ object Jolokia {
       val asMap = when(parsed.isNotNull,
         transform_keys(parsed, (k, _) => concat(col("attribute"), lit("."), k)))
         .otherwise(map(col("attribute"), col("value")))
-      df.select(df.columns.filterNot(Set("attribute", "value")).map(col) :+ asMap.as("_m"): _*)
+      df.select(df.columns.filterNot(Set("attribute", "value")).toIndexedSeq.map(col) :+ asMap.as("_m"): _*)
         .select(col("*"), explode(col("_m")).as(Seq("attribute", "value")))
         .drop("_m")
     }

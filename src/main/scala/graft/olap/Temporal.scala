@@ -22,7 +22,7 @@ object Temporal {
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String,
                rightCols: Seq[String]): DataFrame = {
-    val lStruct = struct(left.columns.map(col): _*)
+    val lStruct = struct(left.columns.toIndexedSeq.map(col): _*)
     val rStruct = struct(rightCols.map(col): _*)
     val lType = left.select(lStruct.as("s")).schema("s").dataType
     val rType = right.select(rStruct.as("s")).schema("s").dataType

@@ -37,7 +37,7 @@ object Sinks {
   def writeKafkaJsonl(df: DataFrame, keyCol: String, outDir: String,
                       numPartitions: Int = 8): Unit = {
     df.withColumn("_kpart", pmod(hash(col(keyCol)), lit(numPartitions)))
-      .withColumn("value", to_json(struct(df.columns.map(col): _*)))
+      .withColumn("value", to_json(struct(df.columns.toIndexedSeq.map(col): _*)))
       .select("_kpart", "value")
       .write.mode("append").partitionBy("_kpart").text(outDir)
   }
