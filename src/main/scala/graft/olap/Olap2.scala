@@ -234,7 +234,24 @@ object Olap2 {
     },
   )
 
+  /** q_approx_percentiles: sketch-based quantiles — the 100 TB path
+    * (exact percentile_cont needs a per-group sort of everything;
+    * the sketch is one pass, fixed state, mergeable). Rows-only;
+    * ScalaTest bounds it against the exact quantiles.
+    */
+  val approxPercentiles = GraftQuery(
+    "q_approx_percentiles",
+    None,
+    (s, d) =>
+      Tables.customer(s, d)
+        .groupBy("c_mktsegment")
+        .agg(
+          percentile_approx(col("c_acctbal"), lit(0.5), lit(1000)).as("approx_med"),
+          percentile_approx(col("c_acctbal"), lit(0.9), lit(1000)).as("approx_p90"))
+        .orderBy("c_mktsegment"),
+  )
+
   def all: Seq[GraftQuery] =
     Seq(pivot, cube2, correlated, saltedJoinQ, ansiSql, approxDistinct, profile,
-      windowRange)
+      windowRange, approxPercentiles)
 }

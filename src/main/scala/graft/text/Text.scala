@@ -299,7 +299,38 @@ object Text {
     },
   )
 
+  /** t_vocab: corpus vocabulary — tokens above a document-frequency
+    * floor, id'd by global frequency rank (deterministic tie-break on
+    * the token). Two aggregations, map-side partials; top-500 probe.
+    */
+  val vocab = GraftQuery(
+    "t_vocab",
+    Some(s"""
+      WITH d AS (SELECT doc_id, $ToksSql AS t FROM documents),
+      tok AS (SELECT doc_id, unnest(t) AS token FROM d),
+      tf AS (SELECT token, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS df
+             FROM tok GROUP BY token)
+      SELECT token, cnt, df,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS vocab_id
+      FROM tf
+      WHERE df >= 3
+      ORDER BY vocab_id
+      LIMIT 500"""),
+    (s, d) => {
+      val w = Window.orderBy(col("cnt").desc, col("token"))
+      Tables.documents(s, d)
+        .withColumn("t", toks(col("text")))
+        .select(col("doc_id"), explode(col("t")).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("cnt"), countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") >= 3)
+        .withColumn("vocab_id", row_number().over(w))
+        .orderBy("vocab_id")
+        .limit(500)
+    },
+  )
+
   def all: Seq[GraftQuery] =
     Seq(tokenStats, qualityScore, langid, fingerprint, bigramFreq, tfidf, bpeTokens,
-      split80)
+      split80, vocab)
 }

@@ -1,0 +1,22 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The percentile sketch lands near the exact quantiles. */
+class ApproxPercentileSpec extends SparkSpec {
+
+  test("q_approx_percentiles within 5% of exact per segment") {
+    val approx = graft.olap.Olap2.approxPercentiles.run(spark, sfDir)
+    val exact = graft.sources.Tables.customer(spark, sfDir)
+      .groupBy("c_mktsegment")
+      .agg(percentile(col("c_acctbal"), lit(0.5)).as("exact_med"),
+        percentile(col("c_acctbal"), lit(0.9)).as("exact_p90"))
+    val rows = approx.join(exact, "c_mktsegment").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val span = math.abs(r.getAs[Double]("exact_p90")) + 1.0
+      assert(math.abs(r.getAs[Double]("approx_med") - r.getAs[Double]("exact_med")) / span < 0.05)
+      assert(math.abs(r.getAs[Double]("approx_p90") - r.getAs[Double]("exact_p90")) / span < 0.05)
+    }
+  }
+}
