@@ -304,11 +304,64 @@ object Dedup {
         .orderBy(col("cos_sim").desc, col("vec_a"), col("vec_b")),
   )
 
+  /** d_cdc_chunks: content-defined chunking — a boundary wherever the
+    * rolling 8-char window hash ≡ 0 (mod 64), so chunk edges survive
+    * insertions/deletions (the storage-dedup trick applied to long
+    * documents: chunk fingerprints dedupe at sub-document
+    * granularity). Pure per-position predicate (no sequential state) ⇒
+    * exactly replayable in the oracle; per-doc work is O(len), no
+    * shuffle until the final explode.
+    */
+  val cdcChunks = GraftQuery(
+    "d_cdc_chunks",
+    Some(s"""
+      WITH d AS (SELECT doc_id, ${Text.NormSql} AS s FROM documents WHERE doc_id < 100),
+      b AS (SELECT doc_id, s,
+              list_prepend(CAST(0 AS BIGINT),
+                list_concat(
+                  list_filter(range(8, length(s)), i -> ${Text.polySqlPublic("substr(s, CAST(i - 7 AS INT), 8)")} % 64 = 0),
+                  [CAST(length(s) AS BIGINT)])) AS bounds
+            FROM d),
+      c AS (SELECT doc_id,
+              unnest(list_transform(range(1, len(bounds)),
+                j -> {'idx': j, 'chunk': substr(s, CAST(bounds[CAST(j AS INT)] + 1 AS INT),
+                                                CAST(bounds[CAST(j + 1 AS INT)] - bounds[CAST(j AS INT)] AS INT))})) AS ch
+            FROM b)
+      SELECT doc_id, CAST(ch.idx AS INT) AS chunk_idx,
+             length(ch.chunk) AS chunk_len,
+             ${Text.polySqlPublic("ch.chunk")} AS chunk_fp
+      FROM c
+      ORDER BY doc_id, chunk_idx"""),
+    (s, d) => {
+      val str = col("s")
+      val bs = when(length(str) >= 9,
+        filter(sequence(lit(8), length(str) - 1),
+          i => polyHash(str.substr(i - 7, lit(8))) % 64 === 0))
+        .otherwise(array().cast("array<int>"))
+      val bounds = concat(array(lit(0).cast("long")), bs.cast("array<long>"),
+        array(length(str).cast("long")))
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), Text.normText(col("text")).as("s"))
+        .withColumn("bounds", bounds)
+        .select(col("doc_id"), str,
+          posexplode(transform(sequence(lit(1), size(col("bounds")) - 1),
+            j => str.substr((element_at(col("bounds"), j) + 1).cast("int"),
+              (element_at(col("bounds"), j + 1) - element_at(col("bounds"), j)).cast("int"))))
+            .as(Seq("pos", "chunk")))
+        .select(col("doc_id"), (col("pos") + 1).as("chunk_idx"),
+          length(col("chunk")).as("chunk_len"),
+          polyHash(col("chunk")).as("chunk_fp"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+  )
+
   /** Adapt any frame to the canonical (doc_id, text) shape the
     * pipeline functions above consume.
     */
   def canonical(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).cast("long").as("doc_id"), col(textCol).cast("string").as("text"))
 
-  def all: Seq[GraftQuery] = Seq(exact, ngramJaccard, minhashLsh, simhash, embedDup)
+  def all: Seq[GraftQuery] =
+    Seq(exact, ngramJaccard, minhashLsh, simhash, embedDup, cdcChunks)
 }

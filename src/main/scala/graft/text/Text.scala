@@ -32,11 +32,15 @@ object Text {
   /** Oracle-side replay of gfunctions.polyHash over an arbitrary SQL
     * string expression.
     */
+  /** Lambda vars are deliberately obscure: this SQL nests inside
+    * callers' own lambdas (e.g. a list_filter over positions named i)
+    * and DuckDB lambda variables shadow lexically.
+    */
   def polySqlPublic(colExpr: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
        |  list_transform(range(1, length($colExpr) + 1),
-       |    i -> CAST(ascii(substr($colExpr, CAST(i AS INT), 1)) AS BIGINT))),
-       |  (acc, c) -> (acc * 31 + c) % 2147483647)""".stripMargin
+       |    __phi -> CAST(ascii(substr($colExpr, CAST(__phi AS INT), 1)) AS BIGINT))),
+       |  (__pha, __phc) -> (__pha * 31 + __phc) % 2147483647)""".stripMargin
 
   /** t_token_stats: token/char counting (the "token counting" op —
     * whitespace tokenizer; a BPE-ish regex variant is in quality).
