@@ -9,7 +9,6 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 
 import graft.GraftQuery
 import graft.metrics.Transforms
-import graft.sinks.Sinks
 
 /** Structured-streaming pipelines (SURVEY.md §2.G) — the reference's
   * poll loop (main.py: scrape → normalize → fan out to sinks) as a
@@ -155,16 +154,8 @@ object Streaming {
       val src = streamEvents(s, d)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
       val ckpt = Files.createTempDirectory("graft_ckpt").toString
-      val q = src.writeStream
-        .outputMode(OutputMode.Append())
-        .option("checkpointLocation", ckpt)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          val docs = batch.withColumn("doc",
-            to_json(struct(col("event_id"), col("event_type"), col("value"))))
-          Sinks.writeEsBulk(docs, "ts", "doc", "kafka-jmx-logs", esDir)
-          Sinks.writeKafkaJsonl(batch, "user_id", kafkaDir)
-        }
-        .start()
+      val q = Pipeline.start(src, "ts",
+        Pipeline.Config(esDir = Some(esDir), kafkaDir = Some(kafkaDir)), ckpt)
       q.processAllAvailable()
       q.stop()
       s.read.text(esDir)
