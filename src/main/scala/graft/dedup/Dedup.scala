@@ -356,6 +356,77 @@ object Dedup {
     },
   )
 
+  /** Connected components over an undirected edge list — the cluster
+    * resolution step that turns near-dup PAIRS into dedup GROUPS
+    * (component id = min doc id, the canonical survivor). Iterative
+    * min-label propagation: each round every node takes the min label
+    * in its neighborhood; fixpoint ⇐ no label changed. Each round is
+    * one join + one aggregate (the standard large-graph CC shape);
+    * rounds needed = graph diameter, and near-dup graphs are
+    * shallow — the driver loop checks convergence, it never holds
+    * graph data.
+    */
+  def connectedComponents(edges: DataFrame, maxIters: Int = 20): DataFrame = {
+    val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("src").as("doc_id")).distinct()
+      .withColumn("component", col("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val msgs = sym.join(labels, sym("src") === labels("doc_id"))
+        .select(col("dst").as("doc_id"), col("component"))
+      val next = labels.select("doc_id", "component").unionByName(msgs)
+        .groupBy("doc_id").agg(min("component").as("component"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      converged = next.join(labels.withColumnRenamed("component", "old"), "doc_id")
+        .filter(col("component") =!= col("old")).isEmpty
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
+  /** d_components: ngram-Jaccard pairs → dedup clusters. The oracle
+    * replays connectivity with a recursive CTE (min reachable id =
+    * component id — a fixpoint, so iteration strategy doesn't matter).
+    */
+  val components = GraftQuery(
+    "d_components",
+    Some(s"""
+      WITH RECURSIVE d AS (SELECT doc_id, ${Text.ToksSql} AS t FROM documents),
+      $ShSql,
+      shf AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 1000),
+      shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN shf USING (shingle)),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      p0 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+             FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+      pairs AS (SELECT doc_a, doc_b
+                FROM p0 JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+                WHERE ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 4) >= 0.5),
+      e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs),
+      reach(src, dst) AS (
+        SELECT a, a FROM e
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a),
+      cc AS (SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY src)
+      SELECT doc_id, component,
+             COUNT(*) OVER (PARTITION BY component) AS component_size
+      FROM cc
+      ORDER BY component, doc_id"""),
+    (s, d) => {
+      val edges = ngramJaccardPairs(Tables.documents(s, d)).select("doc_a", "doc_b")
+      val w = Window.partitionBy("component")
+      connectedComponents(edges)
+        .withColumn("component_size", count(lit(1)).over(w))
+        .orderBy("component", "doc_id")
+    },
+  )
+
   /** Adapt any frame to the canonical (doc_id, text) shape the
     * pipeline functions above consume.
     */
@@ -363,5 +434,5 @@ object Dedup {
     df.select(col(idCol).cast("long").as("doc_id"), col(textCol).cast("string").as("text"))
 
   def all: Seq[GraftQuery] =
-    Seq(exact, ngramJaccard, minhashLsh, simhash, embedDup, cdcChunks)
+    Seq(exact, ngramJaccard, minhashLsh, simhash, embedDup, cdcChunks, components)
 }
