@@ -427,6 +427,48 @@ object Dedup {
     },
   )
 
+  private def ddot(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(range(1, len($a) + 1), __di -> $a[__di] * $b[__di])), (__dx, __dy) -> __dx + __dy)"
+
+  /** d_dup_consistency: cross-modal check — near-duplicate TEXT pairs
+    * whose EMBEDDINGS disagree flag an upstream problem (stale
+    * embedding, pipeline mismatch). The shingle index blocks the pair
+    * space; the embedding join is by id.
+    */
+  val dupConsistency = GraftQuery(
+    "d_dup_consistency",
+    Some(s"""
+      WITH d AS (SELECT doc_id, ${Text.ToksSql} AS t FROM documents),
+      $ShSql,
+      shf AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 1000),
+      shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN shf USING (shingle)),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      p0 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+             FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+      p AS (SELECT doc_a, doc_b
+            FROM p0 JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 4) >= 0.5),
+      ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+      SELECT doc_a, doc_b,
+             ROUND(${ddot("ea.v", "eb.v")} / (sqrt(${ddot("ea.v", "ea.v")}) * sqrt(${ddot("eb.v", "eb.v")})), 4) AS cos_sim,
+             ROUND(${ddot("ea.v", "eb.v")} / (sqrt(${ddot("ea.v", "ea.v")}) * sqrt(${ddot("eb.v", "eb.v")})), 4) >= 0.99 AS consistent
+      FROM p JOIN ev ea ON ea.vec_id = doc_a JOIN ev eb ON eb.vec_id = doc_b
+      ORDER BY doc_a, doc_b"""),
+    (s, d) => {
+      val pairs = ngramJaccardPairs(Tables.documents(s, d)).select("doc_a", "doc_b")
+      val ev = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val cs = round(cosine(col("ea.v"), col("eb.v")), 4)
+      pairs
+        .join(ev.as("ea"), col("ea.vec_id") === col("doc_a"))
+        .join(ev.as("eb"), col("eb.vec_id") === col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), cs.as("cos_sim"),
+          (cs >= 0.99).as("consistent"))
+        .orderBy("doc_a", "doc_b")
+    },
+  )
+
   /** Adapt any frame to the canonical (doc_id, text) shape the
     * pipeline functions above consume.
     */
@@ -434,5 +476,6 @@ object Dedup {
     df.select(col(idCol).cast("long").as("doc_id"), col(textCol).cast("string").as("text"))
 
   def all: Seq[GraftQuery] =
-    Seq(exact, ngramJaccard, minhashLsh, simhash, embedDup, cdcChunks, components)
+    Seq(exact, ngramJaccard, minhashLsh, simhash, embedDup, cdcChunks, components,
+      dupConsistency)
 }
