@@ -36,19 +36,33 @@ object Streaming {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Streaming state parallelism is a different knob from batch
+    * shuffle width: every stateful operator materializes one state
+    * store per shuffle partition, and store open/commit overhead
+    * dominates small micro-batches. Size it down for the harness
+    * streams (results are partition-count independent), restore after.
+    */
+  private def withStreamPartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   /** Run a stream to completion into an in-memory table and return the
     * static result (the harness then parquet-dumps it like any batch
     * query).
     */
-  private def runToTable(s: SparkSession, out: DataFrame, mode: OutputMode): DataFrame = {
-    val name = s"graft_stream_${runSeq.incrementAndGet()}"
-    val ckpt = Files.createTempDirectory("graft_ckpt").toString
-    val q = out.writeStream.format("memory").queryName(name)
-      .outputMode(mode).option("checkpointLocation", ckpt).start()
-    q.processAllAvailable()
-    q.stop()
-    s.table(name)
-  }
+  private def runToTable(s: SparkSession, out: DataFrame, mode: OutputMode): DataFrame =
+    withStreamPartitions(s, 8) {
+      val name = s"graft_stream_${runSeq.incrementAndGet()}"
+      val ckpt = Files.createTempDirectory("graft_ckpt").toString
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode(mode).option("checkpointLocation", ckpt).start()
+      q.processAllAvailable()
+      q.stop()
+      s.table(name)
+    }
 
   /** st_pipeline: readStream → jolokia flatten → watermark → 1h
     * windowed rollup — the m1→m2 chain as one continuous query.
