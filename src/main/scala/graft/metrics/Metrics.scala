@@ -383,9 +383,77 @@ object Metrics {
         .orderBy("user_id", "event_type"),
   )
 
+  /** m15: alert-state transitions — the dashboard alert rule as an
+    * operator: a series ENTERs alert when its value crosses above the
+    * threshold and CLEARs when it crosses back below. One window pass
+    * (lag per series), emits only the edges, not the steady states.
+    */
+  val alertTransitions = GraftQuery(
+    "m15_alert_transitions",
+    Some(s"""
+      $E,
+      f AS (SELECT user_id, event_type, ts, event_id, value,
+              value > 250 AS alerting,
+              LAG(value > 250) OVER (PARTITION BY user_id, event_type
+                ORDER BY ts, event_id) AS was_alerting
+            FROM e)
+      SELECT user_id, event_type, ts, value,
+             CASE WHEN alerting THEN 'ENTER' ELSE 'CLEAR' END AS transition
+      FROM f
+      WHERE was_alerting IS NOT NULL AND alerting <> was_alerting
+      ORDER BY user_id, event_type, ts, event_id"""),
+    (s, d) => {
+      val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .withColumn("alerting", col("value") > 250)
+        .withColumn("was_alerting", lag(col("alerting"), 1).over(w))
+        .filter(col("was_alerting").isNotNull && col("alerting") =!= col("was_alerting"))
+        .select(col("user_id"), col("event_type"), col("ts"), col("value"),
+          when(col("alerting"), "ENTER").otherwise("CLEAR").as("transition"))
+        .orderBy("user_id", "event_type", "ts", "event_id")
+    },
+  )
+
+  /** m16: robust outliers via median absolute deviation — the
+    * median-based twin of m6 (immune to the outliers it hunts). Two
+    * aggregation passes; per-series stats broadcast back; stats
+    * rounded to 4 before the compare so the cross-engine filter edge
+    * is deterministic.
+    */
+  val madOutliers = GraftQuery(
+    "m16_mad_outliers",
+    Some(s"""
+      $E,
+      med AS (SELECT event_type, ROUND(quantile_cont(value, 0.5), 4) AS med
+              FROM e GROUP BY event_type),
+      mad AS (SELECT e.event_type,
+                     ROUND(quantile_cont(abs(e.value - med.med), 0.5), 4) AS mad
+              FROM e JOIN med USING (event_type) GROUP BY e.event_type, med.med)
+      SELECT e.event_id, e.event_type, e.value,
+             ROUND(abs(e.value - med.med) / mad.mad, 4) AS mad_score
+      FROM e JOIN med USING (event_type) JOIN mad USING (event_type)
+      WHERE ROUND(abs(e.value - med.med) / mad.mad, 4) > 3.5
+      ORDER BY event_id"""),
+    (s, d) => {
+      val e = Tables.events(s, d)
+      val med = e.groupBy("event_type")
+        .agg(round(percentile(col("value"), lit(0.5)), 4).as("med"))
+      val mad = e.join(broadcast(med), Seq("event_type"))
+        .groupBy("event_type", "med")
+        .agg(round(percentile(abs(col("value") - col("med")), lit(0.5)), 4).as("mad"))
+        .select("event_type", "mad")
+      val score = round(abs(col("value") - col("med")) / col("mad"), 4)
+      e.join(broadcast(med), Seq("event_type"))
+        .join(broadcast(mad), Seq("event_type"))
+        .select(col("event_id"), col("event_type"), col("value"), score.as("mad_score"))
+        .filter(col("mad_score") > 3.5)
+        .orderBy("event_id")
+    },
+  )
+
   def all: Seq[GraftQuery] = Seq(
     flattenProps, windowRollup, rate, latestPerSeries, sessionize,
     anomalyZscore, esBulkFormat, serverDedup, connectStatus, topSeries,
-    pollGating, valueHistogram, ewma,
+    pollGating, valueHistogram, ewma, alertTransitions, madOutliers,
   )
 }
