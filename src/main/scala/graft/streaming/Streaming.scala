@@ -240,7 +240,35 @@ object Streaming {
     },
   )
 
-  def all: Seq[GraftQuery] = Seq(pipeline, statefulRate, sinkFanout, streamDedup, streamJoin)
+  /** st_enrich: stream-static enrichment — the metric stream joins the
+    * broadcast customer dimension (no state: the static side is a
+    * lookup, the classic enrichment shape), then aggregates per
+    * segment in complete mode.
+    */
+  val streamEnrich = GraftQuery(
+    "st_enrich",
+    Some("""
+      WITH e AS (SELECT event_id, user_id, value FROM events)
+      SELECT c_mktsegment, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM e JOIN customer ON user_id = c_custkey
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment"""),
+    (s, d) => {
+      val dim = graft.sources.Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val enriched = streamEvents(s, d)
+        .select(col("user_id"), col("value"))
+        .join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), graft.gfunctions.dsum(col("value")).as("total"))
+      runToTable(s, enriched, OutputMode.Complete())
+        .orderBy("c_mktsegment")
+    },
+  )
+
+  def all: Seq[GraftQuery] =
+    Seq(pipeline, statefulRate, sinkFanout, streamDedup, streamJoin, streamEnrich)
 }
 
 // Encoder-visible row types for the stateful stream (must not be
