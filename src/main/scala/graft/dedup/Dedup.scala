@@ -383,9 +383,11 @@ object Dedup {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       converged = next.join(labels.withColumnRenamed("component", "old"), "doc_id")
         .filter(col("component") =!= col("old")).isEmpty
+      labels.unpersist() // superseded generation — don't leak cache
       labels = next
       i += 1
     }
+    sym.unpersist()
     labels
   }
 
