@@ -21,13 +21,14 @@ object Sinks {
     * document string).
     */
   def writeEsBulk(df: DataFrame, tsCol: String, docCol: String,
-                  indexPrefix: String, outDir: String): Unit = {
+                  indexPrefix: String, outDir: String,
+                  mode: String = "append"): Unit = {
     val idx = concat(lit(indexPrefix + "-"), date_format(col(tsCol), "yyyy-MM-dd"))
     df.select(
         idx.as("es_index"),
         concat(lit("{\"index\":{\"_index\":\""), idx, lit("\",\"_type\":\"doc\"}}\n"),
           col(docCol)).as("value"))
-      .write.mode("append").partitionBy("es_index").text(outDir)
+      .write.mode(mode).partitionBy("es_index").text(outDir)
   }
 
   /** Kafka-shaped JSONL sink (KafkaAppender.py): records rendered as
@@ -35,10 +36,10 @@ object Sinks {
     * `keyCol` so each output dir is one topic-partition's batch.
     */
   def writeKafkaJsonl(df: DataFrame, keyCol: String, outDir: String,
-                      numPartitions: Int = 8): Unit = {
+                      numPartitions: Int = 8, mode: String = "append"): Unit = {
     df.withColumn("_kpart", pmod(hash(col(keyCol)), lit(numPartitions)))
       .withColumn("value", to_json(struct(df.columns.toIndexedSeq.map(col): _*)))
       .select("_kpart", "value")
-      .write.mode("append").partitionBy("_kpart").text(outDir)
+      .write.mode(mode).partitionBy("_kpart").text(outDir)
   }
 }

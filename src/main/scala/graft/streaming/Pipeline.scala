@@ -29,19 +29,27 @@ object Pipeline {
   /** Start the fan-out over a streaming frame. `tsCol` drives the
     * date-rotated ES index; the doc shipped to ES is the whole row as
     * JSON (the reference ships the flattened record verbatim).
+    *
+    * Exactly-once to the file sinks: each micro-batch OVERWRITES its
+    * own `batch=<id>` partition directory, so a batch replayed after a
+    * failure rewrites the same files instead of appending duplicates
+    * (batch id is stable across retries — the checkpoint guarantees
+    * it). Consumers read with `basePath` = the sink root.
     */
   def start(stream: DataFrame, tsCol: String, cfg: Config, checkpoint: String): StreamingQuery =
     stream.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, id: Long) =>
         cfg.esDir.foreach { dir =>
           val docs = batch.withColumn("doc",
             to_json(struct(batch.columns.toIndexedSeq.map(col): _*)))
-          Sinks.writeEsBulk(docs, tsCol, "doc", cfg.indexPrefix, dir)
+          Sinks.writeEsBulk(docs, tsCol, "doc", cfg.indexPrefix,
+            s"$dir/batch=$id", mode = "overwrite")
         }
         cfg.kafkaDir.foreach { dir =>
-          Sinks.writeKafkaJsonl(batch, cfg.kafkaKeyCol, dir, cfg.kafkaPartitions)
+          Sinks.writeKafkaJsonl(batch, cfg.kafkaKeyCol, s"$dir/batch=$id",
+            cfg.kafkaPartitions, mode = "overwrite")
         }
       }
       .start()
