@@ -122,5 +122,32 @@ object Multimodal {
     },
   )
 
-  def all: Seq[GraftQuery] = Seq(binaryMeta, featureExtract, frameSample)
+  /** mm_resize: payload downsample — the image-resize slot in the
+    * pipeline. A real deployment decodes and resamples pixels; the
+    * container has no codecs, so the stand-in is a deterministic 2:1
+    * byte decimation (keep the first of every pair) with the output's
+    * size + fingerprint tracked like a resized asset would be. Pure
+    * map over the scan; no shuffle.
+    */
+  val resize = GraftQuery(
+    "mm_resize",
+    Some("""
+      SELECT doc_id,
+             length(text) AS n_bytes,
+             length(regexp_replace(text, '(.).', '\1', 'g')) AS resized_bytes,
+             sha256(regexp_replace(text, '(.).', '\1', 'g')) AS resized_sha
+      FROM documents
+      ORDER BY doc_id"""),
+    (s, d) => {
+      val resized = regexp_replace(col("text"), "(.).", "$1")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          length(col("text")).as("n_bytes"),
+          length(resized).as("resized_bytes"),
+          sha2(encode(resized, "UTF-8"), 256).as("resized_sha"))
+        .orderBy("doc_id")
+    },
+  )
+
+  def all: Seq[GraftQuery] = Seq(binaryMeta, featureExtract, frameSample, resize)
 }
