@@ -451,9 +451,41 @@ object Metrics {
     },
   )
 
+  /** m17: per-series downtime — total time in inter-sample gaps above
+    * the poll tolerance (the availability metric behind a dead-man
+    * alert). One lag pass, one agg; integer microsecond sums so the
+    * compare is exact.
+    */
+  val downtime = GraftQuery(
+    "m17_downtime",
+    Some(s"""
+      $E,
+      g AS (SELECT user_id, event_type,
+              epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+                ORDER BY ts, event_id) AS gap_us
+            FROM e)
+      SELECT user_id, event_type,
+             COUNT(CASE WHEN gap_us > 1800000000 THEN 1 END) AS n_gaps,
+             COALESCE(SUM(CASE WHEN gap_us > 1800000000 THEN gap_us END), 0) / 1000000 AS downtime_sec
+      FROM g
+      GROUP BY user_id, event_type
+      ORDER BY user_id, event_type"""),
+    (s, d) => {
+      val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .withColumn("gap_us", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+        .groupBy("user_id", "event_type")
+        .agg(
+          count(when(col("gap_us") > 1800000000L, 1)).as("n_gaps"),
+          (coalesce(sum(when(col("gap_us") > 1800000000L, col("gap_us"))), lit(0L)) / 1000000L)
+            .as("downtime_sec"))
+        .orderBy("user_id", "event_type")
+    },
+  )
+
   def all: Seq[GraftQuery] = Seq(
     flattenProps, windowRollup, rate, latestPerSeries, sessionize,
     anomalyZscore, esBulkFormat, serverDedup, connectStatus, topSeries,
-    pollGating, valueHistogram, ewma, alertTransitions, madOutliers,
+    pollGating, valueHistogram, ewma, alertTransitions, madOutliers, downtime,
   )
 }
