@@ -112,11 +112,12 @@ object Dedup {
         .agg(count(lit(1)).as("n_common"))
       val jacc = round(col("n_common").cast("double") /
         (col("sa.n") + col("sb.n") - col("n_common")), 4)
-      pairs
+      val out = pairs
         .join(sizes.as("sa"), col("sa.doc_id") === col("doc_a"))
         .join(sizes.as("sb"), col("sb.doc_id") === col("doc_b"))
         .select(col("doc_a"), col("doc_b"), jacc.as("jaccard"))
         .filter(col("jaccard") >= threshold)
+      graft.Caching.releaseAfter(out, sh)
   }
 
   /** MinHash parameters: 16 permutations h_i(x) = (a_i·x + b_i) mod p,
@@ -201,11 +202,12 @@ object Dedup {
         .agg(count(lit(1)).as("n_common"))
       val jacc = round(col("n_common").cast("double") /
         (col("sa.n") + col("sb.n") - col("n_common")), 4)
-      ic
+      val out = ic
         .join(sizes.as("sa"), col("sa.doc_id") === col("doc_a"))
         .join(sizes.as("sb"), col("sb.doc_id") === col("doc_b"))
         .select(col("doc_a"), col("doc_b"), jacc.as("jaccard"))
         .filter(col("jaccard") >= threshold)
+      graft.Caching.releaseAfter(out, sh, bands)
   }
 
   /** d_simhash: 31-bit SimHash over token counts; candidates via 4
@@ -265,10 +267,11 @@ object Dedup {
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
           col("x.simhash").as("ha"), col("y.simhash").as("hb"))
         .distinct()
-      cand
+      val out = cand
         .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
         .filter(col("hamming") <= maxHamming)
         .select(col("doc_a"), col("doc_b"), col("hamming"))
+      graft.Caching.releaseAfter(out, sim)
   }
 
   /** d_embed_dup: embedding-cosine near-dup pairs, exact (every pair
@@ -367,12 +370,18 @@ object Dedup {
     * graph data.
     */
   def connectedComponents(edges: DataFrame, maxIters: Int = 20): DataFrame = {
+    // Iterative algorithm ⇒ lineage truncation every round
+    // (localCheckpoint: materialize + leaf plan). Without it the plan
+    // tree nests one level per round and plan-string generation alone
+    // goes super-linear; with it each round's plan is O(1) and no
+    // DataFrame cache outlives the call (superseded generations'
+    // blocks are reclaimed by the ContextCleaner once unreferenced).
     val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = true) // read every round
     var labels = sym.select(col("src").as("doc_id")).distinct()
       .withColumn("component", col("doc_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = true)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -380,14 +389,12 @@ object Dedup {
         .select(col("dst").as("doc_id"), col("component"))
       val next = labels.select("doc_id", "component").unionByName(msgs)
         .groupBy("doc_id").agg(min("component").as("component"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager = true)
       converged = next.join(labels.withColumnRenamed("component", "old"), "doc_id")
         .filter(col("component") =!= col("old")).isEmpty
-      labels.unpersist() // superseded generation — don't leak cache
       labels = next
       i += 1
     }
-    sym.unpersist()
     labels
   }
 

@@ -50,9 +50,20 @@ package object gfunctions {
       Shim.expression(a.cast("array<double>")), Shim.expression(b.cast("array<double>"))))
   }
 
-  /** Cosine similarity of two equal-length double array columns. */
+  /** Null-safe division: NULL when the divisor is 0, matching DuckDB
+    * (and pre-ANSI Spark). Spark 4 runs ANSI mode by default, where a
+    * plain `/` THROWS on a zero divisor — any division by a
+    * data-derived quantity (time delta, deviation, vector norm, token
+    * count) must go through this or it is a runtime crash waiting for
+    * the first degenerate series/document at scale.
+    */
+  def safeDiv(num: Column, den: Column): Column = num / nullif(den, lit(0))
+
+  /** Cosine similarity of two equal-length double array columns.
+    * NULL for a zero vector (zero norm), never a divide-by-zero error.
+    */
   def cosine(a: Column, b: Column): Column =
-    dotProduct(a, b) / (sqrt(dotProduct(a, a)) * sqrt(dotProduct(b, b)))
+    safeDiv(dotProduct(a, b), sqrt(dotProduct(a, a)) * sqrt(dotProduct(b, b)))
 
   /** L2 norm of an array column. */
   def l2norm(a: Column): Column =

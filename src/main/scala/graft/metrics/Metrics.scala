@@ -83,8 +83,10 @@ object Metrics {
       val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
       Tables.events(s, d)
         .select(col("event_id"), col("user_id"), col("event_type"), col("ts"), col("value"),
-          ((col("value") - lag(col("value"), 1).over(w)) /
-            ((unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)) / lit(1000000.0)))
+          // safeDiv: duplicate ts in a series ⇒ NULL rate (DuckDB
+          // semantics), not an ANSI divide-by-zero crash.
+          safeDiv(col("value") - lag(col("value"), 1).over(w),
+            (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)) / lit(1000000.0))
             .as("rate"))
         .orderBy("user_id", "event_type", "ts", "event_id")
     },
@@ -122,8 +124,11 @@ object Metrics {
              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
       FROM (
         SELECT user_id, ts, value,
-               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+               -- CAST: DuckDB integer SUM yields HUGEINT (→ float64 in
+               -- the harness), Spark yields long — hash-exactness needs
+               -- the same integer type on both sides.
+               CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         FROM (
           SELECT user_id, ts, value, event_id,
                  CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
@@ -175,8 +180,11 @@ object Metrics {
         dsum(col("value")).as("s1"),
         sum(dec2(col("value")) * dec2(col("value"))).cast("double").as("s2"),
         count(lit(1)).as("n"))
-      val z = (col("value") - col("s1") / col("n")) /
-        sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+      // safeDiv ×2: a single-sample series (n=1) and a constant series
+      // (stddev 0) both yield NULL z (filtered), matching DuckDB —
+      // under ANSI either would otherwise be a divide-by-zero error.
+      val z = safeDiv(col("value") - col("s1") / col("n"),
+        sqrt(safeDiv(col("s2") - col("s1") * col("s1") / col("n"), col("n") - 1)))
       e.join(broadcast(stats), Seq("event_type"))
         .select(col("event_id"), col("event_type"), col("value"), z.as("z"))
         .filter(abs(col("z")) > 2.5)
@@ -442,7 +450,9 @@ object Metrics {
         .groupBy("event_type", "med")
         .agg(round(percentile(abs(col("value") - col("med")), lit(0.5)), 4).as("mad"))
         .select("event_type", "mad")
-      val score = round(abs(col("value") - col("med")) / col("mad"), 4)
+      // safeDiv: mad=0 (≥half the series identical) ⇒ NULL score
+      // (filtered), matching DuckDB — not an ANSI divide-by-zero.
+      val score = round(safeDiv(abs(col("value") - col("med")), col("mad")), 4)
       e.join(broadcast(med), Seq("event_type"))
         .join(broadcast(mad), Seq("event_type"))
         .select(col("event_id"), col("event_type"), col("value"), score.as("mad_score"))

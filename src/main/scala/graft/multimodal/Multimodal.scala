@@ -65,10 +65,32 @@ object Multimodal {
     StructField("features", ArrayType(DoubleType)),
   ))
 
-  /** mm_feature_extract: partition-batched decode/feature pipeline —
-    * mapPartitions with fixed-size batches (the shape a vectorized
-    * codec needs), no shuffle: features are computed where the bytes
-    * live. Rows-only in the harness; asserted in ScalaTest.
+  /** Partition-batched decode/feature pipeline over any
+    * (doc_id: long, payload: binary) frame — mapPartitions with
+    * fixed-size batches (the shape a vectorized codec needs), no
+    * shuffle: features are computed where the bytes live. Returns
+    * (doc_id, n_bytes, features: array<double>).
+    */
+  def extractFeatures(src: DataFrame, batchSize: Int = 32): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(featSchema)
+    src.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        val ids = batch.map(_.getLong(0))
+        val payloads = batch.map(_.getAs[Array[Byte]](1))
+        val feats = stubDecodeBatch(payloads)
+        ids.lazyZip(payloads).lazyZip(feats).map { (id, p, f) =>
+          Row(id, p.length, f)
+        }
+      }
+    }(enc)
+  }
+
+  /** mm_feature_extract: the canned harness entry over documents.
+    * Rows-only in the harness; asserted in ScalaTest. The harness
+    * row check sorts every output column, so the feature vector is
+    * surfaced as a fixed-format scalar string (array cells are not
+    * sortable driver-side); library users take extractFeatures'
+    * array column directly.
     */
   val featureExtract = GraftQuery(
     "mm_feature_extract",
@@ -76,17 +98,10 @@ object Multimodal {
     (s, d) => {
       val src = Tables.documents(s, d)
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-      val enc = org.apache.spark.sql.Encoders.row(featSchema)
-      src.mapPartitions { rows =>
-        rows.grouped(32).flatMap { batch =>
-          val ids = batch.map(_.getLong(0))
-          val payloads = batch.map(_.getAs[Array[Byte]](1))
-          val feats = stubDecodeBatch(payloads)
-          ids.lazyZip(payloads).lazyZip(feats).map { (id, p, f) =>
-            Row(id, p.length, f)
-          }
-        }
-      }(enc)
+      extractFeatures(src)
+        .select(col("doc_id"), col("n_bytes"),
+          concat_ws(",", transform(col("features"), x => format_string("%.6f", x)))
+            .as("features_csv"))
         .orderBy("doc_id")
     },
   )

@@ -166,13 +166,13 @@ object Olap2 {
     Some("""
       WITH a AS (
         SELECT COUNT(*) AS n_rows,
-               SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nn_custkey,
+               CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_custkey,
                COUNT(DISTINCT o_custkey) AS nd_custkey,
                CAST(MIN(o_custkey) AS VARCHAR) AS mn_custkey, CAST(MAX(o_custkey) AS VARCHAR) AS mx_custkey,
-               SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS nn_status,
+               CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_status,
                COUNT(DISTINCT o_orderstatus) AS nd_status,
                MIN(o_orderstatus) AS mn_status, MAX(o_orderstatus) AS mx_status,
-               SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS nn_price,
+               CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_price,
                COUNT(DISTINCT o_totalprice) AS nd_price,
                CAST(MIN(o_totalprice) AS VARCHAR) AS mn_price, CAST(MAX(o_totalprice) AS VARCHAR) AS mx_price
         FROM orders)

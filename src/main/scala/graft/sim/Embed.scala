@@ -68,6 +68,6 @@ object Embed {
       }
       out
     }
-    pairs.toDF("id_a", "id_b", "cos_sim")
+    graft.Caching.releaseAfter(pairs.toDF("id_a", "id_b", "cos_sim"), blocks)
   }
 }

@@ -111,7 +111,7 @@ object Sim {
       val probes = sig.filter(col("vec_id") < 10)
         .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("bucket"))
       val w = Window.partitionBy("probe_id").orderBy(col("cs").desc, col("neighbor_id"))
-      broadcast(probes)
+      val out = broadcast(probes)
         .join(sig.select(col("vec_id").as("neighbor_id"), col("v"), col("bucket")),
           Seq("bucket"))
         .filter(col("neighbor_id") =!= col("probe_id"))
@@ -119,7 +119,7 @@ object Sim {
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
         .select(col("probe_id"), col("neighbor_id"), col("rank"), round(col("cs"), 4).as("cos_sim"))
-        .orderBy("probe_id", "rank")
+      graft.Caching.releaseAfter(out, sig).orderBy("probe_id", "rank")
     },
   )
 
@@ -187,7 +187,10 @@ object Sim {
           .agg(transform(array_sort(collect_list(struct(col("dim"), col("mx")))),
             p => p.getField("mx")).as("cv"))
       }
-      assign(centroids)
+      // the returned assignment IS the index artifact: materialize it
+      // once and release the corpus cache (a cluster deploy writes it
+      // to storage at this point — same lifecycle).
+      graft.Caching.releaseAfter(assign(centroids), e)
   }
 
   /** s_centroid_ivf: cell population stats of the built index.
@@ -214,9 +217,10 @@ object Sim {
     "s_ivf_search",
     None,
     (s, d) => {
+      // buildIvf output is already materialized (localCheckpoint) —
+      // both branches below re-read blocks, no extra persist needed.
       val assigned = buildIvf(vecs(s, d), k = 8, iters = 3)
         .select(col("vec_id"), col("v"), col("cid"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val probes = assigned.filter(col("vec_id") < 10)
         .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("cid"))
       val w = Window.partitionBy("probe_id").orderBy(col("cs").desc, col("neighbor_id"))

@@ -5,8 +5,13 @@ import org.apache.spark.sql.functions._
 
 /** File-backed sinks mirroring the reference's two appenders
   * (ElasticSearchAppender.py, KafkaAppender.py). Zero-egress container,
-  * so the wire protocol is materialized to files: the bytes written are
-  * exactly what would be POSTed/produced.
+  * so the wire protocol is materialized to files as a semantically
+  * equivalent request body. One deliberate shape difference: the
+  * reference's bulk action line is `{"index":{"_type":"doc"}}` with the
+  * daily index passed as a parameter of the bulk call
+  * (ElasticSearchAppender.internal_write_data_to_file); we embed
+  * `_index` in each action line instead — same routing, standard
+  * self-describing NDJSON.
   */
 object Sinks {
 

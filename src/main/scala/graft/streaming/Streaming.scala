@@ -106,9 +106,15 @@ object Streaming {
     } else {
       var prev = state.getOption
       val out = batch.flatMap { e =>
-        val r = prev.map(p =>
-          RateOut(e.user_id, e.event_type, e.event_id,
-            (e.value - p.lastValue) / ((e.ts_us - p.lastTsUs) / 1e6)))
+        // dt == 0 (duplicate timestamp in a series): batch m3 divides
+        // by zero → Spark NULL, filtered by `rate IS NOT NULL` — emit
+        // nothing here so stream and batch agree (raw Scala division
+        // would emit ±Infinity/NaN instead).
+        val r = prev.collect {
+          case p if e.ts_us != p.lastTsUs =>
+            RateOut(e.user_id, e.event_type, e.event_id,
+              (e.value - p.lastValue) / ((e.ts_us - p.lastTsUs) / 1e6))
+        }
         prev = Some(SeriesState(e.ts_us, e.value))
         r
       }

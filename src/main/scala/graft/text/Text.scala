@@ -64,8 +64,10 @@ object Text {
           size(col("t")).as("n_tokens"),
           length(col("text")).as("text_len"),
           size(array_distinct(col("t"))).as("n_distinct"),
-          (aggregate(transform(col("t"), x => length(x)), lit(0), (a, b) => a + b)
-            .cast("double") / size(col("t"))).as("mean_token_len"))
+          // safeDiv: empty document ⇒ NULL mean (DuckDB len(t)=0 →
+          // NULL), not an ANSI divide-by-zero.
+          safeDiv(aggregate(transform(col("t"), x => length(x)), lit(0), (a, b) => a + b)
+            .cast("double"), size(col("t"))).as("mean_token_len"))
         .orderBy("doc_id"),
   )
 
@@ -89,8 +91,8 @@ object Text {
       val stopArr = array(stopwords.map(lit): _*)
       val t = col("t")
       val nStop = size(filter(t, x => array_contains(stopArr, x)))
-      val stopRatio = nStop.cast("double") / size(t)
-      val diversity = size(array_distinct(t)).cast("double") / size(t)
+      val stopRatio = safeDiv(nStop.cast("double"), size(t))
+      val diversity = safeDiv(size(array_distinct(t)).cast("double"), size(t))
       Tables.documents(s, d)
         .withColumn("t", toks(col("text")))
         .select(

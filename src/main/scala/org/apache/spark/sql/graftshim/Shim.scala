@@ -12,4 +12,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Shim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** True iff no DataFrame-level cache is registered — lets specs
+    * assert operators release their internal persist()s instead of
+    * leaking them for the session lifetime.
+    */
+  def noDataFrameCaches(spark: SparkSession): Boolean =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sharedState.cacheManager.isEmpty
 }

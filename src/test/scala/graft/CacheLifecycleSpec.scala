@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.graftshim.Shim
+
+/** Operators that persist internal index frames (shingle index, LSH
+  * bands, SimHash signatures, cosine tiles, IVF corpus) must release
+  * them before returning: Verify/Bench run every query in one session
+  * (Bench twice), so a leaked cache per invocation accumulates for the
+  * session lifetime.
+  */
+class CacheLifecycleSpec extends SparkSpec {
+
+  private def assertNoLeak(name: String)(run: => org.apache.spark.sql.DataFrame): Unit = {
+    val out = run
+    out.collect() // the harness's consuming action
+    assert(Shim.noDataFrameCaches(spark), s"$name left DataFrame caches registered")
+  }
+
+  test("dedup pairs operators release their index caches") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    assertNoLeak("ngramJaccardPairs")(graft.dedup.Dedup.ngramJaccardPairs(docs))
+    assertNoLeak("minhashLshPairs")(graft.dedup.Dedup.minhashLshPairs(docs))
+    assertNoLeak("simhashPairs")(graft.dedup.Dedup.simhashPairs(docs))
+  }
+
+  test("components / embed / IVF / LSH-ANN release their caches") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val edges = graft.dedup.Dedup.ngramJaccardPairs(docs).select("doc_a", "doc_b")
+    assertNoLeak("connectedComponents")(graft.dedup.Dedup.connectedComponents(edges))
+    assertNoLeak("cosinePairs")(
+      graft.sim.Embed.cosinePairs(
+        graft.sources.Tables.embeddings(spark, sfDir), "vec_id", "embedding", 0.45))
+    assertNoLeak("s_centroid_ivf")(graft.sim.Sim.centroidIvf.run(spark, sfDir))
+    assertNoLeak("s_ivf_search")(graft.sim.Sim.ivfSearch.run(spark, sfDir))
+    assertNoLeak("s_lsh_ann")(graft.sim.Sim.lshAnn.run(spark, sfDir))
+  }
+
+  test("released results stay correct and composable") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val pairs = graft.dedup.Dedup.ngramJaccardPairs(docs)
+    // composable after release: filter + join on the checkpointed frame
+    val n = pairs.filter(org.apache.spark.sql.functions.col("jaccard") >= 0.5).count()
+    assert(n === pairs.count())
+  }
+}

@@ -47,6 +47,13 @@ class EdgeCaseSpec extends SparkSpec {
     assert(graft.dedup.Dedup.connectedComponents(edges).count() === 0)
   }
 
+  test("safeDiv / cosine: zero divisor and zero-norm vector yield NULL, not ANSI errors") {
+    val r = Seq((Array(0.0, 0.0), Array(1.0, 2.0))).toDF("z", "v")
+      .select(cosine($"z", $"v"), safeDiv(lit(1.0), lit(0.0)), safeDiv(lit(5L), lit(0L)))
+      .head()
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+  }
+
   test("TopK.perKey with k larger than group size returns whole groups") {
     val df = Seq((1L, 10.0), (1L, 20.0), (2L, 5.0)).toDF("k", "v")
     val out = graft.olap.TopK.perKey(df, Seq("k"), Seq(col("v").desc), 100)

@@ -76,6 +76,14 @@ def main(sf_dir, out_dir):
             if bad:
                 break
         # exactness pass (hash-style)
+        # dtype mismatch (e.g. DuckDB HUGEINT -> float64 vs Spark
+        # int64) breaks the driver's value hash even when == passes.
+        # only kind-level mismatches (int vs float vs object) break the
+        # driver's value hash; int32 vs int64 both surface as Python int.
+        for c in exp.columns:
+            if exp[c].dtype.kind != got[c].dtype.kind:
+                exact = False
+                print(f"  dtype {name}.{c}: spark={got[c].dtype} oracle={exp[c].dtype}")
         for c in exp.columns:
             if exp[c].tolist() != got[c].tolist():
                 ev, gv = exp[c].tolist(), got[c].tolist()
