@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Dev-only micro-profiler for operator sub-stages (not part of the
+  * harness surface). Usage: runMain graft.Profile <sfDir>
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = GraftSession.local(32)
+    if (args.length > 1) spark.conf.set("spark.sql.optimizer.excludedRules", args(1))
+    def time(name: String)(body: => Any): Unit = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"[profile] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($r)")
+    }
+    val docs = graft.sources.Tables.documents(spark, dir)
+    time("scan+count")(docs.count())
+    time("toks")(docs.select(graft.text.Text.toks(col("text")).as("t"))
+      .agg(sum(size(col("t")))).head().getLong(0))
+    time("shingleSets")(graft.dedup.Dedup.shingleSets(docs)
+      .agg(sum(size(col("shs")))).head().getLong(0))
+    time("shingleSets2x")(graft.dedup.Dedup.shingleSets(docs)
+      .agg(sum(size(col("shs")))).head().getLong(0))
+    val entries = graft.dedup.Dedup.shingleSets(docs)
+      .select(col("doc_id"), size(col("shs")).as("n"), explode(col("shs")).as("shingle"))
+    time("entries")(entries.count())
+    time("explode only")(graft.dedup.Dedup.shingleSets(docs)
+      .select(col("doc_id"), explode(col("shs")).as("shingle")).count())
+    val ckpt = graft.dedup.Dedup.shingleSets(docs).localCheckpoint(true)
+    time("entries from ckpt")(ckpt
+      .select(col("doc_id"), size(col("shs")).as("n"), explode(col("shs")).as("shingle")).count())
+    time("entries via repartition")(graft.dedup.Dedup.shingleSets(docs)
+      .repartition(32)
+      .select(col("doc_id"), size(col("shs")).as("n"), explode(col("shs")).as("shingle")).count())
+    graft.dedup.Dedup.shingleSets(docs)
+      .repartition(32)
+      .select(col("doc_id"), size(col("shs")).as("n"), explode(col("shs")).as("shingle"))
+      .explain("formatted")
+    val buckets = entries.groupBy("shingle")
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("n")))).as("ids"))
+      .filter(size(col("ids")).between(2, 1000))
+    time("buckets")(buckets.count())
+    time("ngram full")(graft.dedup.Dedup.ngramJaccardPairs(docs).count())
+    time("minhash full")(graft.dedup.Dedup.minhashLshPairs(docs).count())
+
+    // minhash internals
+    import graft.gfunctions._
+    val P = 2147483647L
+    val hashA = Seq(1610612741L, 805306457L, 402653189L, 201326611L,
+      100663319L, 50331653L, 25165843L, 12582917L, 6291469L, 3145739L,
+      1572869L, 786433L, 393241L, 196613L, 98317L, 49157L)
+    val hashB = Seq(7L, 11L, 13L, 17L, 19L, 23L, 29L, 31L, 37L, 41L,
+      43L, 47L, 53L, 59L, 61L, 67L)
+    val ds2 = graft.dedup.Dedup.shingleSets(docs).filter(size(col("shs")) > 0)
+      .withColumn("hs", transform(col("shs"), s => polyHash(s)))
+    time("mh: ds build")(ds2.count())
+    val base = graft.dedup.Dedup.shingleSets(docs).localCheckpoint(true)
+    time("mh: hs from ckpt")(base.filter(size(col("shs")) > 0)
+      .withColumn("hs", transform(col("shs"), s => polyHash(s)))
+      .agg(sum(size(col("hs")))).head().getLong(0))
+    time("mh: hs no filter")(graft.dedup.Dedup.shingleSets(docs)
+      .withColumn("hs", transform(col("shs"), s => polyHash(s)))
+      .agg(sum(size(col("hs")))).head().getLong(0))
+    val dsC = ds2.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    time("mh: cache fill")(dsC.count())
+    val mhCols = hashA.zip(hashB).zipWithIndex.map { case ((a, b), i) =>
+      array_min(transform(col("hs"), h => (lit(a) * h + lit(b)) % P)).as(s"mh$i")
+    }
+    val sig = dsC.select(col("doc_id") +: mhCols: _*)
+    time("mh: sig")(sig.agg(sum(col("mh0"))).head().getLong(0))
+    val bands = sig.select(col("doc_id"),
+      posexplode(array((0 until 4).map(b => concat_ws(",",
+        (0 until 4).map(k => col(s"mh${b * 4 + k}").cast("string")): _*)): _*))
+        .as(Seq("band", "bsig")))
+    time("mh: bands")(bands.count())
+    val cand = bands.groupBy("band", "bsig")
+      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+    time("mh: cand buckets")(cand.count())
+    dsC.unpersist()
+    spark.stop()
+  }
+}

@@ -57,6 +57,16 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // InferFiltersFromGenerate pushes `size(g)>0 AND isnotnull(g)`
+      // below explode(g); predicate pushdown then substitutes g's
+      // whole defining expression into the filter — including INSIDE
+      // lambda bodies, where interpreted eval has no subexpression
+      // reuse. For explode(transform(...element_at(split(text),i)...))
+      // that re-runs the split per array ELEMENT: measured 23× slower
+      // on the shingle pipelines. The inference only ever saves work
+      // when generators are often empty; our generators never are.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()

@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -17,16 +17,39 @@ import graft.text.Text
   */
 object Dedup {
 
-  /** Word 3-gram shingle set per doc (distinct). */
-  def shingleTable(docs: DataFrame): DataFrame = {
+  /** Word 3-gram shingle SET per doc as one array row —
+    * `array_distinct` de-dups inside the row, so building the sets
+    * needs NO shuffle (the exploded-row variant pays a full DISTINCT
+    * exchange for the same information).
+    */
+  def shingleSets(docs: DataFrame): DataFrame = {
     val t = col("t")
     docs.withColumn("t", Text.toks(col("text")))
-      .select(col("doc_id"), explode(when(size(t) >= 3,
+      .select(col("doc_id"), array_distinct(when(size(t) >= 3,
         transform(sequence(lit(1), size(t) - 2),
           i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
-        .otherwise(array().cast("array<string>"))).as("shingle"))
-      .distinct()
+        .otherwise(array().cast("array<string>"))).as("shs"))
   }
+
+  /** Word 3-gram shingle set per doc (distinct), one row per shingle. */
+  def shingleTable(docs: DataFrame): DataFrame =
+    shingleSets(docs).select(col("doc_id"), explode(col("shs")).as("shingle"))
+
+  /** All ordered pairs (a < b) of an ascending-sorted id array,
+    * generated map-side — the pair fan-out of an inverted-index
+    * bucket without a self-join.
+    */
+  private def orderedPairs(ids: Column): Column =
+    flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + lit(2), greatest(size(ids) - i - 1, lit(0))),
+        y => struct(x.getField("doc_id").as("doc_a"), x.getField("n").as("na"),
+          y.getField("doc_id").as("doc_b"), y.getField("n").as("nb")))))
+
+  /** Same map-side pair fan-out for a plain sorted id array. */
+  private def orderedIdPairs(ids: Column): Column =
+    flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + lit(2), greatest(size(ids) - i - 1, lit(0))),
+        y => struct(x.as("doc_a"), y.as("doc_b")))))
 
   private val ShSql =
     s"""sh AS (SELECT DISTINCT doc_id,
@@ -90,34 +113,33 @@ object Dedup {
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b")),
   )
 
-  /** Near-dup pairs by n-gram Jaccard for any (doc_id, text) frame:
-    * shingle-inverted-index join with a document-frequency cap.
+  /** Near-dup pairs by n-gram Jaccard for any (doc_id, text) frame.
+    *
+    * Exactly TWO shuffles end to end: (1) groupBy(shingle) builds the
+    * inverted index — the document-frequency cap is a filter on bucket
+    * size (skew guard: a stopword trigram would otherwise fan out
+    * quadratically), (2) groupBy(pair) counts overlaps. Each doc's set
+    * size rides through the index next to its id, so the jaccard needs
+    * no size-lookup join; bucket pairs are generated map-side from the
+    * sorted id array instead of a self-join. No caches, nothing leaks.
     */
   def ngramJaccardPairs(docs: DataFrame, maxDf: Long = 1000,
                         threshold: Double = 0.5): DataFrame = {
-      // The shingle index feeds three branches (freq cap, join, sizes);
-      // per-branch column pruning defeats exchange reuse, so materialize
-      // it once — at cluster scale this persisted frame IS the inverted
-      // index artifact.
-      val sh = shingleTable(docs)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val freqOk = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= maxDf).select("shingle")
-      val shc = sh.join(freqOk, Seq("shingle"))
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val pairs = shc.as("a")
-        .join(shc.as("b"),
-          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      val entries = shingleSets(docs)
+        .select(col("doc_id"), size(col("shs")).as("n"), explode(col("shs")).as("shingle"))
+      val buckets = entries
+        .groupBy("shingle")
+        .agg(array_sort(collect_list(struct(col("doc_id"), col("n")))).as("ids"))
+        .filter(size(col("ids")).between(2, maxDf))
+      buckets
+        .select(explode(orderedPairs(col("ids"))).as("p"))
+        .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+          col("p.na").as("na"), col("p.nb").as("nb"))
         .agg(count(lit(1)).as("n_common"))
-      val jacc = round(col("n_common").cast("double") /
-        (col("sa.n") + col("sb.n") - col("n_common")), 4)
-      val out = pairs
-        .join(sizes.as("sa"), col("sa.doc_id") === col("doc_a"))
-        .join(sizes.as("sb"), col("sb.doc_id") === col("doc_b"))
-        .select(col("doc_a"), col("doc_b"), jacc.as("jaccard"))
+        .select(col("doc_a"), col("doc_b"),
+          round(col("n_common").cast("double") /
+            (col("na") + col("nb") - col("n_common")), 4).as("jaccard"))
         .filter(col("jaccard") >= threshold)
-      graft.Caching.releaseAfter(out, sh)
   }
 
   /** MinHash parameters: 16 permutations h_i(x) = (a_i·x + b_i) mod p,
@@ -170,44 +192,51 @@ object Dedup {
 
   /** Near-dup pairs via MinHash+LSH banding for any (doc_id, text)
     * frame; candidates verified with exact Jaccard.
+    *
+    * The 16-permutation signature is computed entirely MAP-SIDE from
+    * the per-doc shingle-set array (16 `array_min` folds over one
+    * hashed array — no row explode, no signature shuffle). The only
+    * index shuffle is the band-bucket groupBy; bucket pairs are
+    * generated map-side from the sorted id array (no self-join), and
+    * exact verification intersects the two set arrays directly
+    * (`array_intersect`) instead of re-joining exploded shingle rows.
     */
   def minhashLshPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-      val sh = shingleTable(docs)
+      // set arrays + hashed arrays feed the band path and both verify
+      // probes; hs is materialized INSIDE the cache — were it a lazy
+      // column, CollapseProject would inline its transform into all 16
+      // signature columns and hash every shingle 16 times. The
+      // no-shingle exclusion filters on token count BEFORE the arrays
+      // exist (equivalent: shingles exist ⟺ ≥3 tokens) — a filter on
+      // size(shs) would be pushed down with the whole array expression
+      // substituted into it, re-running the tokenizer per element.
+      val ds = shingleSets(docs.filter(size(Text.toks(col("text"))) >= 3))
+        .withColumn("hs", transform(col("shs"), s => polyHash(s)))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val fp = sh.select(col("doc_id"), polyHash(col("shingle")).as("f"))
-      // 16 min() columns in ONE groupBy (map-side partial per column)
-      // instead of a 16× row explode + shuffle — same signature, 1/16th
-      // the shuffle volume.
-      val minCols = HashA.zip(HashB).zipWithIndex.map { case ((a, b), i) =>
-        min((lit(a) * col("f") + lit(b)) % P).as(s"mh$i")
+      val mhCols = HashA.zip(HashB).zipWithIndex.map { case ((a, b), i) =>
+        array_min(transform(col("hs"), h => (lit(a) * h + lit(b)) % P)).as(s"mh$i")
       }
-      val sig = fp.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
-      // bands self-joins: persist so the signature pipeline runs once.
+      val sig = ds.select(col("doc_id") +: mhCols: _*)
       val bands = sig.select(col("doc_id"),
         posexplode(array((0 until 4).map(b => concat_ws(",",
           (0 until 4).map(k => col(s"mh${b * 4 + k}").cast("string")): _*)): _*))
           .as(Seq("band", "bsig")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cand = bands.as("x")
-        .join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      val cand = bands
+        .groupBy("band", "bsig")
+        .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) >= 2)
+        .select(explode(orderedIdPairs(col("ids"))).as("p"))
+        .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
         .distinct()
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val ic = cand
-        .join(sh.as("a"), col("a.doc_id") === col("doc_a"))
-        .join(sh.as("b"), col("b.doc_id") === col("doc_b") && col("b.shingle") === col("a.shingle"))
-        .groupBy("doc_a", "doc_b")
-        .agg(count(lit(1)).as("n_common"))
-      val jacc = round(col("n_common").cast("double") /
-        (col("sa.n") + col("sb.n") - col("n_common")), 4)
-      val out = ic
-        .join(sizes.as("sa"), col("sa.doc_id") === col("doc_a"))
-        .join(sizes.as("sb"), col("sb.doc_id") === col("doc_b"))
-        .select(col("doc_a"), col("doc_b"), jacc.as("jaccard"))
+      val out = cand
+        .join(ds.select(col("doc_id").as("doc_a"), col("shs").as("sa")), Seq("doc_a"))
+        .join(ds.select(col("doc_id").as("doc_b"), col("shs").as("sb")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          round(size(array_intersect(col("sa"), col("sb"))).cast("double") /
+            (size(col("sa")) + size(col("sb")) -
+              size(array_intersect(col("sa"), col("sb")))), 4).as("jaccard"))
         .filter(col("jaccard") >= threshold)
-      graft.Caching.releaseAfter(out, sh, bands)
+      graft.Caching.releaseAfter(out, ds)
   }
 
   /** d_simhash: 31-bit SimHash over token counts; candidates via 4
