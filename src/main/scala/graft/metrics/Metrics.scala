@@ -493,9 +493,39 @@ object Metrics {
     },
   )
 
+  /** m18: hopping-window rollup (1h windows every 15min) — the
+    * overlapping-window dashboard aggregate. Spark's `window(ts, size,
+    * slide)` replicates each event into size/slide windows map-side,
+    * then aggregates with one shuffle (map-side partials); the oracle
+    * replays the same 4-window fan-out with an explicit offset unnest.
+    * Both grids are epoch-aligned.
+    */
+  val hoppingRollup = GraftQuery(
+    "m18_hopping_rollup",
+    Some(s"""
+      $E, h AS (
+        SELECT time_bucket(INTERVAL '15 minutes', ts)
+                 - to_minutes(CAST(k * 15 AS BIGINT)) AS win_start,
+               event_type, value
+        FROM e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k))
+      SELECT win_start, event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM h
+      GROUP BY win_start, event_type
+      ORDER BY win_start, event_type"""),
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .select(col("window.start").as("win_start"), col("event_type"),
+          col("n"), col("total"))
+        .orderBy("win_start", "event_type"),
+  )
+
   def all: Seq[GraftQuery] = Seq(
     flattenProps, windowRollup, rate, latestPerSeries, sessionize,
     anomalyZscore, esBulkFormat, serverDedup, connectStatus, topSeries,
     pollGating, valueHistogram, ewma, alertTransitions, madOutliers, downtime,
+    hoppingRollup,
   )
 }

@@ -251,7 +251,39 @@ object Olap2 {
         .orderBy("c_mktsegment"),
   )
 
+  /** q_stratified_sample: deterministic hash-based stratified sampling
+    * — the reproducible train-subset selector: a row is in the sample
+    * iff polyhash(key) mod 100 < rate, so membership is a pure function
+    * of the key (stable across runs, engines, and cluster layouts; no
+    * RNG state, no shuffle beyond the stats aggregate). Per-stratum
+    * realized rates verify the hash spreads uniformly.
+    */
+  val stratifiedSample = GraftQuery(
+    "q_stratified_sample",
+    Some(s"""
+      WITH s AS (SELECT o_orderpriority,
+                   ${graft.text.Text.polySqlPublic("CAST(o_orderkey AS VARCHAR)")} % 100 AS bucket
+                 FROM orders)
+      SELECT o_orderpriority,
+             COUNT(*) AS n_total,
+             CAST(SUM(CASE WHEN bucket < 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+             ROUND(CAST(SUM(CASE WHEN bucket < 20 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS rate
+      FROM s
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""),
+    (s, d) => {
+      val bucket = pmod(polyHash(col("o_orderkey").cast("string")), lit(100))
+      Tables.orders(s, d)
+        .select(col("o_orderpriority"), when(bucket < 20, 1).otherwise(0).as("in_sample"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_total"),
+          sum(col("in_sample")).as("n_sampled"),
+          round(sum(col("in_sample")).cast("double") / count(lit(1)), 4).as("rate"))
+        .orderBy("o_orderpriority")
+    },
+  )
+
   def all: Seq[GraftQuery] =
     Seq(pivot, cube2, correlated, saltedJoinQ, ansiSql, approxDistinct, profile,
-      windowRange, approxPercentiles)
+      windowRange, approxPercentiles, stratifiedSample)
 }

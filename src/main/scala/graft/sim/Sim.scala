@@ -237,5 +237,60 @@ object Sim {
     },
   )
 
-  def all: Seq[GraftQuery] = Seq(bruteTopk, lshAnn, labelCohesion, centroidIvf, ivfSearch)
+  /** s_sq8_quantize: int8 scalar quantization of the embedding corpus —
+    * the memory-side of ANN at scale (64 bytes/vector instead of 512).
+    * Per-dimension min/max (exact, order-independent) broadcast as two
+    * arrays; codes and reconstruction error are pure map-side array
+    * math with the same left-fold float semantics as the oracle.
+    * Constant dimensions (mx = mn) quantize to code 0 on both sides.
+    */
+  val sq8Quantize = GraftQuery(
+    "s_sq8_quantize",
+    Some("""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      x AS (SELECT unnest(v) AS val, generate_subscripts(v, 1) AS dim FROM e),
+      st AS (SELECT dim, MIN(val) AS mn, MAX(val) AS mx FROM x GROUP BY dim),
+      arr AS (SELECT list(mn ORDER BY dim) AS mns, list(mx ORDER BY dim) AS mxs FROM st),
+      q AS (SELECT vec_id, v, mns, mxs,
+              list_transform(range(1, len(v) + 1), __qi ->
+                CAST(coalesce(round((v[__qi] - mns[__qi])
+                  / nullif(mxs[__qi] - mns[__qi], 0) * 255, 0), 0) AS BIGINT)) AS codes
+            FROM e CROSS JOIN arr)
+      SELECT vec_id,
+             array_to_string(codes, ',') AS codes_csv,
+             ROUND(list_reduce(list_prepend(0.0, list_transform(range(1, len(v) + 1), __ri ->
+                 abs(v[__ri] - (mns[__ri] + codes[__ri] / 255.0 * (mxs[__ri] - mns[__ri]))))),
+               (__ra, __rb) -> __ra + __rb) / len(v), 4) AS recon_mae
+      FROM q
+      ORDER BY vec_id"""),
+    (s, d) => {
+      val e = vecs(s, d).select(col("vec_id"), col("v"))
+      val stats = e.select(posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("dim").agg(min("x").as("mn"), max("x").as("mx"))
+      val arr = stats.agg(
+        transform(array_sort(collect_list(struct(col("dim"), col("mn")))),
+          p => p.getField("mn")).as("mns"),
+        transform(array_sort(collect_list(struct(col("dim"), col("mx")))),
+          p => p.getField("mx")).as("mxs"))
+      def codeAt(i: Column): Column =
+        coalesce(round(safeDiv(element_at(col("v"), i) - element_at(col("mns"), i),
+          element_at(col("mxs"), i) - element_at(col("mns"), i)) * 255, 0), lit(0.0))
+          .cast("long")
+      val withCodes = e.crossJoin(broadcast(arr))
+        .withColumn("codes", transform(sequence(lit(1), size(col("v"))), i => codeAt(i)))
+      withCodes
+        .select(col("vec_id"),
+          concat_ws(",", col("codes").cast("array<string>")).as("codes_csv"),
+          round(safeDiv(aggregate(
+            transform(sequence(lit(1), size(col("v"))), i =>
+              abs(element_at(col("v"), i) -
+                (element_at(col("mns"), i) + element_at(col("codes"), i) / lit(255.0) *
+                  (element_at(col("mxs"), i) - element_at(col("mns"), i))))),
+            lit(0.0), (a, x) => a + x), size(col("v"))), 4).as("recon_mae"))
+        .orderBy("vec_id")
+    },
+  )
+
+  def all: Seq[GraftQuery] =
+    Seq(bruteTopk, lshAnn, labelCohesion, centroidIvf, ivfSearch, sq8Quantize)
 }

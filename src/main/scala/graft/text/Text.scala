@@ -336,7 +336,49 @@ object Text {
     },
   )
 
+  /** PII scrub patterns — dialect-portable regex subset (no lookaround,
+    * no backrefs: Java regex AND RE2/DuckDB execute them identically).
+    */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** t_pii_scrub: PII detection + redaction over documents — the
+    * pre-training compliance pass: count and replace emails / IPv4s /
+    * phone numbers with typed placeholder tokens. Pure codegen'd regex
+    * projections, no shuffle; patterns are restricted to the
+    * Java∩RE2-portable subset so the oracle replays them byte-exactly.
+    */
+  val piiScrub = GraftQuery(
+    "t_pii_scrub",
+    Some(s"""
+      SELECT doc_id,
+             len(regexp_extract_all(text, '$EmailRe')) AS n_emails,
+             len(regexp_extract_all(text, '$Ipv4Re')) AS n_ips,
+             len(regexp_extract_all(text, '$PhoneRe')) AS n_phones,
+             length(regexp_replace(regexp_replace(regexp_replace(text,
+               '$EmailRe', '[EMAIL]', 'g'), '$Ipv4Re', '[IP]', 'g'),
+               '$PhoneRe', '[PHONE]', 'g')) AS scrubbed_len,
+             md5(regexp_replace(regexp_replace(regexp_replace(text,
+               '$EmailRe', '[EMAIL]', 'g'), '$Ipv4Re', '[IP]', 'g'),
+               '$PhoneRe', '[PHONE]', 'g')) AS scrubbed_md5
+      FROM documents
+      ORDER BY doc_id"""),
+    (s, d) => {
+      val scrubbed = regexp_replace(regexp_replace(regexp_replace(col("text"),
+        EmailRe, "[EMAIL]"), Ipv4Re, "[IP]"), PhoneRe, "[PHONE]")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).as("n_emails"),
+          size(regexp_extract_all(col("text"), lit(Ipv4Re), lit(0))).as("n_ips"),
+          size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))).as("n_phones"),
+          length(scrubbed).as("scrubbed_len"),
+          md5(scrubbed.cast("binary")).as("scrubbed_md5"))
+        .orderBy("doc_id")
+    },
+  )
+
   def all: Seq[GraftQuery] =
     Seq(tokenStats, qualityScore, langid, fingerprint, bigramFreq, tfidf, bpeTokens,
-      split80, vocab)
+      split80, vocab, piiScrub)
 }

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-2 operators: hopping windows, stratified sampling, PII scrub,
+  * scalar quantization.
+  */
+class NewOpsSpec extends SparkSpec {
+
+  test("m18_hopping_rollup: every event lands in exactly size/slide = 4 windows") {
+    val out = graft.metrics.Metrics.hoppingRollup.run(spark, sfDir)
+    val windowedRows = out.agg(sum("n")).head().getLong(0)
+    val events = graft.sources.Tables.events(spark, sfDir).count()
+    assert(windowedRows === 4 * events)
+    // window starts are on the 15-minute grid
+    val offGrid = out.filter(unix_micros(col("win_start")) % (15L * 60 * 1000000) =!= 0).count()
+    assert(offGrid === 0)
+  }
+
+  test("q_stratified_sample: deterministic, and realized rates near the 20% target") {
+    val a = graft.olap.Olap2.stratifiedSample.run(spark, sfDir).collect()
+    val b = graft.olap.Olap2.stratifiedSample.run(spark, sfDir).collect()
+    assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
+    a.foreach { r =>
+      val rate = r.getDouble(r.fieldIndex("rate"))
+      assert(rate > 0.10 && rate < 0.30, s"stratum ${r.get(0)} rate $rate")
+    }
+  }
+
+  test("t_pii_scrub: placeholders replace matches; scrub is idempotent on clean text") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "contact bob@example.com or 10.0.0.1 or 555-123-4567 now"),
+      (2L, "no pii here at all"),
+    ).toDF("doc_id", "text")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tmp = java.nio.file.Files.createTempDirectory("pii")
+    val stage = tmp.resolve("stage")
+    df.coalesce(1).write.parquet(stage.toString)
+    val part = java.nio.file.Files.list(stage)
+      .filter(_.toString.endsWith(".parquet")).findFirst().get()
+    java.nio.file.Files.copy(part, tmp.resolve("documents.parquet"))
+    val out = graft.text.Text.piiScrub.run(spark, tmp.toString).collect()
+    val r1 = out.find(_.getLong(0) == 1L).get
+    assert(r1.getInt(r1.fieldIndex("n_emails")) === 1)
+    assert(r1.getInt(r1.fieldIndex("n_ips")) === 1)
+    assert(r1.getInt(r1.fieldIndex("n_phones")) === 1)
+    val r2 = out.find(_.getLong(0) == 2L).get
+    assert(r2.getInt(r2.fieldIndex("n_emails")) === 0)
+    assert(r2.getInt(r2.fieldIndex("scrubbed_len")) === "no pii here at all".length)
+  }
+
+  test("s_sq8_quantize: codes in [0,255], 64 per vector, small reconstruction error") {
+    val out = graft.sim.Sim.sq8Quantize.run(spark, sfDir)
+    val n = graft.sources.Tables.embeddings(spark, sfDir).count()
+    assert(out.count() === n)
+    val bad = out.filter(exists(
+      transform(split(col("codes_csv"), ","), c => c.cast("long")),
+      c => c < 0 || c > 255)).count()
+    assert(bad === 0)
+    assert(out.filter(size(split(col("codes_csv"), ",")) =!= 64).count() === 0)
+    // int8 quantization of a [mn,mx] range: max abs error ≤ step/2 per
+    // dim; mean error must be well under one step
+    assert(out.agg(max("recon_mae")).head().getDouble(0) < 0.05)
+  }
+}
