@@ -151,11 +151,39 @@ object Sim {
     },
   )
 
-  /** s_centroid_ivf: IVF-style index — Lloyd's iterations build k
-    * centroids (broadcast), vectors partition by nearest centroid,
-    * probes search only their own cell. Driver check is rows-only
-    * (the k-means loop is not expressible as one SQL statement).
+  /** Oracle replay of buildIvf(k, iters): the Lloyd loop UNROLLED as
+    * generated CTEs (assignment a1..a{iters+1}, centroid update
+    * c1..c{iters}). Exact replay is possible because every step is
+    * deterministic and order-independent: the seed is the first k
+    * vectors, distances are left-fold dots (bit-identical doubles),
+    * ties break on cid, and centroid means are decimal-exact. Returns
+    * a WITH-clause ending at the final assignment `a{iters+1}`
+    * (vec_id, v, cid, d2).
     */
+  private def ivfSql(k: Int, iters: Int): String = {
+    def d2(v: String, cv: String) =
+      s"greatest(${dotSql(v, v)} + ${dotSql(cv, cv)} - 2 * ${dotSql(v, cv)}, 0.0)"
+    val sb = new StringBuilder
+    sb.append("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),\n")
+    sb.append(s"c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $k)")
+    for (i <- 1 to iters + 1) {
+      sb.append(s""",
+        a$i AS (SELECT vec_id, v, cid, d2 FROM (
+          SELECT e.vec_id, e.v, c.cid, ${d2("e.v", "c.cv")} AS d2,
+                 ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${d2("e.v", "c.cv")}, c.cid) AS rn
+          FROM e CROSS JOIN c${i - 1} c) WHERE rn = 1)""")
+      if (i <= iters)
+        sb.append(s""",
+        c$i AS (SELECT cid, list(mx ORDER BY dim) AS cv FROM (
+          SELECT cid, dim,
+                 CAST(SUM(CAST(val AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*) AS mx
+          FROM (SELECT cid, unnest(v) AS val, generate_subscripts(v, 1) AS dim FROM a$i)
+          GROUP BY cid, dim) GROUP BY cid)""")
+    }
+    sb.toString
+  }
+
   /** Build an IVF index over (vec_id, v): `iters` Lloyd iterations
     * from a deterministic seed (first k vectors). Returns vectors with
     * their assigned cell and the squared distance to its centroid.
@@ -182,7 +210,13 @@ object Sim {
         val assigned = assign(centroids)
         centroids = assigned
           .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
-          .groupBy("cid", "dim").agg(avg("x").as("mx"))
+          .groupBy("cid", "dim")
+          // decimal-exact mean: order-independent, so the centroid is
+          // a pure function of cell membership — replayable bit-exact
+          // by the oracle (a double sum would depend on partition
+          // arrival order).
+          .agg((sum(col("x").cast(org.apache.spark.sql.types.DecimalType(28, 14)))
+            .cast("double") / count(lit(1))).as("mx"))
           .groupBy("cid")
           .agg(transform(array_sort(collect_list(struct(col("dim"), col("mx")))),
             p => p.getField("mx")).as("cv"))
@@ -193,29 +227,47 @@ object Sim {
       graft.Caching.releaseAfter(assign(centroids), e)
   }
 
-  /** s_centroid_ivf: cell population stats of the built index.
-    * Rows-only in the harness (the k-means loop is not one SQL
-    * statement); ScalaTest covers the search path's recall.
+  /** s_centroid_ivf: cell population stats of the built index,
+    * oracle-checked against the unrolled-Lloyd SQL replay (mean
+    * distance via decimal-exact sum so summation order can't diverge).
     */
   val centroidIvf = GraftQuery(
     "s_centroid_ivf",
-    None,
+    Some(s"""
+      ${ivfSql(8, 3)}
+      SELECT cid, COUNT(*) AS n_vectors,
+             ROUND(CAST(SUM(CAST(sqrt(d2) AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 4)
+               AS mean_dist
+      FROM a4
+      GROUP BY cid
+      ORDER BY cid"""),
     (s, d) =>
       buildIvf(vecs(s, d), k = 8, iters = 3)
         .groupBy("cid").agg(count(lit(1)).as("n_vectors"),
-          round(avg(sqrt(col("d2"))), 4).as("mean_dist"))
+          round(sum(sqrt(col("d2")).cast(org.apache.spark.sql.types.DecimalType(28, 10)))
+            .cast("double") / count(lit(1)), 4).as("mean_dist"))
         .orderBy("cid"),
   )
 
   /** s_ivf_search: probe-limited ANN — each probe searches ONLY its
     * own IVF cell (1-probe), exact cosine top-3 inside the cell. The
     * per-probe candidate count is n/k: that ratio (and nprobe) is the
-    * recall/latency knob at scale. Rows-only; recall vs brute force
-    * asserted in ScalaTest.
+    * recall/latency knob at scale. Oracle-checked via the unrolled
+    * Lloyd replay; recall vs brute force asserted in ScalaTest.
     */
   val ivfSearch = GraftQuery(
     "s_ivf_search",
-    None,
+    Some(s"""
+      ${ivfSql(8, 3)},
+      p AS (SELECT vec_id AS probe_id, v AS pv, cid FROM a4 WHERE vec_id < 10),
+      cand AS (SELECT p.probe_id, a.vec_id AS neighbor_id, ${cosSql("p.pv", "a.v")} AS cs
+               FROM p JOIN a4 a ON a.cid = p.cid AND a.vec_id <> p.probe_id),
+      r AS (SELECT probe_id, neighbor_id, cs,
+              ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cs DESC, neighbor_id) AS rank
+            FROM cand)
+      SELECT probe_id, neighbor_id, rank, ROUND(cs, 4) AS cos_sim
+      FROM r WHERE rank <= 3
+      ORDER BY probe_id, rank"""),
     (s, d) => {
       // buildIvf output is already materialized (localCheckpoint) —
       // both branches below re-read blocks, no extra persist needed.
