@@ -522,10 +522,45 @@ object Metrics {
         .orderBy("win_start", "event_type"),
   )
 
+  /** m19: counter-reset-aware rate — the Prometheus `increase()`
+    * semantic: a counter dropping below its previous sample means the
+    * process restarted, so the increase is the new value itself, not a
+    * negative delta. Same one-shuffle lag shape as m3; duplicate
+    * timestamps yield NULL rate (safeDiv).
+    */
+  val counterResetRate = GraftQuery(
+    "m19_counter_reset_rate",
+    Some(s"""
+      $E, r AS (
+        SELECT event_id, user_id, event_type, value,
+               value - LAG(value) OVER w AS delta,
+               (epoch_us(ts) - LAG(epoch_us(ts)) OVER w) / 1000000.0 AS dt
+        FROM e
+        WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id))
+      SELECT event_id, user_id, event_type,
+             CASE WHEN delta < 0 THEN value ELSE delta END AS increase,
+             (CASE WHEN delta < 0 THEN value ELSE delta END) / nullif(dt, 0) AS reset_rate
+      FROM r
+      WHERE delta IS NOT NULL
+      ORDER BY event_id"""),
+    (s, d) => {
+      val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+      val delta = col("value") - lag(col("value"), 1).over(w)
+      val dt = (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)) / lit(1000000.0)
+      val increase = when(delta < 0, col("value")).otherwise(delta)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          delta.as("delta"), increase.as("increase"), safeDiv(increase, dt).as("reset_rate"))
+        .filter(col("delta").isNotNull)
+        .drop("delta")
+        .orderBy("event_id")
+    },
+  )
+
   def all: Seq[GraftQuery] = Seq(
     flattenProps, windowRollup, rate, latestPerSeries, sessionize,
     anomalyZscore, esBulkFormat, serverDedup, connectStatus, topSeries,
     pollGating, valueHistogram, ewma, alertTransitions, madOutliers, downtime,
-    hoppingRollup,
+    hoppingRollup, counterResetRate,
   )
 }

@@ -283,7 +283,54 @@ object Olap2 {
     },
   )
 
+  /** q_funnel: ordered-event conversion funnel — users who viewed,
+    * then clicked at-or-after their first view, then purchased
+    * at-or-after that first click. Three conditional-min aggregation
+    * passes chained by broadcast-friendly joins on the shrinking user
+    * set (each stage's input is a strict subset of the previous) —
+    * never a per-user subquery.
+    */
+  val funnel = GraftQuery(
+    "q_funnel",
+    Some("""
+      WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events),
+      v AS (SELECT user_id, MIN(ts) AS vt FROM e WHERE event_type = 'view' GROUP BY user_id),
+      c AS (SELECT e.user_id, MIN(ts) AS ct FROM e JOIN v USING (user_id)
+            WHERE event_type = 'click' AND ts >= vt GROUP BY e.user_id),
+      p AS (SELECT e.user_id, MIN(ts) AS pt FROM e JOIN c USING (user_id)
+            WHERE event_type = 'purchase' AND ts >= ct GROUP BY e.user_id)
+      SELECT (SELECT COUNT(*) FROM v) AS n_view,
+             (SELECT COUNT(*) FROM c) AS n_view_click,
+             (SELECT COUNT(*) FROM p) AS n_view_click_purchase,
+             ROUND(CAST((SELECT COUNT(*) FROM c) AS DOUBLE)
+               / nullif((SELECT COUNT(*) FROM v), 0), 4) AS click_conv,
+             ROUND(CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+               / nullif((SELECT COUNT(*) FROM c), 0), 4) AS purchase_conv"""),
+    (s, d) => {
+      val e = Tables.events(s, d).select(col("ts"), col("user_id"), col("event_type"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("vt"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, Seq("user_id")).filter(col("ts") >= col("vt"))
+        .groupBy("user_id").agg(min("ts").as("ct"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id")).filter(col("ts") >= col("ct"))
+        .groupBy("user_id").agg(min("ts").as("pt"))
+      // one declarative plan (three scalar aggregates cross-joined) —
+      // no driver-side counts; zero strata give NULL conversions like
+      // the oracle's nullif.
+      v.agg(count(lit(1)).as("n_view"))
+        .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
+        .crossJoin(p.agg(count(lit(1)).as("n_view_click_purchase")))
+        .select(col("n_view"), col("n_view_click"), col("n_view_click_purchase"),
+          round(safeDiv(col("n_view_click").cast("double"), col("n_view")), 4)
+            .as("click_conv"),
+          round(safeDiv(col("n_view_click_purchase").cast("double"), col("n_view_click")), 4)
+            .as("purchase_conv"))
+    },
+  )
+
   def all: Seq[GraftQuery] =
     Seq(pivot, cube2, correlated, saltedJoinQ, ansiSql, approxDistinct, profile,
-      windowRange, approxPercentiles, stratifiedSample)
+      windowRange, approxPercentiles, stratifiedSample, funnel)
 }

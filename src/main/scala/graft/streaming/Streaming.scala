@@ -273,8 +273,30 @@ object Streaming {
     },
   )
 
+  /** st_hopping: hopping-window rollup as a continuous query (1h
+    * window / 15min hop) — overlapping windows mean each event updates
+    * 4 window states; the watermark expires each window 2h after its
+    * end. Complete mode ⇒ the materialized table equals m18's batch
+    * rollup exactly, so the batch oracle applies verbatim.
+    */
+  val streamHopping = GraftQuery(
+    "st_hopping",
+    graft.metrics.Metrics.hoppingRollup.oracle,
+    (s, d) => {
+      val rolled = streamEvents(s, d)
+        .withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), graft.gfunctions.dsum(col("value")).as("total"))
+        .select(col("window.start").as("win_start"), col("event_type"),
+          col("n"), col("total"))
+      runToTable(s, rolled, OutputMode.Complete())
+        .orderBy("win_start", "event_type")
+    },
+  )
+
   def all: Seq[GraftQuery] =
-    Seq(pipeline, statefulRate, sinkFanout, streamDedup, streamJoin, streamEnrich)
+    Seq(pipeline, statefulRate, sinkFanout, streamDedup, streamJoin, streamEnrich,
+      streamHopping)
 }
 
 // Encoder-visible row types for the stateful stream (must not be

@@ -50,6 +50,30 @@ class NewOpsSpec extends SparkSpec {
     assert(r2.getInt(r2.fieldIndex("scrubbed_len")) === "no pii here at all".length)
   }
 
+  test("m19_counter_reset_rate: resets yield the new value as increase, never negative") {
+    val out = graft.metrics.Metrics.counterResetRate.run(spark, sfDir)
+    assert(out.filter(col("increase") < 0).count() === 0)
+    // where no reset happened, increase equals m3's raw delta numerator
+    val m3 = graft.metrics.Metrics.rate.run(spark, sfDir)
+      .filter(col("rate").isNotNull).count()
+    assert(out.count() >= m3) // m19 keeps dup-ts rows (null rate) too
+  }
+
+  test("st_hopping stream == m18 batch hopping rollup") {
+    val streamed = graft.streaming.Streaming.streamHopping.run(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    val batch = graft.metrics.Metrics.hoppingRollup.run(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    assert(streamed === batch)
+  }
+
+  test("q_funnel: stage counts are monotone non-increasing") {
+    val r = graft.olap.Olap2.funnel.run(spark, sfDir).head()
+    val (nv, nc, np) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nv >= nc && nc >= np && nv > 0)
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+  }
+
   test("s_sq8_quantize: codes in [0,255], 64 per vector, small reconstruction error") {
     val out = graft.sim.Sim.sq8Quantize.run(spark, sfDir)
     val n = graft.sources.Tables.embeddings(spark, sfDir).count()
