@@ -507,6 +507,66 @@ object Dedup {
     },
   )
 
+  /** d_prefix_containment: truncation duplicates — doc A is a
+    * prefix-containment dup of doc B when B's normalized text starts
+    * with A's (the common crawl/export failure mode: same page, one
+    * copy cut off). Blocking: every contained pair shares its first 50
+    * normalized chars, so bucket on that key (with a bucket-size cap
+    * as skew guard), generate candidate pairs map-side, and verify
+    * `starts_with` after joining the two texts back by id — the pair
+    * space is the bucket fan-out, never n².
+    */
+  val prefixContainment = GraftQuery(
+    "d_prefix_containment",
+    Some(s"""
+      WITH d AS (SELECT doc_id, ${Text.NormSql} AS s FROM documents),
+      k AS (SELECT doc_id, length(s) AS len, substr(s, 1, 50) AS p50 FROM d
+            WHERE length(s) >= 50),
+      b AS (SELECT p50, list(doc_id ORDER BY doc_id) AS ids FROM k
+            GROUP BY p50 HAVING COUNT(*) BETWEEN 2 AND 1000),
+      cand AS (SELECT x.ids[i] AS doc_a, x.ids[j] AS doc_b
+               FROM (SELECT ids, unnest(range(1, len(ids) + 1)) AS i FROM b) x
+               CROSS JOIN LATERAL (SELECT unnest(range(1, len(x.ids) + 1)) AS j)
+               WHERE i < j),
+      v AS (SELECT cand.doc_a, cand.doc_b, da.s AS sa, db.s AS sb
+            FROM cand JOIN d da ON da.doc_id = cand.doc_a
+                      JOIN d db ON db.doc_id = cand.doc_b)
+      SELECT CASE WHEN length(sa) <= length(sb) THEN doc_a ELSE doc_b END AS doc_short,
+             CASE WHEN length(sa) <= length(sb) THEN doc_b ELSE doc_a END AS doc_long,
+             least(length(sa), length(sb)) AS len_short,
+             greatest(length(sa), length(sb)) AS len_long
+      FROM v
+      WHERE starts_with(CASE WHEN length(sa) <= length(sb) THEN sb ELSE sa END,
+                        CASE WHEN length(sa) <= length(sb) THEN sa ELSE sb END)
+      ORDER BY doc_short, doc_long"""),
+    (s, d) => {
+      val norm = Tables.documents(s, d)
+        .select(col("doc_id"), Text.normText(col("text")).as("s"))
+      val keyed = norm
+        .filter(length(col("s")) >= 50)
+        .select(col("doc_id"), substring(col("s"), 1, 50).as("p50"))
+      val cand = keyed
+        .groupBy("p50").agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")).between(2, 1000))
+        .select(explode(orderedIdPairs(col("ids"))).as("p"))
+        .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      val shorter = when(length(col("sa")) <= length(col("sb")), col("sa")).otherwise(col("sb"))
+      val longer = when(length(col("sa")) <= length(col("sb")), col("sb")).otherwise(col("sa"))
+      cand
+        .join(norm.select(col("doc_id").as("doc_a"), col("s").as("sa")), Seq("doc_a"))
+        .join(norm.select(col("doc_id").as("doc_b"), col("s").as("sb")), Seq("doc_b"))
+        .filter(longer.startsWith(shorter))
+        .select(
+          when(length(col("sa")) <= length(col("sb")), col("doc_a")).otherwise(col("doc_b"))
+            .as("doc_short"),
+          when(length(col("sa")) <= length(col("sb")), col("doc_b")).otherwise(col("doc_a"))
+            .as("doc_long"),
+          least(length(col("sa")), length(col("sb"))).as("len_short"),
+          greatest(length(col("sa")), length(col("sb"))).as("len_long"))
+        .orderBy("doc_short", "doc_long")
+    },
+  )
+
   /** Adapt any frame to the canonical (doc_id, text) shape the
     * pipeline functions above consume.
     */
@@ -515,5 +575,5 @@ object Dedup {
 
   def all: Seq[GraftQuery] =
     Seq(exact, ngramJaccard, minhashLsh, simhash, embedDup, cdcChunks, components,
-      dupConsistency)
+      dupConsistency, prefixContainment)
 }

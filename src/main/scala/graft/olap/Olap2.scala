@@ -330,7 +330,39 @@ object Olap2 {
     },
   )
 
+  /** q_ntile_deciles: equal-frequency binning (NTILE) of order values —
+    * the distribution-profile pass. Deterministic because the total
+    * order includes the unique key as tie-break; one global sort (the
+    * one operation that genuinely needs a range exchange), then
+    * per-decile aggregates.
+    */
+  val ntileDeciles = GraftQuery(
+    "q_ntile_deciles",
+    Some("""
+      WITH r AS (SELECT o_totalprice,
+                   NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+                 FROM orders)
+      SELECT decile, COUNT(*) AS n,
+             CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+             CAST(MAX(o_totalprice) AS DOUBLE) AS hi,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM r
+      GROUP BY decile
+      ORDER BY decile"""),
+    (s, d) => {
+      val w = Window.orderBy("o_totalprice", "o_orderkey")
+      Tables.orders(s, d)
+        .select(col("o_totalprice"), ntile(10).over(w).as("decile"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).cast("double").as("lo"),
+          max(col("o_totalprice")).cast("double").as("hi"),
+          dsum(col("o_totalprice")).as("total"))
+        .orderBy("decile")
+    },
+  )
+
   def all: Seq[GraftQuery] =
     Seq(pivot, cube2, correlated, saltedJoinQ, ansiSql, approxDistinct, profile,
-      windowRange, approxPercentiles, stratifiedSample, funnel)
+      windowRange, approxPercentiles, stratifiedSample, funnel, ntileDeciles)
 }

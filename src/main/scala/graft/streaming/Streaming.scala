@@ -294,9 +294,61 @@ object Streaming {
     },
   )
 
+  /** Per-series alert-state machine: emit ENTER/CLEAR edges when the
+    * value crosses the threshold relative to the REMEMBERED state, not
+    * the previous row of a batch — the live twin of m15 (whose lag()
+    * needs the whole history). State = one boolean per series, expired
+    * one hour of event time after the last sample.
+    */
+  private def alertFn(key: (Long, String), rows: Iterator[AlertEv],
+                      state: GroupState[AlertState]): Iterator[AlertOut] = {
+    val batch = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
+    if (batch.isEmpty) {
+      if (state.hasTimedOut) state.remove()
+      Iterator.empty
+    } else {
+      var prev = state.getOption.map(_.alerting)
+      val out = batch.flatMap { e =>
+        val alerting = e.value > 250
+        val r = prev.collect {
+          case was if was != alerting =>
+            AlertOut(e.user_id, e.event_type, e.ts, e.value,
+              if (alerting) "ENTER" else "CLEAR")
+        }
+        prev = Some(alerting)
+        r
+      }
+      state.update(AlertState(prev.get))
+      state.setTimeoutTimestamp(batch.last.ts_us / 1000L + 3600L * 1000)
+      out.iterator
+    }
+  }
+
+  /** st_alerts: stateful threshold alerting — batch-parity with m15
+    * (the first sample of a series seeds state and emits nothing, like
+    * lag's initial NULL), so the batch oracle applies verbatim.
+    */
+  val streamAlerts = GraftQuery(
+    "st_alerts",
+    graft.metrics.Metrics.alertTransitions.oracle,
+    (s, d) => {
+      import s.implicits._
+      val evs: Dataset[AlertEv] = streamEvents(s, d)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("ts"), unix_micros(col("ts")).as("ts_us"), col("value"))
+        .withWatermark("ts", "2 hours")
+        .as[AlertEv]
+      val edges = evs
+        .groupByKey(e => (e.user_id, e.event_type))
+        .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(alertFn)
+      runToTable(s, edges.toDF(), OutputMode.Append())
+        .orderBy("user_id", "event_type", "ts")
+    },
+  )
+
   def all: Seq[GraftQuery] =
     Seq(pipeline, statefulRate, sinkFanout, streamDedup, streamJoin, streamEnrich,
-      streamHopping)
+      streamHopping, streamAlerts)
 }
 
 // Encoder-visible row types for the stateful stream (must not be
@@ -305,3 +357,8 @@ case class Ev(user_id: Long, event_type: String, event_id: Long,
               ts: java.sql.Timestamp, ts_us: Long, value: Double)
 case class SeriesState(lastTsUs: Long, lastValue: Double)
 case class RateOut(user_id: Long, event_type: String, event_id: Long, rate: Double)
+case class AlertEv(user_id: Long, event_type: String, event_id: Long,
+                   ts: java.sql.Timestamp, ts_us: Long, value: Double)
+case class AlertState(alerting: Boolean)
+case class AlertOut(user_id: Long, event_type: String, ts: java.sql.Timestamp,
+                    value: Double, transition: String)

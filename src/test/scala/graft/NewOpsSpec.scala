@@ -74,6 +74,44 @@ class NewOpsSpec extends SparkSpec {
     assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
   }
 
+  test("st_alerts stream == m15 batch alert transitions") {
+    val streamed = graft.streaming.Streaming.streamAlerts.run(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    val batch = graft.metrics.Metrics.alertTransitions.run(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    assert(streamed === batch)
+  }
+
+  test("q_ntile_deciles: ten near-equal bins covering all orders") {
+    val out = graft.olap.Olap2.ntileDeciles.run(spark, sfDir).collect()
+    assert(out.length === 10)
+    val ns = out.map(r => r.getLong(r.fieldIndex("n")))
+    assert(ns.max - ns.min <= 1)
+    // bins are ordered: each decile's hi ≤ next decile's lo is not
+    // guaranteed on ties, but lo ≤ hi within each bin always holds
+    out.foreach(r => assert(
+      r.getDouble(r.fieldIndex("lo")) <= r.getDouble(r.fieldIndex("hi"))))
+  }
+
+  test("d_prefix_containment: detects a truncated copy, orders short before long") {
+    import spark.implicits._
+    val base = ("x" * 30 + " y" * 40).trim
+    val df = Seq(
+      (1L, base),                 // full doc
+      (2L, base.substring(0, 60)), // truncated copy (shares 50-char prefix)
+      (3L, "completely different text " * 10),
+    ).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("prefix")
+    val stage = tmp.resolve("stage")
+    df.coalesce(1).write.parquet(stage.toString)
+    val part = java.nio.file.Files.list(stage)
+      .filter(_.toString.endsWith(".parquet")).findFirst().get()
+    java.nio.file.Files.copy(part, tmp.resolve("documents.parquet"))
+    val out = graft.dedup.Dedup.prefixContainment.run(spark, tmp.toString).collect()
+    assert(out.length === 1)
+    assert(out.head.getLong(0) === 2L && out.head.getLong(1) === 1L)
+  }
+
   test("s_sq8_quantize: codes in [0,255], 64 per vector, small reconstruction error") {
     val out = graft.sim.Sim.sq8Quantize.run(spark, sfDir)
     val n = graft.sources.Tables.embeddings(spark, sfDir).count()
