@@ -362,7 +362,40 @@ object Olap2 {
     },
   )
 
+  /** q_grouping_sets: explicit GROUPING SETS (neither rollup nor cube)
+    * with grouping_id disambiguating the aggregation level — one
+    * shuffle computes all three levels (Spark expands sets map-side).
+    */
+  val groupingSets = GraftQuery(
+    "q_grouping_sets",
+    Some("""
+      SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+             COALESCE(o_orderstatus, 'ALL') AS status,
+             GROUPING(o_orderpriority, o_orderstatus) AS gid,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderstatus), ())
+      ORDER BY gid, priority, status"""),
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupingSets(
+          Seq(Seq(col("o_orderpriority"), col("o_orderstatus")),
+            Seq(col("o_orderstatus")), Seq.empty[org.apache.spark.sql.Column]),
+          col("o_orderpriority"), col("o_orderstatus"))
+        .agg(
+          grouping_id().as("gid"),
+          count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("total"))
+        .select(
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          col("gid"), col("n"), col("total"))
+        .orderBy("gid", "priority", "status"),
+  )
+
   def all: Seq[GraftQuery] =
     Seq(pivot, cube2, correlated, saltedJoinQ, ansiSql, approxDistinct, profile,
-      windowRange, approxPercentiles, stratifiedSample, funnel, ntileDeciles)
+      windowRange, approxPercentiles, stratifiedSample, funnel, ntileDeciles,
+      groupingSets)
 }

@@ -46,6 +46,50 @@ object Temporal {
       .select(col("_l.*") +: rightCols.map(c => col(s"_asof.$c").as(c)): _*)
   }
 
+  /** Nearest as-of join: for every left row, the right row minimizing
+    * |rightTs − leftTs| within the same `keys`; an equidistant tie
+    * prefers the earlier (backward) right row. Same zero-join plan as
+    * asofJoin — union-tag + ONE sorted window pass computing both the
+    * backward candidate (`last ignoreNulls` over preceding) and the
+    * forward candidate (`first ignoreNulls` over following); both
+    * windows share the sort, so this is still a single shuffle.
+    */
+  def asofJoinNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      leftTs: String, rightTs: String,
+                      rightCols: Seq[String]): DataFrame = {
+    val lStruct = struct(left.columns.toIndexedSeq.map(col): _*)
+    val rStruct = struct(col(rightTs).as("_rts") +: rightCols.map(col): _*)
+    val lType = left.select(lStruct.as("s")).schema("s").dataType
+    val rType = right.select(rStruct.as("s")).schema("s").dataType
+
+    val l2 = left.select(
+      keys.map(col) ++ Seq(col(leftTs).as("_ts"), lit(1).as("_is_l"),
+        lStruct.as("_l"), lit(null).cast(rType).as("_r")): _*)
+    val r2 = right.select(
+      keys.map(col) ++ Seq(col(rightTs).as("_ts"), lit(0).as("_is_l"),
+        lit(null).cast(lType).as("_l"), rStruct.as("_r")): _*)
+
+    val ord = Seq(col("_ts"), col("_is_l"), col("_r"))
+    val wb = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    val db = abs(unix_micros(col("_back._rts")) - unix_micros(col("_ts")))
+    val df = abs(unix_micros(col("_fwd._rts")) - unix_micros(col("_ts")))
+    val chosen = when(col("_back").isNull, col("_fwd"))
+      .when(col("_fwd").isNull, col("_back"))
+      .when(db <= df, col("_back"))
+      .otherwise(col("_fwd"))
+
+    l2.unionByName(r2)
+      .withColumn("_back", last(col("_r"), ignoreNulls = true).over(wb))
+      .withColumn("_fwd", first(col("_r"), ignoreNulls = true).over(wf))
+      .filter(col("_is_l") === 1)
+      .withColumn("_nearest", chosen)
+      .select(col("_l.*") +: rightCols.map(c => col(s"_nearest.$c").as(c)): _*)
+  }
+
   /** Range join: pairs (probe, event) sharing `keys` with the event's
     * instant inside `(probeTs + lowerUs, probeTs + upperUs]`
     * (microsecond offsets). Bucketized: events bucket once by the

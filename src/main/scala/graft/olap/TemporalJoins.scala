@@ -115,5 +115,56 @@ object TemporalJoins {
     },
   )
 
-  def all: Seq[GraftQuery] = Seq(asofJoin, rangeJoin)
+  /** q_asof_nearest: for every purchase, the temporally CLOSEST view by
+    * the same user — before or after; equidistant ties prefer the
+    * earlier view. The time-series alignment mode backward-only as-of
+    * can't express (sensor fusion, price snapping). Same single-shuffle
+    * zero-join plan: both direction candidates come from one sorted
+    * window pass.
+    */
+  val asofNearest = GraftQuery(
+    "q_asof_nearest",
+    Some(s"""
+      $E,
+      u AS (
+        SELECT user_id, ts, event_id, 1 AS is_l FROM e WHERE event_type = 'purchase'
+        UNION ALL
+        SELECT user_id, ts, event_id, 0 AS is_l FROM e WHERE event_type = 'view'),
+      m AS (
+        SELECT user_id, ts, event_id, is_l,
+               LAST_VALUE(CASE WHEN is_l = 0 THEN event_id END IGNORE NULLS) OVER wb AS bid,
+               LAST_VALUE(CASE WHEN is_l = 0 THEN ts END IGNORE NULLS) OVER wb AS bts,
+               FIRST_VALUE(CASE WHEN is_l = 0 THEN event_id END IGNORE NULLS) OVER wf AS fid,
+               FIRST_VALUE(CASE WHEN is_l = 0 THEN ts END IGNORE NULLS) OVER wf AS fts
+        FROM u
+        WINDOW wb AS (PARTITION BY user_id ORDER BY ts, is_l, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wf AS (PARTITION BY user_id ORDER BY ts, is_l, event_id
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      SELECT user_id, event_id, ts,
+             COALESCE(CASE WHEN bts IS NULL THEN fid WHEN fts IS NULL THEN bid
+                 WHEN epoch_us(ts) - epoch_us(bts) <= epoch_us(fts) - epoch_us(ts)
+                 THEN bid ELSE fid END, -1) AS view_event_id,
+             COALESCE(CASE WHEN bts IS NULL THEN fts WHEN fts IS NULL THEN bts
+                 WHEN epoch_us(ts) - epoch_us(bts) <= epoch_us(fts) - epoch_us(ts)
+                 THEN bts ELSE fts END, TIMESTAMP '1970-01-01') AS view_ts
+      FROM m WHERE is_l = 1
+      ORDER BY user_id, event_id"""),
+    (s, d) => {
+      val e = Tables.events(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("user_id", "event_id", "ts")
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_event_id"),
+          col("ts").as("view_ts"))
+      Temporal.asofJoinNearest(purchases, views, Seq("user_id"), "ts", "view_ts",
+          Seq("view_event_id", "view_ts"))
+        .select(col("user_id"), col("event_id"), col("ts"),
+          coalesce(col("view_event_id"), lit(-1L)).as("view_event_id"),
+          coalesce(col("view_ts"), to_timestamp(lit("1970-01-01"))).as("view_ts"))
+        .orderBy("user_id", "event_id")
+    },
+  )
+
+  def all: Seq[GraftQuery] = Seq(asofJoin, rangeJoin, asofNearest)
 }

@@ -346,9 +346,55 @@ object Streaming {
     },
   )
 
+  /** st_sessions: native session-window sessionization as a continuous
+    * query — Spark merges per-key windows whose gaps are under 30min;
+    * the watermark closes sessions and bounds state. Gap-boundary
+    * semantics: a gap of EXACTLY 30min starts a new session
+    * (session_window's end is exclusive), which the oracle replays
+    * with `>=` — note m5's manual cumulative-sum uses `>` (both are
+    * valid sessionizations; the operator documents the difference).
+    * Complete mode re-emits the whole materialized session table each
+    * batch (session streaming supports complete/append, not update);
+    * the memory-sink table therefore equals the final sessionization.
+    */
+  val streamSessions = GraftQuery(
+    "st_sessions",
+    Some("""
+      WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value FROM events),
+      x AS (
+        SELECT user_id, ts, value, event_id,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                 OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 1800000000
+               THEN 1 ELSE 0 END AS is_new
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      y AS (
+        SELECT user_id, ts, value,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM x)
+      SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+      FROM y
+      GROUP BY user_id, sid
+      ORDER BY user_id, session_start"""),
+    (s, d) => {
+      val sessions = streamEvents(s, d)
+        .withWatermark("ts", "2 hours")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(max(col("ts")).as("session_end"), count(lit(1)).as("n_events"),
+          graft.gfunctions.dsum(col("value")).as("session_value"))
+        .select(col("user_id"), col("session_window.start").as("session_start"),
+          col("session_end"), col("n_events"), col("session_value"))
+      runToTable(s, sessions, OutputMode.Complete())
+        .orderBy("user_id", "session_start")
+    },
+  )
+
   def all: Seq[GraftQuery] =
     Seq(pipeline, statefulRate, sinkFanout, streamDedup, streamJoin, streamEnrich,
-      streamHopping, streamAlerts)
+      streamHopping, streamAlerts, streamSessions)
 }
 
 // Encoder-visible row types for the stateful stream (must not be

@@ -112,6 +112,41 @@ class NewOpsSpec extends SparkSpec {
     assert(out.head.getLong(0) === 2L && out.head.getLong(1) === 1L)
   }
 
+  test("q_asof_nearest: picks the closer side; falls back across directions") {
+    import spark.implicits._
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), 100L),
+      (1L, ts("2024-01-01 20:00:00"), 101L))
+      .toDF("user_id", "lts", "lid")
+    val right = Seq((1L, ts("2024-01-01 10:00:30"), 900L), // 30s after lid=100
+      (1L, ts("2024-01-01 09:58:00"), 901L))               // 2min before
+      .toDF("user_id", "rts", "rid")
+    val out = graft.olap.Temporal.asofJoinNearest(
+      left, right, Seq("user_id"), "lts", "rts", Seq("rid"))
+      .orderBy("lid").collect()
+    assert(out(0).getLong(out(0).fieldIndex("rid")) === 900L) // forward is closer
+    assert(out(1).getLong(out(1).fieldIndex("rid")) === 900L) // only backward exists
+  }
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("q_grouping_sets: three aggregation levels, grand total matches") {
+    val out = graft.olap.Olap2.groupingSets.run(spark, sfDir).collect()
+    val gids = out.map(r => r.getLong(r.fieldIndex("gid"))).distinct.sorted
+    assert(gids.length === 3)
+    val grand = out.filter(r => r.getString(0) == "ALL" && r.getString(1) == "ALL")
+    assert(grand.length === 1)
+    val total = graft.sources.Tables.orders(spark, sfDir).count()
+    assert(grand.head.getLong(grand.head.fieldIndex("n")) === total)
+  }
+
+  test("st_sessions: sessions partition the event stream per user") {
+    val out = graft.streaming.Streaming.streamSessions.run(spark, sfDir)
+    val sessioned = out.agg(sum("n_events")).head().getLong(0)
+    val events = graft.sources.Tables.events(spark, sfDir).count()
+    assert(sessioned === events)
+    assert(out.filter(col("session_end") < col("session_start")).count() === 0)
+  }
+
   test("s_sq8_quantize: codes in [0,255], 64 per vector, small reconstruction error") {
     val out = graft.sim.Sim.sq8Quantize.run(spark, sfDir)
     val n = graft.sources.Tables.embeddings(spark, sfDir).count()
