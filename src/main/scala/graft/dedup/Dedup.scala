@@ -411,6 +411,12 @@ object Dedup {
     var labels = sym.select(col("src").as("doc_id")).distinct()
       .withColumn("component", col("doc_id"))
       .localCheckpoint(eager = true)
+    // Convergence: a node's label only ever DECREASES (min-label), so
+    // the labeling is a fixpoint iff Σcomponent is unchanged — one
+    // scalar aggregate per round instead of a next⋈previous diff join.
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum("component"), lit(0L))).head().getLong(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -419,8 +425,9 @@ object Dedup {
       val next = labels.select("doc_id", "component").unionByName(msgs)
         .groupBy("doc_id").agg(min("component").as("component"))
         .localCheckpoint(eager = true)
-      converged = next.join(labels.withColumnRenamed("component", "old"), "doc_id")
-        .filter(col("component") =!= col("old")).isEmpty
+      val s = labelSum(next)
+      converged = s == prevSum
+      prevSum = s
       labels = next
       i += 1
     }
