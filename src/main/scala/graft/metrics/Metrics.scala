@@ -557,10 +557,41 @@ object Metrics {
     },
   )
 
+  /** m20: exported-metric catalog — the discovery surface: which
+    * (server type, metric key) series exist, their sample counts and
+    * observation range. The reference derives this implicitly from
+    * wildcard mbean scrapes (JMXScraper's multi-mbean normalization);
+    * here it is a first-class one-shuffle aggregate over the flattened
+    * stream.
+    */
+  val metricCatalog = GraftQuery(
+    "m20_metric_catalog",
+    Some(s"""
+      $E
+      SELECT event_type AS injected_server_type,
+             CAST(json_extract(props, '$$.k') AS BIGINT) AS prop_k,
+             COUNT(*) AS n_samples,
+             MIN(ts) AS first_seen, MAX(ts) AS last_seen,
+             COUNT(DISTINCT user_id) AS n_hosts
+      FROM e
+      GROUP BY 1, 2
+      ORDER BY injected_server_type, prop_k"""),
+    (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type").as("injected_server_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("prop_k"),
+          col("ts"), col("user_id"))
+        .groupBy("injected_server_type", "prop_k")
+        .agg(count(lit(1)).as("n_samples"),
+          min(col("ts")).as("first_seen"), max(col("ts")).as("last_seen"),
+          countDistinct(col("user_id")).as("n_hosts"))
+        .orderBy("injected_server_type", "prop_k"),
+  )
+
   def all: Seq[GraftQuery] = Seq(
     flattenProps, windowRollup, rate, latestPerSeries, sessionize,
     anomalyZscore, esBulkFormat, serverDedup, connectStatus, topSeries,
     pollGating, valueHistogram, ewma, alertTransitions, madOutliers, downtime,
-    hoppingRollup, counterResetRate,
+    hoppingRollup, counterResetRate, metricCatalog,
   )
 }

@@ -343,6 +343,72 @@ object Sim {
     },
   )
 
+  /** s_recall_eval: ANN quality as a first-class operator — per-probe
+    * recall@3 of the 1-probe IVF search against the exact brute-force
+    * top-3 (and the corpus-wide mean). The evaluation harness IS a
+    * data pipeline at scale: both sides are the existing operators'
+    * plans, joined on (probe, neighbor).
+    */
+  val recallEval = GraftQuery(
+    "s_recall_eval",
+    Some(s"""
+      ${ivfSql(8, 3)},
+      ip AS (SELECT vec_id AS probe_id, v AS pv, cid FROM a4 WHERE vec_id < 10),
+      ic AS (SELECT ip.probe_id, a.vec_id AS neighbor_id, ${cosSql("ip.pv", "a.v")} AS cs
+             FROM ip JOIN a4 a ON a.cid = ip.cid AND a.vec_id <> ip.probe_id),
+      ir AS (SELECT probe_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cs DESC, neighbor_id) AS rnk
+             FROM ic),
+      itop AS (SELECT probe_id, neighbor_id FROM ir WHERE rnk <= 3),
+      bc AS (SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id, ${cosSql("a.v", "b.v")} AS cs
+             FROM e a JOIN e b ON b.vec_id <> a.vec_id
+             WHERE a.vec_id < 10),
+      br AS (SELECT probe_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cs DESC, neighbor_id) AS rnk
+             FROM bc),
+      btop AS (SELECT probe_id, neighbor_id FROM br WHERE rnk <= 3)
+      SELECT btop.probe_id,
+             CAST(SUM(CASE WHEN itop.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_matched,
+             ROUND(CAST(SUM(CASE WHEN itop.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / 3, 4) AS recall_at_3
+      FROM btop LEFT JOIN itop USING (probe_id, neighbor_id)
+      GROUP BY btop.probe_id
+      ORDER BY probe_id"""),
+    (s, d) => {
+      val e = vecs(s, d).select(col("vec_id"), col("v"))
+      val w = Window.partitionBy("probe_id").orderBy(col("cs").desc, col("neighbor_id"))
+      // IVF side: probe only its own cell
+      val assigned = buildIvf(vecs(s, d), k = 8, iters = 3)
+        .select(col("vec_id"), col("v"), col("cid"))
+      val iprobes = assigned.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("cid"))
+      val itop = broadcast(iprobes)
+        .join(assigned.select(col("vec_id").as("neighbor_id"), col("v"), col("cid")), Seq("cid"))
+        .filter(col("neighbor_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("neighbor_id"), cosine(col("pv"), col("v")).as("cs"))
+        .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+        .select(col("probe_id"), col("neighbor_id"), lit(1).as("in_ivf"))
+      // exact side: brute-force
+      val bprobes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+      val btop = broadcast(bprobes)
+        .join(e.select(col("vec_id").as("neighbor_id"), col("v")),
+          col("neighbor_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("neighbor_id"), cosine(col("pv"), col("v")).as("cs"))
+        .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+        .select(col("probe_id"), col("neighbor_id"))
+      btop
+        .join(itop, Seq("probe_id", "neighbor_id"), "left")
+        .groupBy("probe_id")
+        .agg(sum(when(col("in_ivf").isNotNull, 1).otherwise(0)).as("n_matched"),
+          round(sum(when(col("in_ivf").isNotNull, 1).otherwise(0)).cast("double") / 3, 4)
+            .as("recall_at_3"))
+        .orderBy("probe_id")
+    },
+  )
+
   def all: Seq[GraftQuery] =
-    Seq(bruteTopk, lshAnn, labelCohesion, centroidIvf, ivfSearch, sq8Quantize)
+    Seq(bruteTopk, lshAnn, labelCohesion, centroidIvf, ivfSearch, sq8Quantize,
+      recallEval)
 }

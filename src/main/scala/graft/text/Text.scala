@@ -378,7 +378,58 @@ object Text {
     },
   )
 
+  /** t_contamination: train/eval decontamination check — for every
+    * val/test document (t_split's hash assignment), the fraction of
+    * its 3-gram shingles that also occur in ANY train document. The
+    * standard pre-eval hygiene pass: a high overlap means the eval doc
+    * leaks training content. Shape: distinct train-gram set (one
+    * aggregate) left-joined to the eval docs' gram rows — the join key
+    * is the gram, so work scales with gram postings, never docs².
+    */
+  val contamination = GraftQuery(
+    "t_contamination",
+    Some(s"""
+      WITH d AS (SELECT doc_id,
+                   CASE WHEN ${polySqlPublic("CAST(doc_id AS VARCHAR)")} % 100 < 80
+                     THEN 'train'
+                     WHEN ${polySqlPublic("CAST(doc_id AS VARCHAR)")} % 100 < 90
+                     THEN 'val' ELSE 'test' END AS split,
+                   $ToksSql AS t
+                 FROM documents),
+      sh AS (SELECT DISTINCT doc_id, split,
+               unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                 __ci -> t[__ci] || ' ' || t[__ci+1] || ' ' || t[__ci+2])) AS shingle
+             FROM d),
+      tg AS (SELECT DISTINCT shingle FROM sh WHERE split = 'train')
+      SELECT sh.doc_id, sh.split,
+             COUNT(*) AS n_grams,
+             CAST(SUM(CASE WHEN tg.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared,
+             ROUND(CAST(SUM(CASE WHEN tg.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*), 4) AS contamination
+      FROM sh LEFT JOIN tg USING (shingle)
+      WHERE sh.split <> 'train'
+      GROUP BY sh.doc_id, sh.split
+      ORDER BY sh.doc_id"""),
+    (s, d) => {
+      val bucket = polyHash(col("doc_id").cast("string")) % 100
+      val splitCol = when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+      val sh = graft.dedup.Dedup.shingleSets(Tables.documents(s, d))
+        .withColumn("split", splitCol)
+        .select(col("doc_id"), col("split"), explode(col("shs")).as("shingle"))
+      val trainGrams = sh.filter(col("split") === "train").select("shingle").distinct()
+      sh.filter(col("split") =!= "train")
+        .join(trainGrams.withColumn("in_train", lit(1)), Seq("shingle"), "left")
+        .groupBy("doc_id", "split")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("in_train").isNotNull, 1).otherwise(0)).as("n_shared"),
+          round(sum(when(col("in_train").isNotNull, 1).otherwise(0)).cast("double") /
+            count(lit(1)), 4).as("contamination"))
+        .orderBy("doc_id")
+    },
+  )
+
   def all: Seq[GraftQuery] =
     Seq(tokenStats, qualityScore, langid, fingerprint, bigramFreq, tfidf, bpeTokens,
-      split80, vocab, piiScrub)
+      split80, vocab, piiScrub, contamination)
 }

@@ -147,6 +147,29 @@ class NewOpsSpec extends SparkSpec {
     assert(out.filter(col("session_end") < col("session_start")).count() === 0)
   }
 
+  test("m20_metric_catalog: one row per (server_type, key), totals cover the stream") {
+    val out = graft.metrics.Metrics.metricCatalog.run(spark, sfDir)
+    assert(out.groupBy("injected_server_type", "prop_k").count()
+      .filter(col("count") > 1).count() === 0)
+    val total = out.agg(sum("n_samples")).head().getLong(0)
+    assert(total === graft.sources.Tables.events(spark, sfDir).count())
+  }
+
+  test("t_contamination: only eval docs, ratios in [0,1], identical copies contaminate") {
+    val out = graft.text.Text.contamination.run(spark, sfDir)
+    assert(out.filter(col("split") === "train").count() === 0)
+    assert(out.filter(col("contamination") < 0 || col("contamination") > 1).count() === 0)
+    assert(out.filter(col("n_shared") > col("n_grams")).count() === 0)
+  }
+
+  test("s_recall_eval: recall agrees with IvfRecallSpec's floor") {
+    val out = graft.sim.Sim.recallEval.run(spark, sfDir)
+    assert(out.count() === 10)
+    val mean = out.agg(avg("recall_at_3")).head().getDouble(0)
+    assert(mean >= 0.5, s"mean recall $mean")
+    assert(out.filter(col("n_matched") > 3).count() === 0)
+  }
+
   test("s_sq8_quantize: codes in [0,255], 64 per vector, small reconstruction error") {
     val out = graft.sim.Sim.sq8Quantize.run(spark, sfDir)
     val n = graft.sources.Tables.embeddings(spark, sfDir).count()
