@@ -45,8 +45,10 @@ object Dedup {
         y => struct(x.getField("doc_id").as("doc_a"), x.getField("n").as("na"),
           y.getField("doc_id").as("doc_b"), y.getField("n").as("nb")))))
 
-  /** Same map-side pair fan-out for a plain sorted id array. */
-  private def orderedIdPairs(ids: Column): Column =
+  /** Same map-side pair fan-out for a plain sorted id array (shared by
+    * the blocked near-dup operators across modules).
+    */
+  private[graft] def orderedIdPairs(ids: Column): Column =
     flatten(transform(ids, (x, i) =>
       transform(slice(ids, i + lit(2), greatest(size(ids) - i - 1, lit(0))),
         y => struct(x.as("doc_a"), y.as("doc_b")))))
@@ -344,9 +346,11 @@ object Dedup {
     * exactly replayable in the oracle; per-doc work is O(len), no
     * shuffle until the final explode.
     */
-  val cdcChunks = GraftQuery(
-    "d_cdc_chunks",
-    Some(s"""
+  /** Shared oracle CTE: the content-defined chunk table
+    * (doc_id, chunk_idx, chunk_len, chunk_fp) — used by d_cdc_chunks
+    * and the cross-document chunk dedup (mm_chunk_dedup).
+    */
+  private[graft] val CdcChunksCte: String = s"""
       WITH d AS (SELECT doc_id, ${Text.NormSql} AS s FROM documents WHERE doc_id < 100),
       b AS (SELECT doc_id, s,
               list_prepend(CAST(0 AS BIGINT),
@@ -358,11 +362,18 @@ object Dedup {
               unnest(list_transform(range(1, len(bounds)),
                 j -> {'idx': j, 'chunk': substr(s, CAST(bounds[CAST(j AS INT)] + 1 AS INT),
                                                 CAST(bounds[CAST(j + 1 AS INT)] - bounds[CAST(j AS INT)] AS INT))})) AS ch
-            FROM b)
-      SELECT doc_id, CAST(ch.idx AS INT) AS chunk_idx,
-             length(ch.chunk) AS chunk_len,
-             ${Text.polySqlPublic("ch.chunk")} AS chunk_fp
-      FROM c
+            FROM b),
+      chunks AS (SELECT doc_id, CAST(ch.idx AS INT) AS chunk_idx,
+                        length(ch.chunk) AS chunk_len,
+                        ${Text.polySqlPublic("ch.chunk")} AS chunk_fp
+                 FROM c)"""
+
+  val cdcChunks = GraftQuery(
+    "d_cdc_chunks",
+    Some(s"""
+      $CdcChunksCte
+      SELECT doc_id, chunk_idx, chunk_len, chunk_fp
+      FROM chunks
       ORDER BY doc_id, chunk_idx"""),
     (s, d) => {
       val str = col("s")

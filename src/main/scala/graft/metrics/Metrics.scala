@@ -588,10 +588,61 @@ object Metrics {
         .orderBy("injected_server_type", "prop_k"),
   )
 
+  /** m21: multi-window SLO burn rate — the SRE-workbook alert shape:
+    * error-budget consumption speed over a short (1h) and a long (6h)
+    * window, paging only when BOTH burn fast (fast-burn real incident,
+    * not a blip). Two rollups joined on the containing long window;
+    * ratios exact-decimal so the page edge is deterministic.
+    */
+  val burnRate = GraftQuery(
+    "m21_burn_rate",
+    Some(s"""
+      $E, h1 AS (
+        SELECT date_trunc('hour', ts) AS win1,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS err1,
+               COUNT(*) AS tot1
+        FROM e GROUP BY 1),
+      h6 AS (
+        -- CAST: epoch() is DOUBLE and // does not floor doubles
+        SELECT to_timestamp(CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 21600 * 21600) AS win6,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS err6,
+               COUNT(*) AS tot6
+        FROM e GROUP BY 1)
+      SELECT win1, err1, tot1,
+             ROUND(CAST(err1 AS DOUBLE) / tot1 / 0.01, 4) AS burn_1h,
+             ROUND(CAST(err6 AS DOUBLE) / tot6 / 0.01, 4) AS burn_6h,
+             (CAST(err1 AS DOUBLE) / tot1 / 0.01 > 14.4
+              AND CAST(err6 AS DOUBLE) / tot6 / 0.01 > 6.0) AS page
+      FROM h1 JOIN h6
+        ON to_timestamp(CAST(epoch(win1) AS BIGINT) // 21600 * 21600) = win6
+      ORDER BY win1"""),
+    (s, d) => {
+      val e = Tables.events(s, d)
+      val isErr = when(col("event_type") === "error", 1).otherwise(0)
+      val h1 = e.groupBy(date_trunc("hour", col("ts")).as("win1"))
+        .agg(sum(isErr).as("err1"), count(lit(1)).as("tot1"))
+      // floor-div, not `/` (Spark's / on longs yields double)
+      def floor6h(t: org.apache.spark.sql.Column) =
+        timestamp_seconds(floor(unix_seconds(t) / 21600).cast("long") * 21600)
+      val h6 = e.groupBy(floor6h(date_trunc("hour", col("ts"))).as("win6"))
+        .agg(sum(isErr).as("err6"), count(lit(1)).as("tot6"))
+      val b1 = col("err1").cast("double") / col("tot1") / 0.01
+      val b6 = col("err6").cast("double") / col("tot6") / 0.01
+      h1
+        .join(h6,
+          timestamp_seconds(floor(unix_seconds(col("win1")) / 21600).cast("long") * 21600)
+            === col("win6"))
+        .select(col("win1"), col("err1"), col("tot1"),
+          round(b1, 4).as("burn_1h"), round(b6, 4).as("burn_6h"),
+          (b1 > 14.4 && b6 > 6.0).as("page"))
+        .orderBy("win1")
+    },
+  )
+
   def all: Seq[GraftQuery] = Seq(
     flattenProps, windowRollup, rate, latestPerSeries, sessionize,
     anomalyZscore, esBulkFormat, serverDedup, connectStatus, topSeries,
     pollGating, valueHistogram, ewma, alertTransitions, madOutliers, downtime,
-    hoppingRollup, counterResetRate, metricCatalog,
+    hoppingRollup, counterResetRate, metricCatalog, burnRate,
   )
 }

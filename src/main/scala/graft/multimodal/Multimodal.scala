@@ -164,5 +164,37 @@ object Multimodal {
     },
   )
 
-  def all: Seq[GraftQuery] = Seq(binaryMeta, featureExtract, frameSample, resize)
+  /** mm_chunk_dedup: cross-document sub-payload dedup — the storage
+    * dedup application of content-defined chunking: a chunk fingerprint
+    * occurring in two different payloads is a byte range the chunk
+    * store keeps ONCE. Surfaces every fingerprint shared by ≥2 docs
+    * with its document spread, occurrence count, and the bytes saved by
+    * single-instancing it (one groupBy over the chunk table).
+    */
+  val chunkDedup = GraftQuery(
+    "mm_chunk_dedup",
+    Some(s"""
+      ${graft.dedup.Dedup.CdcChunksCte}
+      SELECT chunk_fp,
+             COUNT(DISTINCT doc_id) AS n_docs,
+             COUNT(*) AS n_occurrences,
+             MIN(chunk_len) AS chunk_len,
+             CAST((COUNT(*) - 1) * MIN(chunk_len) AS BIGINT) AS bytes_saved
+      FROM chunks
+      GROUP BY chunk_fp
+      HAVING COUNT(DISTINCT doc_id) >= 2
+      ORDER BY bytes_saved DESC, chunk_fp"""),
+    (s, d) =>
+      graft.dedup.Dedup.cdcChunks.run(s, d)
+        .groupBy("chunk_fp")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occurrences"),
+          min(col("chunk_len")).as("chunk_len"),
+          ((count(lit(1)) - 1) * min(col("chunk_len"))).cast("long").as("bytes_saved"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("bytes_saved").desc, col("chunk_fp")),
+  )
+
+  def all: Seq[GraftQuery] =
+    Seq(binaryMeta, featureExtract, frameSample, resize, chunkDedup)
 }

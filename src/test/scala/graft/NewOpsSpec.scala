@@ -170,6 +170,35 @@ class NewOpsSpec extends SparkSpec {
     assert(out.filter(col("n_matched") > 3).count() === 0)
   }
 
+  test("m21_burn_rate: every 1h window appears once, burn ratios non-negative") {
+    val out = graft.metrics.Metrics.burnRate.run(spark, sfDir)
+    assert(out.groupBy("win1").count().filter(col("count") > 1).count() === 0)
+    assert(out.filter(col("burn_1h") < 0 || col("burn_6h") < 0).count() === 0)
+    // page implies both thresholds
+    assert(out.filter(col("page") &&
+      (col("burn_1h") <= 14.4 || col("burn_6h") <= 6.0)).count() === 0)
+  }
+
+  test("mm_chunk_dedup: identical payloads share every chunk; savings = (n-1)*len") {
+    import spark.implicits._
+    val payload = ("lorem ipsum dolor sit amet " * 40).trim
+    val df = Seq((1L, payload), (2L, payload), (3L, "entirely different body"))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("cd")
+    val stage = tmp.resolve("stage")
+    df.coalesce(1).write.parquet(stage.toString)
+    val part = java.nio.file.Files.list(stage)
+      .filter(_.toString.endsWith(".parquet")).findFirst().get()
+    java.nio.file.Files.copy(part, tmp.resolve("documents.parquet"))
+    val out = graft.multimodal.Multimodal.chunkDedup.run(spark, tmp.toString).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_docs")) === 2)
+      assert(r.getLong(r.fieldIndex("bytes_saved")) ===
+        (r.getLong(r.fieldIndex("n_occurrences")) - 1) * r.getInt(r.fieldIndex("chunk_len")))
+    }
+  }
+
   test("s_sq8_quantize: codes in [0,255], 64 per vector, small reconstruction error") {
     val out = graft.sim.Sim.sq8Quantize.run(spark, sfDir)
     val n = graft.sources.Tables.embeddings(spark, sfDir).count()
