@@ -394,8 +394,69 @@ object Olap2 {
         .orderBy("gid", "priority", "status"),
   )
 
+  /** q_incremental_rollup: the incremental-ETL contract — per-day
+    * PARTIAL aggregates (count + decimal sum, both mergeable) unioned
+    * across days and re-aggregated must equal the direct rollup over
+    * all data. This is how a 100 TB daily pipeline avoids full
+    * recomputes: the oracle computes the direct rollup; the engine
+    * computes partials per day and merges them.
+    */
+  val incrementalRollup = GraftQuery(
+    "q_incremental_rollup",
+    Some("""
+      SELECT o_orderpriority,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""),
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      // two disjoint "arrival days" (stand-ins for date partitions)
+      val day1 = o.filter(col("o_orderkey") % 2 === 0)
+      val day2 = o.filter(col("o_orderkey") % 2 =!= 0)
+      def partial(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("pn"), sum(dec2(col("o_totalprice"))).as("psum"))
+      partial(day1).unionByName(partial(day2))
+        .groupBy("o_orderpriority")
+        .agg(sum(col("pn")).as("n"), sum(col("psum")).cast("double").as("total"))
+        .orderBy("o_orderpriority")
+    },
+  )
+
+  /** q_skew_diagnose: heavy-hitter key report — the check you run
+    * BEFORE deciding to salt a join: per-key share of the fact table
+    * and a flag for keys above a uniform-share multiple. One aggregate
+    * + a broadcast scalar join.
+    */
+  val skewDiagnose = GraftQuery(
+    "q_skew_diagnose",
+    Some("""
+      WITH k AS (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey),
+      t AS (SELECT COUNT(*) AS total, COUNT(DISTINCT o_custkey) AS nkeys FROM orders)
+      SELECT o_custkey, n,
+             ROUND(CAST(n AS DOUBLE) / total, 6) AS share,
+             n > 5.0 * total / nkeys AS is_heavy
+      FROM k CROSS JOIN t
+      ORDER BY n DESC, o_custkey
+      LIMIT 20"""),
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val k = o.groupBy("o_custkey").agg(count(lit(1)).as("n"))
+      val t = o.agg(count(lit(1)).as("total"),
+        countDistinct(col("o_custkey")).as("nkeys"))
+      k.crossJoin(broadcast(t))
+        .select(col("o_custkey"), col("n"),
+          round(col("n").cast("double") / col("total"), 6).as("share"),
+          (col("n") > lit(5.0) * col("total") / col("nkeys")).as("is_heavy"))
+        .orderBy(col("n").desc, col("o_custkey"))
+        .limit(20)
+    },
+  )
+
   def all: Seq[GraftQuery] =
     Seq(pivot, cube2, correlated, saltedJoinQ, ansiSql, approxDistinct, profile,
       windowRange, approxPercentiles, stratifiedSample, funnel, ntileDeciles,
-      groupingSets)
+      groupingSets, incrementalRollup, skewDiagnose)
 }

@@ -429,7 +429,43 @@ object Text {
     },
   )
 
+  /** t_sentences: sentence segmentation stats — split on terminal
+    * punctuation runs (portable regex, no lookaround), per-doc sentence
+    * count and length distribution. The unit most chunking/packing
+    * stages operate on.
+    */
+  val sentences = GraftQuery(
+    "t_sentences",
+    Some("""
+      WITH s AS (SELECT doc_id,
+                   list_filter(string_split_regex(text, '[.!?]+'),
+                     __si -> length(trim(__si)) > 0) AS sents
+                 FROM documents)
+      SELECT doc_id,
+             len(sents) AS n_sentences,
+             CAST(list_min(list_transform(sents, __sl -> length(trim(__sl)))) AS INT) AS min_len,
+             CAST(list_max(list_transform(sents, __sl -> length(trim(__sl)))) AS INT) AS max_len,
+             ROUND(CAST(list_sum(list_transform(sents, __sl -> length(trim(__sl)))) AS DOUBLE)
+               / nullif(len(sents), 0), 4) AS mean_len
+      FROM s
+      ORDER BY doc_id"""),
+    (s, d) => {
+      val sents = filter(split(col("text"), "[.!?]+"),
+        x => length(trim(x)) > 0)
+      val lens = transform(col("sents"), x => length(trim(x)))
+      Tables.documents(s, d)
+        .select(col("doc_id"), sents.as("sents"))
+        .select(col("doc_id"),
+          size(col("sents")).as("n_sentences"),
+          array_min(lens).as("min_len"),
+          array_max(lens).as("max_len"),
+          round(safeDiv(aggregate(lens, lit(0), (a, x) => a + x).cast("double"),
+            size(col("sents"))), 4).as("mean_len"))
+        .orderBy("doc_id")
+    },
+  )
+
   def all: Seq[GraftQuery] =
     Seq(tokenStats, qualityScore, langid, fingerprint, bigramFreq, tfidf, bpeTokens,
-      split80, vocab, piiScrub, contamination)
+      split80, vocab, piiScrub, contamination, sentences)
 }

@@ -199,6 +199,32 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("q_incremental_rollup: merged partials equal the direct rollup") {
+    import graft.gfunctions._
+    val merged = graft.olap.Olap2.incrementalRollup.run(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    val direct = graft.sources.Tables.orders(spark, sfDir)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy("o_orderpriority")
+      .collect().map(_.toString).toSeq
+    assert(merged === direct)
+  }
+
+  test("q_skew_diagnose: shares ordered descending, heavy flag consistent") {
+    val out = graft.olap.Olap2.skewDiagnose.run(spark, sfDir).collect()
+    assert(out.length === 20)
+    val ns = out.map(r => r.getLong(r.fieldIndex("n")))
+    assert(ns.sameElements(ns.sortBy(-_)))
+  }
+
+  test("t_sentences: counts positive, mean within [min, max]") {
+    val out = graft.text.Text.sentences.run(spark, sfDir)
+    assert(out.filter(col("n_sentences") <= 0).count() === 0)
+    assert(out.filter(col("mean_len") < col("min_len") ||
+      col("mean_len") > col("max_len")).count() === 0)
+  }
+
   test("s_sq8_quantize: codes in [0,255], 64 per vector, small reconstruction error") {
     val out = graft.sim.Sim.sq8Quantize.run(spark, sfDir)
     val n = graft.sources.Tables.embeddings(spark, sfDir).count()
