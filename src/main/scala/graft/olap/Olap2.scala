@@ -1,5 +1,6 @@
 package graft.olap
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -455,8 +456,53 @@ object Olap2 {
     },
   )
 
+  /** q_bucketed_join: SHUFFLE-FREE fact⋈fact join via bucketed tables —
+    * both sides written bucketed (and sorted) by the join key into the
+    * session warehouse, so the join is a zero-exchange sort-merge: the
+    * bucket layout IS the exchange, paid once at write time and
+    * amortized over every later join. This is the co-location story for
+    * repeated big joins at 100 TB (where broadcast can't apply). The
+    * spec asserts the plan has no Exchange between the scans and the
+    * join; the oracle checks the join result itself.
+    */
+  val bucketedJoin = GraftQuery(
+    "q_bucketed_join",
+    Some("""
+      SELECT c_mktsegment, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment"""),
+    (s, d) => bucketedOrdersJoin(s, d)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+      .orderBy("c_mktsegment"),
+  )
+
+  /** The bucketed-tables join frame (shared with the plan-shape spec):
+    * both sides bucketed+sorted by the key, re-written only if the
+    * session hasn't materialized them yet.
+    */
+  def bucketedOrdersJoin(s: SparkSession, d: String): DataFrame = {
+    val nb = 8
+    if (!s.catalog.tableExists("orders_bkt")) {
+      Tables.orders(s, d).select("o_custkey", "o_totalprice")
+        .write.mode("overwrite")
+        .bucketBy(nb, "o_custkey").sortBy("o_custkey")
+        .saveAsTable("orders_bkt")
+      Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+        .write.mode("overwrite")
+        .bucketBy(nb, "c_custkey").sortBy("c_custkey")
+        .saveAsTable("customer_bkt")
+    }
+    // merge hint: without it AQE broadcasts the small side at test SF
+    // and the co-location never shows; at 100 TB SMJ is the real plan.
+    s.table("orders_bkt").hint("merge")
+      .join(s.table("customer_bkt"), col("o_custkey") === col("c_custkey"))
+  }
+
   def all: Seq[GraftQuery] =
     Seq(pivot, cube2, correlated, saltedJoinQ, ansiSql, approxDistinct, profile,
       windowRange, approxPercentiles, stratifiedSample, funnel, ntileDeciles,
-      groupingSets, incrementalRollup, skewDiagnose)
+      groupingSets, incrementalRollup, skewDiagnose, bucketedJoin)
 }

@@ -24,6 +24,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan(graft.olap.Olap.q3.run(spark, sfDir)).contains("TakeOrderedAndProject"))
   }
 
+  test("q_bucketed_join: zero exchange below the join (bucket co-location)") {
+    val j = graft.olap.Olap2.bucketedOrdersJoin(spark, sfDir)
+    val p = plan(j)
+    val joinIdx = p.linesIterator.indexWhere(l => l.contains("SortMergeJoin"))
+    assert(joinIdx >= 0, p)
+    // everything below the join (scans) must be exchange-free
+    assert(!p.linesIterator.drop(joinIdx).exists(_.contains("Exchange")),
+      s"bucketed join still shuffles:\n$p")
+  }
+
   test("no operator plans a cartesian product") {
     for (q <- SparkEntry.registry if q.name != "s_centroid_ivf") {
       val p = plan(q.run(spark, sfDir))
