@@ -45,14 +45,11 @@ object Profile {
     time("ngram full")(graft.dedup.Dedup.ngramJaccardPairs(docs).count())
     time("minhash full")(graft.dedup.Dedup.minhashLshPairs(docs).count())
 
-    // minhash internals
+    // minhash internals (constants shared with Dedup — no drift)
     import graft.gfunctions._
-    val P = 2147483647L
-    val hashA = Seq(1610612741L, 805306457L, 402653189L, 201326611L,
-      100663319L, 50331653L, 25165843L, 12582917L, 6291469L, 3145739L,
-      1572869L, 786433L, 393241L, 196613L, 98317L, 49157L)
-    val hashB = Seq(7L, 11L, 13L, 17L, 19L, 23L, 29L, 31L, 37L, 41L,
-      43L, 47L, 53L, 59L, 61L, 67L)
+    val P = graft.dedup.Dedup.P
+    val hashA = graft.dedup.Dedup.HashA
+    val hashB = graft.dedup.Dedup.HashB
     val ds2 = graft.dedup.Dedup.shingleSets(docs).filter(size(col("shs")) > 0)
       .withColumn("hs", transform(col("shs"), s => polyHash(s)))
     time("mh: ds build")(ds2.count())

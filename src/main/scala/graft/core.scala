@@ -41,6 +41,12 @@ object Caching {
 
 object GraftSession {
 
+  private lazy val warehouseDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_warehouse")
+    dir.toFile.deleteOnExit()
+    dir.toString
+  }
+
   /** Tuned local session. Mirrors what a cluster deploy would set:
     * AQE (coalesce + skew-join) on, shuffle partitions sized to the
     * parallelism, broadcast threshold generous for dim tables.
@@ -70,9 +76,10 @@ object GraftSession {
       .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // bucketed-table writes (q_bucketed_join) land in the warehouse;
-      // keep it out of the repo working tree.
-      .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft_warehouse").toString)
+      // keep it out of the repo working tree. One dir per JVM (lazy):
+      // getOrCreate ignores configs on an existing session anyway, so
+      // per-call temp dirs would only leak.
+      .config("spark.sql.warehouse.dir", warehouseDir)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -146,12 +146,14 @@ object Dedup {
 
   /** MinHash parameters: 16 permutations h_i(x) = (a_i·x + b_i) mod p,
     * banded 4×4. Fixed constants so the oracle can replay them.
+    * private[graft]: the dev profiler times the same pipeline and must
+    * never drift from these.
     */
-  private val P = 2147483647L
-  private val HashA = Seq(1610612741L, 805306457L, 402653189L, 201326611L,
+  private[graft] val P = 2147483647L
+  private[graft] val HashA = Seq(1610612741L, 805306457L, 402653189L, 201326611L,
     100663319L, 50331653L, 25165843L, 12582917L, 6291469L, 3145739L,
     1572869L, 786433L, 393241L, 196613L, 98317L, 49157L)
-  private val HashB = Seq(7L, 11L, 13L, 17L, 19L, 23L, 29L, 31L, 37L, 41L,
+  private[graft] val HashB = Seq(7L, 11L, 13L, 17L, 19L, 23L, 29L, 31L, 37L, 41L,
     43L, 47L, 53L, 59L, 61L, 67L)
 
   private val ParamsSql = HashA.zip(HashB).zipWithIndex
@@ -528,11 +530,15 @@ object Dedup {
   /** d_prefix_containment: truncation duplicates — doc A is a
     * prefix-containment dup of doc B when B's normalized text starts
     * with A's (the common crawl/export failure mode: same page, one
-    * copy cut off). Blocking: every contained pair shares its first 50
+    * copy cut off). Blocking: every SURVIVING pair shares its first 50
     * normalized chars, so bucket on that key (with a bucket-size cap
     * as skew guard), generate candidate pairs map-side, and verify
     * `starts_with` after joining the two texts back by id — the pair
-    * space is the bucket fan-out, never n².
+    * space is the bucket fan-out, never n². Docs shorter than the
+    * 50-char key are excluded BY DESIGN (a noise floor, applied
+    * identically in the oracle): a tiny fragment is a prefix of half
+    * the corpus, and flagging those as dups is wrong more often than
+    * right. Lower the floor only together with the blocking-key width.
     */
   val prefixContainment = GraftQuery(
     "d_prefix_containment",

@@ -332,10 +332,14 @@ object Olap2 {
   )
 
   /** q_ntile_deciles: equal-frequency binning (NTILE) of order values —
-    * the distribution-profile pass. Deterministic because the total
-    * order includes the unique key as tie-break; one global sort (the
-    * one operation that genuinely needs a range exchange), then
-    * per-decile aggregates.
+    * the distribution-profile pass. A naive `ntile().over(Window
+    * .orderBy(...))` funnels the WHOLE table through one partition (a
+    * global window has no partition key) — wrong at any scale. The
+    * distributed shape: range-repartition on the total order, rank
+    * locally per partition, then add per-partition offsets (the only
+    * driver-side state — one count per partition, bounded by the
+    * partition count, never the data). NTILE's remainder rule is then
+    * a pure expression over the global rank.
     */
   val ntileDeciles = GraftQuery(
     "q_ntile_deciles",
@@ -351,9 +355,48 @@ object Olap2 {
       GROUP BY decile
       ORDER BY decile"""),
     (s, d) => {
-      val w = Window.orderBy("o_totalprice", "o_orderkey")
-      Tables.orders(s, d)
-        .select(col("o_totalprice"), ntile(10).over(w).as("decile"))
+      val nParts = 32
+      // one range exchange = the global sort, materialized once
+      val sorted = Tables.orders(s, d).select("o_totalprice", "o_orderkey")
+        .repartitionByRange(nParts, col("o_totalprice"), col("o_orderkey"))
+        .sortWithinPartitions("o_totalprice", "o_orderkey")
+        .localCheckpoint(eager = true)
+      val rankSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("o_totalprice",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("pid",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("lrank",
+          org.apache.spark.sql.types.LongType)))
+      val ranked = sorted.mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var i = 0L
+        it.map { r => i += 1; org.apache.spark.sql.Row(r.getDouble(0), pid, i) }
+      }(org.apache.spark.sql.Encoders.row(rankSchema))
+      // per-partition counts → rank offsets: ≤ nParts rows on the driver
+      val counts = ranked.groupBy("pid").agg(max("lrank").as("c")).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val total = counts.values.sum
+      var off = 0L
+      val offByPid = counts.keys.toSeq.sorted.map { p =>
+        val o = off; off += counts(p); p -> o
+      }.toMap
+      val offExpr = offByPid.foldLeft(lit(0L)) { case (e, (p, o)) =>
+        when(col("pid") === p, o).otherwise(e)
+      }
+      // NTILE(10) remainder rule: first (total mod 10) buckets get one
+      // extra row
+      val m = total % 10
+      val base = total / 10
+      val grank = (offExpr + col("lrank")).as("grank")
+      // floor() then cast: Spark's `/` on longs is double division
+      val decile = when(lit(base) === 0, col("grank")) // tiny inputs
+        .when(col("grank") <= m * (base + 1),
+          floor((col("grank") - 1) / (base + 1)).cast("long") + 1)
+        .otherwise(lit(m) +
+          floor((col("grank") - 1 - m * (base + 1)) / base).cast("long") + 1)
+      ranked.select(col("o_totalprice"), grank)
+        .select(col("o_totalprice"), decile.cast("long").as("decile"))
         .groupBy("decile")
         .agg(count(lit(1)).as("n"),
           min(col("o_totalprice")).cast("double").as("lo"),
@@ -485,20 +528,26 @@ object Olap2 {
     */
   def bucketedOrdersJoin(s: SparkSession, d: String): DataFrame = {
     val nb = 8
-    if (!s.catalog.tableExists("orders_bkt")) {
+    // table identity includes the data dir: one session serving several
+    // sf dirs (harness + specs) must not reuse another dir's buckets;
+    // each table checks its own existence (no partial-write trap).
+    val tag = (d.hashCode.toLong & 0xffffffffL).toHexString
+    val ordersT = s"orders_bkt_$tag"
+    val customerT = s"customer_bkt_$tag"
+    if (!s.catalog.tableExists(ordersT))
       Tables.orders(s, d).select("o_custkey", "o_totalprice")
         .write.mode("overwrite")
         .bucketBy(nb, "o_custkey").sortBy("o_custkey")
-        .saveAsTable("orders_bkt")
+        .saveAsTable(ordersT)
+    if (!s.catalog.tableExists(customerT))
       Tables.customer(s, d).select("c_custkey", "c_mktsegment")
         .write.mode("overwrite")
         .bucketBy(nb, "c_custkey").sortBy("c_custkey")
-        .saveAsTable("customer_bkt")
-    }
+        .saveAsTable(customerT)
     // merge hint: without it AQE broadcasts the small side at test SF
     // and the co-location never shows; at 100 TB SMJ is the real plan.
-    s.table("orders_bkt").hint("merge")
-      .join(s.table("customer_bkt"), col("o_custkey") === col("c_custkey"))
+    s.table(ordersT).hint("merge")
+      .join(s.table(customerT), col("o_custkey") === col("c_custkey"))
   }
 
   def all: Seq[GraftQuery] =

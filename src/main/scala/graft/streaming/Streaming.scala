@@ -95,7 +95,10 @@ object Streaming {
     * (user, type); state expires one hour of event time after the last
     * sample (the reference's poll-freshness gate as a state bound).
     * Batch parity: identical to m3's lag() with the first-sample null
-    * dropped.
+    * dropped — EXCEPT across a state timeout, where the post-gap
+    * sample re-seeds instead of rating against an hours-stale
+    * predecessor (see st_alerts' parity-boundary note; deliberate, and
+    * unreachable in the single-micro-batch harness).
     */
   private def rateFn(key: (Long, String), rows: Iterator[Ev],
                      state: GroupState[SeriesState]): Iterator[RateOut] = {
@@ -327,6 +330,15 @@ object Streaming {
   /** st_alerts: stateful threshold alerting — batch-parity with m15
     * (the first sample of a series seeds state and emits nothing, like
     * lag's initial NULL), so the batch oracle applies verbatim.
+    *
+    * Parity boundary (shared with st_stateful_rate): the 1h event-time
+    * timeout is the state bound, so a series silent past it RE-SEEDS —
+    * its next sample emits no edge, where batch lag() would reach back
+    * across the gap. That divergence is deliberate monitoring
+    * semantics (a series dark for an hour is a new incarnation; state
+    * must not grow with the key space), and it is unreachable in the
+    * harness (single micro-batch ⇒ no watermark passes between
+    * samples) — which is why the oracle still applies verbatim here.
     */
   val streamAlerts = GraftQuery(
     "st_alerts",
