@@ -550,8 +550,37 @@ object Olap2 {
       .join(s.table(customerT), col("o_custkey") === col("c_custkey"))
   }
 
+  /** q_set_ops: INTERSECT / EXCEPT over derived key sets — customers
+    * with urgent orders vs customers with low-priority orders. Spark
+    * plans both as aggregated joins (left-semi/anti after distinct), so
+    * they inherit the join machinery's scale properties.
+    */
+  val setOps = GraftQuery(
+    "q_set_ops",
+    Some("""
+      WITH u AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+      l AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')
+      SELECT 'both' AS set_kind, COUNT(*) AS n FROM (SELECT * FROM u INTERSECT SELECT * FROM l)
+      UNION ALL
+      SELECT 'urgent_only', COUNT(*) FROM (SELECT * FROM u EXCEPT SELECT * FROM l)
+      UNION ALL
+      SELECT 'low_only', COUNT(*) FROM (SELECT * FROM l EXCEPT SELECT * FROM u)
+      ORDER BY set_kind"""),
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val u = o.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey").distinct()
+      val l = o.filter(col("o_orderpriority") === "5-LOW").select("o_custkey").distinct()
+      def tagged(df: DataFrame, kind: String) =
+        df.agg(count(lit(1)).as("n")).select(lit(kind).as("set_kind"), col("n"))
+      tagged(u.intersect(l), "both")
+        .unionByName(tagged(u.except(l), "urgent_only"))
+        .unionByName(tagged(l.except(u), "low_only"))
+        .orderBy("set_kind")
+    },
+  )
+
   def all: Seq[GraftQuery] =
     Seq(pivot, cube2, correlated, saltedJoinQ, ansiSql, approxDistinct, profile,
       windowRange, approxPercentiles, stratifiedSample, funnel, ntileDeciles,
-      groupingSets, incrementalRollup, skewDiagnose, bucketedJoin)
+      groupingSets, incrementalRollup, skewDiagnose, bucketedJoin, setOps)
 }
