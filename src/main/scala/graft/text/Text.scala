@@ -465,7 +465,80 @@ object Text {
     },
   )
 
+  /** t_packing: sequence packing — the pretraining batching step:
+    * documents are concatenated in a deterministic order and cut into
+    * fixed 512-token context windows; each doc's window assignment is a
+    * pure function of the running token offset (one cumulative-sum
+    * window pass — same shape as sessionization, no sequential state).
+    * Output: per-window doc count, token fill, and the fill ratio that
+    * tells you how much padding the batch wastes.
+    */
+  val packing = GraftQuery(
+    "t_packing",
+    Some(s"""
+      WITH d AS (SELECT doc_id, len($ToksSql) AS n_toks FROM documents),
+      o AS (SELECT doc_id, n_toks,
+              SUM(n_toks) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_toks AS toff
+            FROM d),
+      w AS (SELECT CAST(toff // 512 AS BIGINT) AS window_id, doc_id, n_toks FROM o)
+      SELECT window_id,
+             COUNT(*) AS n_docs,
+             CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+             MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      FROM w
+      GROUP BY window_id
+      ORDER BY window_id"""),
+    (s, d) => {
+      // distributed running offset (a global window would funnel the
+      // table through ONE partition): range-repartition on the order,
+      // local running sums, per-partition token totals as offsets —
+      // driver state is one long per partition.
+      val nParts = 32
+      val sorted = Tables.documents(s, d)
+        .select(col("doc_id"), size(toks(col("text"))).cast("long").as("n_toks"))
+        .repartitionByRange(nParts, col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .localCheckpoint(eager = true)
+      val cumSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_toks",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("pid",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("local_off",
+          org.apache.spark.sql.types.LongType)))
+      val local = sorted.mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var run = 0L
+        it.map { r =>
+          val n = r.getLong(1)
+          val off = run
+          run += n
+          org.apache.spark.sql.Row(r.getLong(0), n, pid, off)
+        }
+      }(org.apache.spark.sql.Encoders.row(cumSchema))
+      val totals = local.groupBy("pid").agg(sum("n_toks").as("t")).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      var acc = 0L
+      val offByPid = totals.keys.toSeq.sorted.map { p =>
+        val o = acc; acc += totals(p); p -> o
+      }.toMap
+      val offExpr = offByPid.foldLeft(lit(0L)) { case (e, (p, o)) =>
+        when(col("pid") === p, o).otherwise(e)
+      }
+      local
+        .select(col("doc_id"), col("n_toks"),
+          floor((offExpr + col("local_off")) / 512).cast("long").as("window_id"))
+        .groupBy("window_id")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("window_id")
+    },
+  )
+
   def all: Seq[GraftQuery] =
     Seq(tokenStats, qualityScore, langid, fingerprint, bigramFreq, tfidf, bpeTokens,
-      split80, vocab, piiScrub, contamination, sentences)
+      split80, vocab, piiScrub, contamination, sentences, packing)
 }

@@ -225,6 +225,22 @@ class NewOpsSpec extends SparkSpec {
       col("mean_len") > col("max_len")).count() === 0)
   }
 
+  test("t_packing: windows cover every token exactly once, contiguous doc ranges") {
+    val out = graft.text.Text.packing.run(spark, sfDir).collect()
+    val totalTokens = out.map(r => r.getLong(r.fieldIndex("n_tokens"))).sum
+    val expected = graft.sources.Tables.documents(spark, sfDir)
+      .select(sum(size(graft.text.Text.toks(col("text"))))).head().getLong(0)
+    assert(totalTokens === expected)
+    // doc ranges of consecutive windows don't interleave (a doc starts
+    // in exactly one window)
+    val sorted = out.sortBy(_.getLong(0))
+    sorted.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getLong(a.fieldIndex("last_doc")) <= b.getLong(b.fieldIndex("first_doc")))
+      case _ =>
+    }
+  }
+
   test("s_sq8_quantize: codes in [0,255], 64 per vector, small reconstruction error") {
     val out = graft.sim.Sim.sq8Quantize.run(spark, sfDir)
     val n = graft.sources.Tables.embeddings(spark, sfDir).count()
