@@ -597,7 +597,58 @@ object Dedup {
   def canonical(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).cast("long").as("doc_id"), col(textCol).cast("string").as("text"))
 
+  /** d_containment: asymmetric shingle containment |A∩B| / |A| — the
+    * subset-dup detector symmetric Jaccard misses: a short doc fully
+    * embedded in a long one scores containment ≈ 1 while Jaccard stays
+    * small. Same two-shuffle inverted-index shape as ngramJaccardPairs
+    * (sizes ride with the ids, pairs map-side); emitted per-direction
+    * with the contained (smaller-set) doc first.
+    */
+  val containment = GraftQuery(
+    "d_containment",
+    Some(s"""
+      WITH d AS (SELECT doc_id, ${Text.ToksSql} AS t FROM documents),
+      $ShSql,
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      shf AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 1000),
+      shc AS (SELECT sh.doc_id, n, sh.shingle FROM sh
+              JOIN sizes USING (doc_id) JOIN shf USING (shingle)),
+      p AS (SELECT a.doc_id AS doc_a, a.n AS na, b.doc_id AS doc_b, b.n AS nb,
+                   COUNT(*) AS n_common
+            FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4)
+      SELECT CASE WHEN na <= nb THEN doc_a ELSE doc_b END AS doc_small,
+             CASE WHEN na <= nb THEN doc_b ELSE doc_a END AS doc_big,
+             ROUND(CAST(n_common AS DOUBLE) / least(na, nb), 4) AS containment,
+             ROUND(CAST(n_common AS DOUBLE) / (na + nb - n_common), 4) AS jaccard
+      FROM p
+      WHERE ROUND(CAST(n_common AS DOUBLE) / least(na, nb), 4) >= 0.8
+      ORDER BY doc_small, doc_big"""),
+    (s, d) => {
+      val entries = shingleSets(Tables.documents(s, d))
+        .select(col("doc_id"), size(col("shs")).as("n"), explode(col("shs")).as("shingle"))
+      val pairs = entries
+        .groupBy("shingle")
+        .agg(array_sort(collect_list(struct(col("doc_id"), col("n")))).as("ids"))
+        .filter(size(col("ids")).between(2, 1000))
+        .select(explode(orderedPairs(col("ids"))).as("p"))
+        .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+          col("p.na").as("na"), col("p.nb").as("nb"))
+        .agg(count(lit(1)).as("n_common"))
+      val cont = round(col("n_common").cast("double") / least(col("na"), col("nb")), 4)
+      pairs
+        .select(
+          when(col("na") <= col("nb"), col("doc_a")).otherwise(col("doc_b")).as("doc_small"),
+          when(col("na") <= col("nb"), col("doc_b")).otherwise(col("doc_a")).as("doc_big"),
+          cont.as("containment"),
+          round(col("n_common").cast("double") /
+            (col("na") + col("nb") - col("n_common")), 4).as("jaccard"))
+        .filter(col("containment") >= 0.8)
+        .orderBy("doc_small", "doc_big")
+    },
+  )
+
   def all: Seq[GraftQuery] =
     Seq(exact, ngramJaccard, minhashLsh, simhash, embedDup, cdcChunks, components,
-      dupConsistency, prefixContainment)
+      dupConsistency, prefixContainment, containment)
 }

@@ -639,10 +639,47 @@ object Metrics {
     },
   )
 
+  /** m22: time-weighted average of a gauge per series — each sample
+    * holds until the next one, so its weight is the µs it was current;
+    * the plain mean over-counts bursts of fast polls. One lag pass
+    * (lead, really) + exact integer-µs weights, decimal-exact sums.
+    */
+  val timeWeightedAvg = GraftQuery(
+    "m22_time_weighted_avg",
+    Some(s"""
+      $E, x AS (
+        SELECT user_id, event_type, value,
+               LEAD(epoch_us(ts)) OVER w - epoch_us(ts) AS hold_us
+        FROM e
+        WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)),
+      y AS (SELECT * FROM x WHERE hold_us IS NOT NULL AND hold_us > 0)
+      SELECT user_id, event_type,
+             COUNT(*) AS n_intervals,
+             CAST(SUM(hold_us) AS BIGINT) AS total_us,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2)) * hold_us) AS DOUBLE)
+               / CAST(SUM(hold_us) AS DOUBLE), 4) AS twa
+      FROM y
+      GROUP BY user_id, event_type
+      ORDER BY user_id, event_type"""),
+    (s, d) => {
+      val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+      val holdUs = lead(unix_micros(col("ts")), 1).over(w) - unix_micros(col("ts"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("value"), holdUs.as("hold_us"))
+        .filter(col("hold_us").isNotNull && col("hold_us") > 0)
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(col("hold_us")).as("total_us"),
+          round(sum(dec2(col("value")) * col("hold_us")).cast("double") /
+            sum(col("hold_us")).cast("double"), 4).as("twa"))
+        .orderBy("user_id", "event_type")
+    },
+  )
+
   def all: Seq[GraftQuery] = Seq(
     flattenProps, windowRollup, rate, latestPerSeries, sessionize,
     anomalyZscore, esBulkFormat, serverDedup, connectStatus, topSeries,
     pollGating, valueHistogram, ewma, alertTransitions, madOutliers, downtime,
-    hoppingRollup, counterResetRate, metricCatalog, burnRate,
+    hoppingRollup, counterResetRate, metricCatalog, burnRate, timeWeightedAvg,
   )
 }

@@ -241,6 +241,37 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("m22_time_weighted_avg: TWA lies within each series' value range") {
+    val twa = graft.metrics.Metrics.timeWeightedAvg.run(spark, sfDir)
+    val ranges = graft.sources.Tables.events(spark, sfDir)
+      .groupBy("user_id", "event_type")
+      .agg(min("value").as("vmin"), max("value").as("vmax"))
+    val bad = twa.join(ranges, Seq("user_id", "event_type"))
+      .filter(col("twa") < col("vmin") - 0.001 || col("twa") > col("vmax") + 0.001)
+    assert(bad.count() === 0)
+  }
+
+  test("d_containment: containment >= jaccard always; full-subset scores 1.0") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val df = Seq(
+      (1L, base),                            // subset doc
+      (2L, base + " lambda mu nu xi omicron pi rho sigma tau upsilon"),
+      (3L, "totally unrelated words here in this document body text")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("cont")
+    val stage = tmp.resolve("stage")
+    df.coalesce(1).write.parquet(stage.toString)
+    val part = java.nio.file.Files.list(stage)
+      .filter(_.toString.endsWith(".parquet")).findFirst().get()
+    java.nio.file.Files.copy(part, tmp.resolve("documents.parquet"))
+    val out = graft.dedup.Dedup.containment.run(spark, tmp.toString).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getLong(0) === 1L && r.getLong(1) === 2L)
+    assert(r.getDouble(r.fieldIndex("containment")) === 1.0)
+    assert(r.getDouble(r.fieldIndex("containment")) >= r.getDouble(r.fieldIndex("jaccard")))
+  }
+
   test("s_sq8_quantize: codes in [0,255], 64 per vector, small reconstruction error") {
     val out = graft.sim.Sim.sq8Quantize.run(spark, sfDir)
     val n = graft.sources.Tables.embeddings(spark, sfDir).count()
