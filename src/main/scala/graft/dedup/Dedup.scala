@@ -648,7 +648,67 @@ object Dedup {
     },
   )
 
+  /** d_dedup_funnel: the whole dedup pipeline's ACCOUNTING in one row —
+    * how many docs survive exact dedup, how many survive near-dup
+    * clustering, and the corpus retention after both. A doc survives
+    * iff it is the canonical (min-id) member of BOTH its exact-hash
+    * group and its near-dup component (docs in no component survive
+    * that stage trivially). This is the number a data pipeline reports
+    * per snapshot; every stage reuses the library operators.
+    */
+  val dedupFunnel = GraftQuery(
+    "d_dedup_funnel",
+    Some(s"""
+      WITH RECURSIVE d AS (SELECT doc_id, ${Text.ToksSql} AS t FROM documents),
+      $ShSql,
+      shf AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 1000),
+      shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN shf USING (shingle)),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      p0 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+             FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+      pairs AS (SELECT doc_a, doc_b
+                FROM p0 JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+                WHERE ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 4) >= 0.5),
+      e2 AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+             UNION SELECT doc_b, doc_a FROM pairs),
+      reach(src, dst) AS (
+        SELECT a, a FROM e2
+        UNION
+        SELECT r.src, e2.b FROM reach r JOIN e2 ON r.dst = e2.a),
+      cc AS (SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY src),
+      h AS (SELECT doc_id, md5(${Text.NormSql}) AS content_hash FROM documents),
+      flags AS (
+        SELECT h.doc_id,
+               h.doc_id = MIN(h.doc_id) OVER (PARTITION BY content_hash) AS e_can,
+               COALESCE(cc.doc_id = cc.component, TRUE) AS n_can
+        FROM h LEFT JOIN cc ON cc.doc_id = h.doc_id)
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(CASE WHEN e_can THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_canonical,
+             CAST(SUM(CASE WHEN n_can THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup_canonical,
+             CAST(SUM(CASE WHEN e_can AND n_can THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors,
+             ROUND(CAST(SUM(CASE WHEN e_can AND n_can THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*), 4) AS retention
+      FROM flags"""),
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val ex = exactGroups(docs)
+        .select(col("doc_id"), (col("doc_id") === col("canonical_id")).as("e_can"))
+      val comp = connectedComponents(
+        ngramJaccardPairs(docs).select("doc_a", "doc_b"))
+        .select(col("doc_id"), (col("doc_id") === col("component")).as("n_can"))
+      ex.join(comp, Seq("doc_id"), "left")
+        .withColumn("n_can", coalesce(col("n_can"), lit(true)))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("e_can"), 1).otherwise(0)).as("n_exact_canonical"),
+          sum(when(col("n_can"), 1).otherwise(0)).as("n_neardup_canonical"),
+          sum(when(col("e_can") && col("n_can"), 1).otherwise(0)).as("n_survivors"),
+          round(sum(when(col("e_can") && col("n_can"), 1).otherwise(0)).cast("double") /
+            count(lit(1)), 4).as("retention"))
+    },
+  )
+
   def all: Seq[GraftQuery] =
     Seq(exact, ngramJaccard, minhashLsh, simhash, embedDup, cdcChunks, components,
-      dupConsistency, prefixContainment, containment)
+      dupConsistency, prefixContainment, containment, dedupFunnel)
 }

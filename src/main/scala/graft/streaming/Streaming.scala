@@ -404,9 +404,30 @@ object Streaming {
     },
   )
 
+  /** st_latest: the live gauge view — latest sample per series as a
+    * continuously-updated aggregate (`max_by` keyed on the (ts,
+    * event_id) total order). Complete mode materializes the current
+    * table; batch-parity with m4, whose oracle applies verbatim.
+    * State is one row per series — the natural bound.
+    */
+  val streamLatest = GraftQuery(
+    "st_latest",
+    graft.metrics.Metrics.latestPerSeries.oracle,
+    (s, d) => {
+      val latest = streamEvents(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"), col("value"))
+        .groupBy("user_id", "event_type")
+        .agg(
+          max_by(col("ts"), struct(col("ts"), col("event_id"))).as("last_ts"),
+          max_by(col("value"), struct(col("ts"), col("event_id"))).as("last_value"))
+      runToTable(s, latest, OutputMode.Complete())
+        .orderBy("user_id", "event_type")
+    },
+  )
+
   def all: Seq[GraftQuery] =
     Seq(pipeline, statefulRate, sinkFanout, streamDedup, streamJoin, streamEnrich,
-      streamHopping, streamAlerts, streamSessions)
+      streamHopping, streamAlerts, streamSessions, streamLatest)
 }
 
 // Encoder-visible row types for the stateful stream (must not be

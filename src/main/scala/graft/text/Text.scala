@@ -538,7 +538,48 @@ object Text {
     },
   )
 
+  /** t_corpus_filter: the corpus cleaning pass — length floor,
+    * stopword-ratio ceiling, lexical-diversity floor (the C4-style
+    * heuristics), reported per language as kept/total/retention. One
+    * scan, one aggregate; the filter predicates are pure codegen'd
+    * column expressions, so at scale this is a map + partial-agg pass.
+    */
+  val corpusFilter = GraftQuery(
+    "t_corpus_filter",
+    Some(s"""
+      WITH d AS (SELECT lang, n_chars, $ToksSql AS t FROM documents),
+      f AS (SELECT lang,
+              (n_chars >= 200 AND
+               CAST(len(list_filter(t, x -> x IN ($stopSql))) AS DOUBLE) / nullif(len(t), 0) <= 0.5 AND
+               CAST(len(list_distinct(t)) AS DOUBLE) / nullif(len(t), 0) >= 0.2) AS keep
+            FROM d)
+      SELECT lang,
+             COUNT(*) AS n_total,
+             CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             ROUND(CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4)
+               AS retention
+      FROM f
+      GROUP BY lang
+      ORDER BY lang"""),
+    (s, d) => {
+      val stopArr = array(stopwords.map(lit): _*)
+      val t = toks(col("text"))
+      val stopRatio = safeDiv(
+        size(filter(t, x => array_contains(stopArr, x))).cast("double"), size(t))
+      val diversity = safeDiv(size(array_distinct(t)).cast("double"), size(t))
+      val keep = col("n_chars") >= 200 && stopRatio <= 0.5 && diversity >= 0.2
+      Tables.documents(s, d)
+        .select(col("lang"), keep.as("keep"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("keep"), 1).otherwise(0)).as("n_kept"),
+          round(sum(when(col("keep"), 1).otherwise(0)).cast("double") /
+            count(lit(1)), 4).as("retention"))
+        .orderBy("lang")
+    },
+  )
+
   def all: Seq[GraftQuery] =
     Seq(tokenStats, qualityScore, langid, fingerprint, bigramFreq, tfidf, bpeTokens,
-      split80, vocab, piiScrub, contamination, sentences, packing)
+      split80, vocab, piiScrub, contamination, sentences, packing, corpusFilter)
 }

@@ -272,6 +272,27 @@ class NewOpsSpec extends SparkSpec {
     assert(r.getDouble(r.fieldIndex("containment")) >= r.getDouble(r.fieldIndex("jaccard")))
   }
 
+  test("st_latest stream == m4 batch latest-per-series") {
+    val streamed = graft.streaming.Streaming.streamLatest.run(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    val batch = graft.metrics.Metrics.latestPerSeries.run(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    assert(streamed === batch)
+  }
+
+  test("t_corpus_filter: retention in [0,1], kept <= total, covers all docs") {
+    val out = graft.text.Text.corpusFilter.run(spark, sfDir)
+    assert(out.filter(col("n_kept") > col("n_total")).count() === 0)
+    val total = out.agg(sum("n_total")).head().getLong(0)
+    assert(total === graft.sources.Tables.documents(spark, sfDir).count())
+  }
+
+  test("d_dedup_funnel: survivors <= each stage's canonical count <= n_docs") {
+    val r = graft.dedup.Dedup.dedupFunnel.run(spark, sfDir).head()
+    val (n, e, nd, sv) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(sv <= e && sv <= nd && e <= n && nd <= n && sv > 0)
+  }
+
   test("s_sq8_quantize: codes in [0,255], 64 per vector, small reconstruction error") {
     val out = graft.sim.Sim.sq8Quantize.run(spark, sfDir)
     val n = graft.sources.Tables.embeddings(spark, sfDir).count()
