@@ -676,10 +676,48 @@ object Metrics {
     },
   )
 
+  /** m23: seasonal baseline deviation — the hour-of-day seasonal-naive
+    * model: each series' per-hour-of-day mean is its baseline, and a
+    * sample deviating from its own hour's baseline by >60% is flagged
+    * (a constant threshold on raw value fires every rush hour; a
+    * seasonal baseline doesn't). Two-pass: baseline aggregate
+    * (exact-decimal means), broadcast back, flag. Same shape as m6 with
+    * a seasonal key.
+    */
+  val seasonalBaseline = GraftQuery(
+    "m23_seasonal_baseline",
+    Some(s"""
+      $E, b AS (
+        SELECT event_type, EXTRACT(hour FROM ts) AS hod,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS baseline
+        FROM e GROUP BY 1, 2)
+      SELECT e.event_id, e.event_type, EXTRACT(hour FROM ts) AS hod, e.value,
+             ROUND(b.baseline, 4) AS baseline,
+             ROUND(e.value / b.baseline - 1.0, 4) AS deviation
+      FROM e JOIN b ON b.event_type = e.event_type AND b.hod = EXTRACT(hour FROM ts)
+      WHERE abs(e.value / b.baseline - 1.0) > 0.6
+      ORDER BY event_id"""),
+    (s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"),
+          hour(col("ts")).as("hod"))
+      val base = e.groupBy("event_type", "hod")
+        .agg(davg(col("value")).as("baseline"))
+      val dev = safeDiv(col("value"), col("baseline")) - 1.0
+      e.join(broadcast(base), Seq("event_type", "hod"))
+        .filter(abs(dev) > 0.6)
+        .select(col("event_id"), col("event_type"), col("hod").cast("long").as("hod"),
+          col("value"), round(col("baseline"), 4).as("baseline"),
+          round(dev, 4).as("deviation"))
+        .orderBy("event_id")
+    },
+  )
+
   def all: Seq[GraftQuery] = Seq(
     flattenProps, windowRollup, rate, latestPerSeries, sessionize,
     anomalyZscore, esBulkFormat, serverDedup, connectStatus, topSeries,
     pollGating, valueHistogram, ewma, alertTransitions, madOutliers, downtime,
     hoppingRollup, counterResetRate, metricCatalog, burnRate, timeWeightedAvg,
+    seasonalBaseline,
   )
 }

@@ -579,8 +579,36 @@ object Olap2 {
     },
   )
 
+  /** q_percent_of_total: share-of-total per group — aggregate once,
+    * then a window over the AGGREGATED frame (one row per group, so the
+    * global window is cheap by construction — the anti-pattern is a
+    * global window over raw rows, not over a group-count-sized frame).
+    */
+  val percentOfTotal = GraftQuery(
+    "q_percent_of_total",
+    Some("""
+      WITH g AS (SELECT o_orderpriority,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+                 FROM orders GROUP BY o_orderpriority)
+      SELECT o_orderpriority, rev,
+             ROUND(rev / SUM(rev) OVER (), 6) AS share
+      FROM g
+      ORDER BY o_orderpriority"""),
+    (s, d) => {
+      val g = Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(dsum(col("o_totalprice")).as("rev"))
+      // window over the aggregated (group-cardinality) frame only
+      val w = Window.partitionBy()
+      g.select(col("o_orderpriority"), col("rev"),
+          round(col("rev") / sum(col("rev")).over(w), 6).as("share"))
+        .orderBy("o_orderpriority")
+    },
+  )
+
   def all: Seq[GraftQuery] =
     Seq(pivot, cube2, correlated, saltedJoinQ, ansiSql, approxDistinct, profile,
       windowRange, approxPercentiles, stratifiedSample, funnel, ntileDeciles,
-      groupingSets, incrementalRollup, skewDiagnose, bucketedJoin, setOps)
+      groupingSets, incrementalRollup, skewDiagnose, bucketedJoin, setOps,
+      percentOfTotal)
 }

@@ -293,6 +293,18 @@ class NewOpsSpec extends SparkSpec {
     assert(sv <= e && sv <= nd && e <= n && nd <= n && sv > 0)
   }
 
+  test("q_percent_of_total: shares sum to 1") {
+    val out = graft.olap.Olap2.percentOfTotal.run(spark, sfDir)
+    val s = out.agg(sum("share")).head().getDouble(0)
+    assert(math.abs(s - 1.0) < 1e-4)
+  }
+
+  test("m23_seasonal_baseline: every flagged sample deviates >60% from its hour baseline") {
+    val out = graft.metrics.Metrics.seasonalBaseline.run(spark, sfDir)
+    assert(out.filter(abs(col("deviation")) <= 0.6 - 0.0001).count() === 0)
+    assert(out.count() > 0)
+  }
+
   test("s_sq8_quantize: codes in [0,255], 64 per vector, small reconstruction error") {
     val out = graft.sim.Sim.sq8Quantize.run(spark, sfDir)
     val n = graft.sources.Tables.embeddings(spark, sfDir).count()
