@@ -151,6 +151,12 @@ object Sim {
     },
   )
 
+  /** Oracle-side squared euclidean distance |v−cv|² (clamped at 0 —
+    * same ulp-cancellation guard as the engine's dist2).
+    */
+  private def d2Sql(v: String, cv: String): String =
+    s"greatest(${dotSql(v, v)} + ${dotSql(cv, cv)} - 2 * ${dotSql(v, cv)}, 0.0)"
+
   /** Oracle replay of buildIvf(k, iters): the Lloyd loop UNROLLED as
     * generated CTEs (assignment a1..a{iters+1}, centroid update
     * c1..c{iters}). Exact replay is possible because every step is
@@ -158,11 +164,10 @@ object Sim {
     * vectors, distances are left-fold dots (bit-identical doubles),
     * ties break on cid, and centroid means are decimal-exact. Returns
     * a WITH-clause ending at the final assignment `a{iters+1}`
-    * (vec_id, v, cid, d2).
+    * (vec_id, v, cid, d2); the final centroids are `c{iters}`.
     */
   private def ivfSql(k: Int, iters: Int): String = {
-    def d2(v: String, cv: String) =
-      s"greatest(${dotSql(v, v)} + ${dotSql(cv, cv)} - 2 * ${dotSql(v, cv)}, 0.0)"
+    def d2(v: String, cv: String) = d2Sql(v, cv)
     val sb = new StringBuilder
     sb.append("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),\n")
     sb.append(s"c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $k)")
@@ -184,48 +189,93 @@ object Sim {
     sb.toString
   }
 
-  /** Build an IVF index over (vec_id, v): `iters` Lloyd iterations
-    * from a deterministic seed (first k vectors). Returns vectors with
-    * their assigned cell and the squared distance to its centroid.
-    * Centroids broadcast every iteration; the corpus is persisted
-    * (re-read each iteration + final assignment).
+  /** A built IVF index: the assigned corpus (vec_id, v, cid, d2,
+    * materialized once) plus the final centroids, held driver-side —
+    * k·dim doubles, i.e. kilobytes — so probe routing is a literal
+    * expression, never a join.
     */
-  def buildIvf(e0: DataFrame, k: Int, iters: Int): DataFrame = {
-      val e = e0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      var centroids: DataFrame = e.filter(col("vec_id") < k)
-        .select(col("vec_id").as("cid"), col("v").as("cv"))
-      // |a-b|² via norms + dot (one native-dot pass); clamp: float
-      // cancellation can dip a few ulps below zero for near-identical
-      // vectors, which would NaN the sqrt.
-      val dist2 = greatest(
-        dotProduct(col("v"), col("v")) + dotProduct(col("cv"), col("cv")) -
-          lit(2.0) * dotProduct(col("v"), col("cv")), lit(0.0))
-      val wBest = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
-      def assign(cs: DataFrame): DataFrame =
-        e.crossJoin(broadcast(cs))
-          .select(col("vec_id"), col("v"), col("cid"), dist2.as("d2"))
-          .withColumn("rn", row_number().over(wBest))
-          .filter(col("rn") === 1)
-      for (_ <- 1 to iters) {
-        val assigned = assign(centroids)
-        centroids = assigned
-          .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
-          .groupBy("cid", "dim")
-          // decimal-exact mean: order-independent, so the centroid is
-          // a pure function of cell membership — replayable bit-exact
-          // by the oracle (a double sum would depend on partition
-          // arrival order).
-          .agg((sum(col("x").cast(org.apache.spark.sql.types.DecimalType(28, 14)))
-            .cast("double") / count(lit(1))).as("mx"))
-          .groupBy("cid")
-          .agg(transform(array_sort(collect_list(struct(col("dim"), col("mx")))),
-            p => p.getField("mx")).as("cv"))
-      }
-      // the returned assignment IS the index artifact: materialize it
-      // once and release the corpus cache (a cluster deploy writes it
-      // to storage at this point — same lifecycle).
-      graft.Caching.releaseAfter(assign(centroids), e)
+  final case class IvfIndex(assigned: DataFrame, centroids: Seq[(Long, Seq[Double])])
+
+  /** Per-row distance table to the k centroids as an array of
+    * struct(d2, cid) LITERALS-against-column — evaluated map-side
+    * inside whole-stage codegen. k is small (≤ hundreds), so the
+    * expression tree is bounded; argmin/top-n over it is `array_min`/
+    * `array_sort` (struct ordering = (d2, cid), the oracle's
+    * `ORDER BY d2, cid` tie-break). The constant dot(cv,cv) terms are
+    * constant-folded by Catalyst using the same left-fold eval as the
+    * oracle's list_reduce, so doubles stay bit-identical.
+    */
+  private def distStructs(v: Column, cents: Seq[(Long, Seq[Double])]): Column =
+    array(cents.map { case (cid, cv) =>
+      val cvl = typedLit(cv)
+      struct(
+        greatest(dotProduct(v, v) + dotProduct(cvl, cvl) - lit(2.0) * dotProduct(v, cvl),
+          lit(0.0)).as("d2"),
+        lit(cid).as("cid"))
+    }: _*)
+
+  /** Nearest-centroid assignment — map-side only, NO shuffle: the
+    * centroids ride along as literals and each row picks its argmin
+    * cell locally. (The r2 formulation — crossJoin(broadcast) then a
+    * row_number window — shuffled a k×-replicated corpus per call; at
+    * 100 TB that shuffle per Lloyd iteration IS the job.)
+    */
+  private def assignTo(e: DataFrame, cents: Seq[(Long, Seq[Double])]): DataFrame =
+    e.select(col("vec_id"), col("v"),
+        array_min(distStructs(col("v"), cents)).as("_best"))
+      .select(col("vec_id"), col("v"),
+        col("_best.cid").as("cid"), col("_best.d2").as("d2"))
+
+  /** Build an IVF index over (vec_id, v): `iters` Lloyd iterations
+    * from a deterministic seed (the first k vectors). Per iteration:
+    * one map-side argmin pass over the cached corpus + one tiny
+    * partial-aggregated shuffle of k·dim (cid, dim) groups, whose
+    * decimal-exact means are collected to the driver (k·dim rows —
+    * bytes, not data) to become the next iteration's literals. The
+    * final assignment is materialized once (localCheckpoint) as the
+    * index artifact — a cluster deploy writes it to storage at this
+    * point, same lifecycle.
+    */
+  def buildIvf(e0: DataFrame, k: Int, iters: Int): IvfIndex = {
+    val e = e0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cents: Seq[(Long, Seq[Double])] = e.filter(col("vec_id") < k)
+      .select(col("vec_id"), col("v")).collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+    for (_ <- 1 to iters) {
+      // decimal-exact mean: order-independent, so the centroid is a
+      // pure function of cell membership — replayable bit-exact by
+      // the oracle (a double sum would depend on partition order).
+      val rows = assignTo(e, cents)
+        .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cid", "dim")
+        .agg((sum(col("x").cast(org.apache.spark.sql.types.DecimalType(28, 14)))
+          .cast("double") / count(lit(1))).as("mx"))
+        .collect()
+      cents = rows.groupBy(_.getLong(0)).map { case (cid, rs) =>
+        (cid, rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+      }.toSeq.sortBy(_._1)
+    }
+    IvfIndex(graft.Caching.releaseAfter(assignTo(e, cents), e), cents)
   }
+
+  /** Memoized index build: one build per (data dir, k, iters) per
+    * session, shared by s_centroid_ivf / s_ivf_search / s_recall_eval
+    * (the r2 code rebuilt it from scratch inside each). Keyed on the
+    * session too — a stale entry from a stopped session is rebuilt.
+    */
+  private val ivfMemo =
+    scala.collection.mutable.Map[(String, Int, Int), (SparkSession, IvfIndex)]()
+
+  def ivfIndex(s: SparkSession, d: String, k: Int, iters: Int): IvfIndex =
+    ivfMemo.synchronized {
+      ivfMemo.get((d, k, iters)) match {
+        case Some((sess, idx)) if (sess eq s) && !s.sparkContext.isStopped => idx
+        case _ =>
+          val idx = buildIvf(vecs(s, d), k, iters)
+          ivfMemo((d, k, iters)) = (s, idx)
+          idx
+      }
+    }
 
   /** s_centroid_ivf: cell population stats of the built index,
     * oracle-checked against the unrolled-Lloyd SQL replay (mean
@@ -242,26 +292,51 @@ object Sim {
       GROUP BY cid
       ORDER BY cid"""),
     (s, d) =>
-      buildIvf(vecs(s, d), k = 8, iters = 3)
+      ivfIndex(s, d, k = 8, iters = 3).assigned
         .groupBy("cid").agg(count(lit(1)).as("n_vectors"),
           round(sum(sqrt(col("d2")).cast(org.apache.spark.sql.types.DecimalType(28, 10)))
             .cast("double") / count(lit(1)), 4).as("mean_dist"))
         .orderBy("cid"),
   )
 
-  /** s_ivf_search: probe-limited ANN — each probe searches ONLY its
-    * own IVF cell (1-probe), exact cosine top-3 inside the cell. The
-    * per-probe candidate count is n/k: that ratio (and nprobe) is the
-    * recall/latency knob at scale. Oracle-checked via the unrolled
-    * Lloyd replay; recall vs brute force asserted in ScalaTest.
+  /** Probe → its `nprobe` nearest IVF cells, ranked by (d2, cid)
+    * against the final centroids — a map-side literal expression
+    * (sort k structs, slice, explode), never a join. Multi-probe is
+    * the standard recall fix for cell-boundary neighbors: candidates
+    * per probe are nprobe·n/k, still a tiny fraction of the corpus.
+    */
+  private def probeCells(probes: DataFrame, cents: Seq[(Long, Seq[Double])],
+                         nprobe: Int): DataFrame =
+    probes
+      .select(col("probe_id"), col("pv"),
+        explode(slice(array_sort(distStructs(col("pv"), cents)), 1, nprobe)).as("_pc"))
+      .select(col("probe_id"), col("pv"), col("_pc.cid").as("cid"))
+
+  /** Oracle-side probe→cell routing: rank the final centroids
+    * `c{iters}` by (d2, cid) per probe, keep the nprobe nearest.
+    */
+  private def probeCellsSql(probeSrc: String, cFinal: String, nprobe: Int): String =
+    s"""pc AS (SELECT probe_id, pv, cid FROM (
+          SELECT p0.probe_id, p0.pv, c.cid,
+                 ROW_NUMBER() OVER (PARTITION BY p0.probe_id
+                   ORDER BY ${d2Sql("p0.pv", "c.cv")}, c.cid) AS rn
+          FROM $probeSrc p0 CROSS JOIN $cFinal c) WHERE rn <= $nprobe)"""
+
+  /** s_ivf_search: probe-limited ANN — each probe searches its 2
+    * nearest IVF cells (multi-probe, nprobe=2), exact cosine top-3
+    * inside them. Per-probe candidate count is nprobe·n/k: that ratio
+    * (and nprobe) is the recall/latency knob at scale. Oracle-checked
+    * via the unrolled Lloyd replay + the same centroid-ranked cell
+    * routing; recall vs brute force asserted in ScalaTest.
     */
   val ivfSearch = GraftQuery(
     "s_ivf_search",
     Some(s"""
       ${ivfSql(8, 3)},
-      p AS (SELECT vec_id AS probe_id, v AS pv, cid FROM a4 WHERE vec_id < 10),
-      cand AS (SELECT p.probe_id, a.vec_id AS neighbor_id, ${cosSql("p.pv", "a.v")} AS cs
-               FROM p JOIN a4 a ON a.cid = p.cid AND a.vec_id <> p.probe_id),
+      p0 AS (SELECT vec_id AS probe_id, v AS pv FROM a4 WHERE vec_id < 10),
+      ${probeCellsSql("p0", "c3", 2)},
+      cand AS (SELECT pc.probe_id, a.vec_id AS neighbor_id, ${cosSql("pc.pv", "a.v")} AS cs
+               FROM pc JOIN a4 a ON a.cid = pc.cid AND a.vec_id <> pc.probe_id),
       r AS (SELECT probe_id, neighbor_id, cs,
               ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cs DESC, neighbor_id) AS rank
             FROM cand)
@@ -269,12 +344,12 @@ object Sim {
       FROM r WHERE rank <= 3
       ORDER BY probe_id, rank"""),
     (s, d) => {
-      // buildIvf output is already materialized (localCheckpoint) —
-      // both branches below re-read blocks, no extra persist needed.
-      val assigned = buildIvf(vecs(s, d), k = 8, iters = 3)
-        .select(col("vec_id"), col("v"), col("cid"))
-      val probes = assigned.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("cid"))
+      val idx = ivfIndex(s, d, k = 8, iters = 3)
+      val assigned = idx.assigned.select(col("vec_id"), col("v"), col("cid"))
+      val probes = probeCells(
+        assigned.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("probe_id"), col("v").as("pv")),
+        idx.centroids, nprobe = 2)
       val w = Window.partitionBy("probe_id").orderBy(col("cs").desc, col("neighbor_id"))
       broadcast(probes)
         .join(assigned.select(col("vec_id").as("neighbor_id"), col("v"), col("cid")),
@@ -353,9 +428,10 @@ object Sim {
     "s_recall_eval",
     Some(s"""
       ${ivfSql(8, 3)},
-      ip AS (SELECT vec_id AS probe_id, v AS pv, cid FROM a4 WHERE vec_id < 10),
-      ic AS (SELECT ip.probe_id, a.vec_id AS neighbor_id, ${cosSql("ip.pv", "a.v")} AS cs
-             FROM ip JOIN a4 a ON a.cid = ip.cid AND a.vec_id <> ip.probe_id),
+      p0 AS (SELECT vec_id AS probe_id, v AS pv FROM a4 WHERE vec_id < 10),
+      ${probeCellsSql("p0", "c3", 2)},
+      ic AS (SELECT pc.probe_id, a.vec_id AS neighbor_id, ${cosSql("pc.pv", "a.v")} AS cs
+             FROM pc JOIN a4 a ON a.cid = pc.cid AND a.vec_id <> pc.probe_id),
       ir AS (SELECT probe_id, neighbor_id,
                ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cs DESC, neighbor_id) AS rnk
              FROM ic),
@@ -378,11 +454,13 @@ object Sim {
     (s, d) => {
       val e = vecs(s, d).select(col("vec_id"), col("v"))
       val w = Window.partitionBy("probe_id").orderBy(col("cs").desc, col("neighbor_id"))
-      // IVF side: probe only its own cell
-      val assigned = buildIvf(vecs(s, d), k = 8, iters = 3)
-        .select(col("vec_id"), col("v"), col("cid"))
-      val iprobes = assigned.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("cid"))
+      // IVF side: multi-probe (nprobe=2), same routing as s_ivf_search
+      val idx = ivfIndex(s, d, k = 8, iters = 3)
+      val assigned = idx.assigned.select(col("vec_id"), col("v"), col("cid"))
+      val iprobes = probeCells(
+        assigned.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("probe_id"), col("v").as("pv")),
+        idx.centroids, nprobe = 2)
       val itop = broadcast(iprobes)
         .join(assigned.select(col("vec_id").as("neighbor_id"), col("v"), col("cid")), Seq("cid"))
         .filter(col("neighbor_id") =!= col("probe_id"))

@@ -2,12 +2,12 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** IVF search quality: measure recall@3 of the 1-probe cell search
-  * against brute-force cosine top-3 on the same probes.
+/** IVF search quality: measure recall@3 of the multi-probe (nprobe=2)
+  * cell search against brute-force cosine top-3 on the same probes.
   */
 class IvfRecallSpec extends SparkSpec {
 
-  test("s_ivf_search recall@3 vs brute force is measured and non-degenerate") {
+  test("s_ivf_search recall@3 vs brute force is >= 0.9 at nprobe=2") {
     val ivf = graft.sim.Sim.ivfSearch.run(spark, sfDir)
       .select(col("probe_id"), col("neighbor_id")).collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
@@ -21,8 +21,9 @@ class IvfRecallSpec extends SparkSpec {
       truth.intersect(got).size.toDouble / truth.size
     }
     val mean = recalls.sum / recalls.size
-    info(f"1-probe IVF recall@3 = $mean%.2f over ${recalls.size} probes")
-    // 1-probe over k=8 cells: must beat random cell assignment (~1/8)
-    assert(mean > 0.2, f"recall $mean%.2f degenerate")
+    info(f"nprobe=2 IVF recall@3 = $mean%.2f over ${recalls.size} probes")
+    // 2 of 8 cells searched: boundary neighbors are what multi-probe
+    // exists to recover — demand near-exact recall.
+    assert(mean >= 0.9, f"recall $mean%.2f below multi-probe floor")
   }
 }

@@ -166,7 +166,7 @@ class NewOpsSpec extends SparkSpec {
     val out = graft.sim.Sim.recallEval.run(spark, sfDir)
     assert(out.count() === 10)
     val mean = out.agg(avg("recall_at_3")).head().getDouble(0)
-    assert(mean >= 0.5, s"mean recall $mean")
+    assert(mean >= 0.8, s"mean recall $mean")
     assert(out.filter(col("n_matched") > 3).count() === 0)
   }
 
