@@ -39,6 +39,34 @@ object Caching {
   }
 }
 
+/** Distributed global offsets for per-partition running computations
+  * (global rank, running token offset): the only driver-side state is
+  * one (pid, total) row per partition — bounded by the partition
+  * count, never the data.
+  */
+object PartitionOffsets {
+
+  /** Exclusive prefix-sum the per-partition totals and join them back
+    * as a broadcast 2-column (pid, _off) frame. Returns the joined
+    * frame (all original columns + `_off`) and the grand total.
+    *
+    * A broadcast join keeps the plan O(1)-deep at ANY partition
+    * count; the alternative — folding the offsets into a
+    * when(pid===0,..).when(pid===1,..) literal chain — grows one
+    * codegen branch per partition and at 100 TB partition counts
+    * (10⁴–10⁵) blows the JVM's 64 KB method limit into interpreted
+    * fallback, with a plan string to match.
+    */
+  def joinOffsets(df: DataFrame, perPid: Seq[(Int, Long)]): (DataFrame, Long) = {
+    var acc = 0L
+    val rows = perPid.sortBy(_._1).map { case (p, t) => val o = acc; acc += t; (p, o) }
+    val s = df.sparkSession
+    import s.implicits._
+    val offs = org.apache.spark.sql.functions.broadcast(rows.toDF("pid", "_off"))
+    (df.join(offs, Seq("pid")), acc)
+  }
+}
+
 object GraftSession {
 
   private lazy val warehouseDir: String = {

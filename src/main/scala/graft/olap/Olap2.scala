@@ -355,12 +355,16 @@ object Olap2 {
       GROUP BY decile
       ORDER BY decile"""),
     (s, d) => {
-      val nParts = 32
-      // one range exchange = the global sort, materialized once
+      // partition count follows the session's shuffle parallelism (it
+      // would be thousands on a real cluster — nothing below depends
+      // on the number)
+      val nParts = s.conf.get("spark.sql.shuffle.partitions").toInt
+      // one range exchange = the global sort, materialized once for
+      // the two passes (counts + final agg), released on return
       val sorted = Tables.orders(s, d).select("o_totalprice", "o_orderkey")
         .repartitionByRange(nParts, col("o_totalprice"), col("o_orderkey"))
         .sortWithinPartitions("o_totalprice", "o_orderkey")
-        .localCheckpoint(eager = true)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val rankSchema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("o_totalprice",
           org.apache.spark.sql.types.DoubleType),
@@ -373,29 +377,23 @@ object Olap2 {
         var i = 0L
         it.map { r => i += 1; org.apache.spark.sql.Row(r.getDouble(0), pid, i) }
       }(org.apache.spark.sql.Encoders.row(rankSchema))
-      // per-partition counts → rank offsets: ≤ nParts rows on the driver
+      // per-partition counts → rank offsets: ≤ nParts rows on the
+      // driver, joined back as a broadcast (pid, _off) frame
       val counts = ranked.groupBy("pid").agg(max("lrank").as("c")).collect()
-        .map(r => r.getInt(0) -> r.getLong(1)).toMap
-      val total = counts.values.sum
-      var off = 0L
-      val offByPid = counts.keys.toSeq.sorted.map { p =>
-        val o = off; off += counts(p); p -> o
-      }.toMap
-      val offExpr = offByPid.foldLeft(lit(0L)) { case (e, (p, o)) =>
-        when(col("pid") === p, o).otherwise(e)
-      }
+        .map(r => r.getInt(0) -> r.getLong(1)).toSeq
+      val (withOff, total) = graft.PartitionOffsets.joinOffsets(ranked, counts)
       // NTILE(10) remainder rule: first (total mod 10) buckets get one
       // extra row
       val m = total % 10
       val base = total / 10
-      val grank = (offExpr + col("lrank")).as("grank")
+      val grank = (col("_off") + col("lrank")).as("grank")
       // floor() then cast: Spark's `/` on longs is double division
       val decile = when(lit(base) === 0, col("grank")) // tiny inputs
         .when(col("grank") <= m * (base + 1),
           floor((col("grank") - 1) / (base + 1)).cast("long") + 1)
         .otherwise(lit(m) +
           floor((col("grank") - 1 - m * (base + 1)) / base).cast("long") + 1)
-      ranked.select(col("o_totalprice"), grank)
+      val out = withOff.select(col("o_totalprice"), grank)
         .select(col("o_totalprice"), decile.cast("long").as("decile"))
         .groupBy("decile")
         .agg(count(lit(1)).as("n"),
@@ -403,6 +401,7 @@ object Olap2 {
           max(col("o_totalprice")).cast("double").as("hi"),
           dsum(col("o_totalprice")).as("total"))
         .orderBy("decile")
+      graft.Caching.releaseAfter(out, sorted)
     },
   )
 

@@ -494,12 +494,12 @@ object Text {
       // table through ONE partition): range-repartition on the order,
       // local running sums, per-partition token totals as offsets —
       // driver state is one long per partition.
-      val nParts = 32
+      val nParts = s.conf.get("spark.sql.shuffle.partitions").toInt
       val sorted = Tables.documents(s, d)
         .select(col("doc_id"), size(toks(col("text"))).cast("long").as("n_toks"))
         .repartitionByRange(nParts, col("doc_id"))
         .sortWithinPartitions("doc_id")
-        .localCheckpoint(eager = true)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cumSchema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("doc_id",
           org.apache.spark.sql.types.LongType),
@@ -520,21 +520,16 @@ object Text {
         }
       }(org.apache.spark.sql.Encoders.row(cumSchema))
       val totals = local.groupBy("pid").agg(sum("n_toks").as("t")).collect()
-        .map(r => r.getInt(0) -> r.getLong(1)).toMap
-      var acc = 0L
-      val offByPid = totals.keys.toSeq.sorted.map { p =>
-        val o = acc; acc += totals(p); p -> o
-      }.toMap
-      val offExpr = offByPid.foldLeft(lit(0L)) { case (e, (p, o)) =>
-        when(col("pid") === p, o).otherwise(e)
-      }
-      local
+        .map(r => r.getInt(0) -> r.getLong(1)).toSeq
+      val (withOff, _) = graft.PartitionOffsets.joinOffsets(local, totals)
+      val out = withOff
         .select(col("doc_id"), col("n_toks"),
-          floor((offExpr + col("local_off")) / 512).cast("long").as("window_id"))
+          floor((col("_off") + col("local_off")) / 512).cast("long").as("window_id"))
         .groupBy("window_id")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
           min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
         .orderBy("window_id")
+      graft.Caching.releaseAfter(out, sorted)
     },
   )
 
