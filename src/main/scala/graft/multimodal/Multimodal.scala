@@ -86,22 +86,36 @@ object Multimodal {
   }
 
   /** mm_feature_extract: the canned harness entry over documents.
-    * Rows-only in the harness; asserted in ScalaTest. The harness
-    * row check sorts every output column, so the feature vector is
-    * surfaced as a fixed-format scalar string (array cells are not
-    * sortable driver-side); library users take extractFeatures'
-    * array column directly.
+    * The stub features are pure byte arithmetic (length, unsigned-byte
+    * mean/max/min — exact integer sums, one double division), so the
+    * oracle replays them in DuckDB by hex-decoding the same blob —
+    * the whole partition-batched decode pipeline is hash-checked, not
+    * just row-counted. Library users take extractFeatures' array
+    * column directly; the harness gets the features as scalars.
     */
   val featureExtract = GraftQuery(
     "mm_feature_extract",
-    None,
+    Some("""
+      WITH d AS (SELECT doc_id, encode(text) AS b FROM documents),
+      x AS (SELECT doc_id, b, list_transform(range(0, octet_length(b)), __bi ->
+              CAST('0x' || substr(hex(b), 2*__bi + 1, 2) AS INT)) AS bytes FROM d)
+      SELECT doc_id, octet_length(b) AS n_bytes,
+             CAST(greatest(octet_length(b), 1) AS DOUBLE) AS feat_len,
+             CAST(coalesce(list_sum(bytes), 0) AS DOUBLE) / greatest(octet_length(b), 1)
+               AS feat_mean,
+             CAST(coalesce(list_max(bytes), 0) AS DOUBLE) AS feat_max,
+             CAST(coalesce(list_min(bytes), 0) AS DOUBLE) AS feat_min
+      FROM x
+      ORDER BY doc_id"""),
     (s, d) => {
       val src = Tables.documents(s, d)
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       extractFeatures(src)
         .select(col("doc_id"), col("n_bytes"),
-          concat_ws(",", transform(col("features"), x => format_string("%.6f", x)))
-            .as("features_csv"))
+          element_at(col("features"), 1).as("feat_len"),
+          element_at(col("features"), 2).as("feat_mean"),
+          element_at(col("features"), 3).as("feat_max"),
+          element_at(col("features"), 4).as("feat_min"))
         .orderBy("doc_id")
     },
   )

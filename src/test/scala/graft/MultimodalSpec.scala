@@ -29,8 +29,10 @@ class MultimodalSpec extends SparkSpec {
       !f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]))
     val n = graft.sources.Tables.documents(spark, sfDir).count()
     assert(out.count() === n)
-    val csv = out.filter(col("doc_id") === 0).collect().head.getString(2)
-    assert(csv.split(",").length === 4)
-    assert(csv.split(",").forall(_.matches("-?\\d+\\.\\d{6}")))
+    val r = out.filter(col("doc_id") === 0).collect().head
+    // scalars mirror the stub feature vector: len, mean, max, min
+    assert(r.getDouble(2) === r.getInt(1).toDouble)
+    assert(r.getDouble(4) <= 255.0 && r.getDouble(5) >= 0.0)
+    assert(r.getDouble(3) >= r.getDouble(5) && r.getDouble(3) <= r.getDouble(4))
   }
 }
