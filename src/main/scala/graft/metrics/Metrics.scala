@@ -103,9 +103,9 @@ object Metrics {
       WHERE rn = 1
       ORDER BY user_id, event_type"""),
     (s, d) =>
-      // TopK.perKey(k=1): map-side partial keeps one candidate per
-      // series per partition, so the shuffle carries series·partitions
-      // rows, not the whole stream.
+      // TopK.perKey(k=1): WindowGroupLimit partial pushdown keeps one
+      // candidate per series per partition BELOW the shuffle, so the
+      // exchange carries series·partitions rows, not the whole stream.
       graft.olap.TopK.perKey(Tables.events(s, d),
           Seq("user_id", "event_type"), Seq(col("ts").desc, col("event_id").desc), 1)
         .select(col("user_id"), col("event_type"),

@@ -34,12 +34,17 @@ class PlanShapeSpec extends SparkSpec {
       s"bucketed join still shuffles:\n$p")
   }
 
+  test("m4: per-series top-1 plans WindowGroupLimit partial pushdown below the shuffle") {
+    val p = plan(graft.metrics.Metrics.latestPerSeries.run(spark, sfDir))
+    assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$p")
+  }
+
   test("no operator plans a cartesian product") {
-    for (q <- SparkEntry.registry if q.name != "s_centroid_ivf") {
+    // includes the IVF family: since the map-side argmin rewrite their
+    // centroids are literals, so no crossJoin remains anywhere.
+    for (q <- SparkEntry.registry) {
       val p = plan(q.run(spark, sfDir))
       assert(!p.contains("CartesianProduct"), s"${q.name} plans a cartesian product")
     }
-    // s_centroid_ivf is exempt: its probe×centroid cross join is k=8
-    // broadcast rows per vector by construction.
   }
 }
