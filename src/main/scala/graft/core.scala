@@ -24,6 +24,12 @@ final case class GraftQuery(
   */
 object Caching {
 
+  // checkpoint blocks registered by releaseAfter: reclaimable only on
+  // driver GC otherwise, so the harness frees them deterministically
+  // via releaseAll() at teardown.
+  private val tracked = scala.collection.mutable.Buffer[org.apache.spark.rdd.RDD[_]]()
+  private val hooks = scala.collection.mutable.Buffer[() => Unit]()
+
   /** Eagerly materialize `result` (localCheckpoint: computed once,
     * stored as blocks, lineage truncated) and then release the
     * internal `cached` frames that fed it. The returned frame is
@@ -34,8 +40,30 @@ object Caching {
     */
   def releaseAfter(result: DataFrame, cached: DataFrame*): DataFrame = {
     val out = result.localCheckpoint(eager = true)
+    org.apache.spark.sql.graftshim.Shim.checkpointedRdd(out)
+      .foreach(r => tracked.synchronized { tracked += r })
     cached.foreach(_.unpersist(blocking = false))
     out
+  }
+
+  /** Register a callback run by releaseAll() — for holders of
+    * memoized checkpointed frames (e.g. the IVF index), whose entries
+    * become unusable once their blocks are freed.
+    */
+  def onReleaseAll(h: () => Unit): Unit = hooks.synchronized { hooks += h }
+
+  /** Free every checkpoint block releaseAfter has registered (and
+    * invalidate registered memos). Call at harness teardown —
+    * Verify/Bench run 100+ operators in one session, and without this
+    * the blocks of every operator's index artifact accumulate until
+    * driver GC happens to run.
+    */
+  def releaseAll(): Unit = {
+    hooks.synchronized { hooks.foreach(h => try h() catch { case _: Throwable => () }) }
+    tracked.synchronized {
+      tracked.foreach(r => try r.unpersist(blocking = false) catch { case _: Throwable => () })
+      tracked.clear()
+    }
   }
 }
 

@@ -411,7 +411,7 @@ object Dedup {
     * shallow — the driver loop checks convergence, it never holds
     * graph data.
     */
-  def connectedComponents(edges: DataFrame, maxIters: Int = 20): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIters: Int = 50): DataFrame = {
     // Iterative algorithm ⇒ lineage truncation every round
     // (localCheckpoint: materialize + leaf plan). Without it the plan
     // tree nests one level per round and plan-string generation alone
@@ -427,8 +427,12 @@ object Dedup {
     // Convergence: a node's label only ever DECREASES (min-label), so
     // the labeling is a fixpoint iff Σcomponent is unchanged — one
     // scalar aggregate per round instead of a next⋈previous diff join.
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum("component"), lit(0L))).head().getLong(0)
+    // The sum is DECIMAL(38,0): a long sum of raw 64-bit ids would
+    // overflow (and, under ANSI mode, throw) at large id spaces.
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("component").cast(dec38)), lit(0).cast(dec38)))
+        .head().getDecimal(0)
     var prevSum = labelSum(labels)
     var converged = false
     var i = 0
@@ -439,11 +443,19 @@ object Dedup {
         .groupBy("doc_id").agg(min("component").as("component"))
         .localCheckpoint(eager = true)
       val s = labelSum(next)
-      converged = s == prevSum
+      converged = s.compareTo(prevSum) == 0
       prevSum = s
       labels = next
       i += 1
     }
+    // Returning non-converged labels would silently split components
+    // (chain-shaped near-dup clusters — truncation chains — have
+    // diameter > round count); the oracle computes the exact closure,
+    // so divergence here is data corruption, not degradation.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents: no fixpoint after $maxIters rounds " +
+          "(component diameter exceeds the iteration budget; raise maxIters)")
     labels
   }
 

@@ -525,12 +525,18 @@ object Olap2 {
     * both sides bucketed+sorted by the key, re-written only if the
     * session hasn't materialized them yet.
     */
-  def bucketedOrdersJoin(s: SparkSession, d: String): DataFrame = {
+  def bucketedOrdersJoin(s: SparkSession, d: String): DataFrame = synchronized {
     val nb = 8
     // table identity includes the data dir: one session serving several
     // sf dirs (harness + specs) must not reuse another dir's buckets;
-    // each table checks its own existence (no partial-write trap).
-    val tag = (d.hashCode.toLong & 0xffffffffL).toHexString
+    // each table checks its own existence (no partial-write trap). The
+    // tag is a hex MD5 of the canonical path — collision-resistant,
+    // unlike String.hashCode's 32 bits, where two dirs colliding would
+    // silently serve each other's buckets. `synchronized` guards the
+    // exists-then-create window against concurrent specs in one JVM.
+    val canonical = new java.io.File(d).getCanonicalPath
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(canonical.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
     val ordersT = s"orders_bkt_$tag"
     val customerT = s"customer_bkt_$tag"
     if (!s.catalog.tableExists(ordersT))

@@ -265,6 +265,9 @@ object Sim {
     */
   private val ivfMemo =
     scala.collection.mutable.Map[(String, Int, Int), (SparkSession, IvfIndex)]()
+  // a memoized index holds checkpointed blocks: once Caching frees
+  // them at harness teardown the entries are unusable — drop them.
+  graft.Caching.onReleaseAll(() => ivfMemo.synchronized(ivfMemo.clear()))
 
   def ivfIndex(s: SparkSession, d: String, k: Int, iters: Int): IvfIndex =
     ivfMemo.synchronized {

@@ -316,7 +316,7 @@ object Streaming {
         val r = prev.collect {
           case was if was != alerting =>
             AlertOut(e.user_id, e.event_type, e.ts, e.value,
-              if (alerting) "ENTER" else "CLEAR")
+              if (alerting) "ENTER" else "CLEAR", e.event_id)
         }
         prev = Some(alerting)
         r
@@ -353,8 +353,12 @@ object Streaming {
       val edges = evs
         .groupByKey(e => (e.user_id, e.event_type))
         .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(alertFn)
+      // event_id rides along purely as the deterministic tie-break
+      // (two transitions at one timestamp in a series), mirroring
+      // m15's orderBy — then drops out of the oracle-facing schema.
       runToTable(s, edges.toDF(), OutputMode.Append())
-        .orderBy("user_id", "event_type", "ts")
+        .orderBy("user_id", "event_type", "ts", "event_id")
+        .drop("event_id")
     },
   )
 
@@ -440,4 +444,4 @@ case class AlertEv(user_id: Long, event_type: String, event_id: Long,
                    ts: java.sql.Timestamp, ts_us: Long, value: Double)
 case class AlertState(alerting: Boolean)
 case class AlertOut(user_id: Long, event_type: String, ts: java.sql.Timestamp,
-                    value: Double, transition: String)
+                    value: Double, transition: String, event_id: Long)

@@ -20,4 +20,16 @@ object Shim {
   def noDataFrameCaches(spark: SparkSession): Boolean =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sharedState.cacheManager.isEmpty
+
+  /** The materialized RDD behind a checkpointed frame (LogicalRDD
+    * leaf), if the plan is one. localCheckpoint blocks are NOT in the
+    * cacheManager (Dataset.unpersist can't see them — they normally
+    * live until driver GC); handing the RDD out lets the engine
+    * unpersist them deterministically at harness teardown.
+    */
+  def checkpointedRdd(df: Dataset[_]): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => Some(lr.rdd)
+      case _ => None
+    }
 }

@@ -35,6 +35,16 @@ class CacheLifecycleSpec extends SparkSpec {
     assertNoLeak("s_lsh_ann")(graft.sim.Sim.lshAnn.run(spark, sfDir))
   }
 
+  test("Caching.releaseAll frees checkpoint blocks; operators rebuild cleanly after") {
+    // prime a memoized checkpointed artifact, then free everything
+    val before = graft.sim.Sim.centroidIvf.run(spark, sfDir).collect()
+    Caching.releaseAll()
+    // memo invalidated -> a fresh build must produce the same result
+    val after = graft.sim.Sim.centroidIvf.run(spark, sfDir).collect()
+    assert(after === before)
+    assert(Shim.noDataFrameCaches(spark))
+  }
+
   test("released results stay correct and composable") {
     val docs = graft.sources.Tables.documents(spark, sfDir)
     val pairs = graft.dedup.Dedup.ngramJaccardPairs(docs)
