@@ -131,11 +131,30 @@ object Jolokia {
       Map("jolokia/is_enabled" -> "true", "jolokia/port" -> "7774")),
   )
 
-  /** Annotation-driven pod → Jolokia URL discovery table. Server type
-    * falls back to "Discovered" like the reference.
+  /** Per-server-type mbean poll patterns (argparser.py:62-69 defaults,
+    * main.py:21-26): ZooKeeper polls its service bean, the Kafka
+    * family polls `kafka.*:*`, and any OTHER discovered type polls the
+    * common default beans (`java.lang:type=*`,
+    * main.py:65-69 + argparser common_mbeans_list). A server with n
+    * patterns scrapes n URLs (itertools.product in return_url_set,
+    * argparser.py:117-122).
+    */
+  private val mbeanPatterns: Seq[(String, Seq[String])] = Seq(
+    "ZooKeeper" -> Seq("org.apache.ZooKeeperService:*"),
+    "KafkaBroker" -> Seq("kafka.*:*"),
+    "KafkaConnect" -> Seq("kafka.*:*"),
+    "KSQL" -> Seq("kafka.*:*"))
+  private val commonPatterns: Seq[String] = Seq("java.lang:type=*")
+
+  /** Annotation-driven pod → Jolokia scrape-URL discovery table.
+    * Server type falls back to "Discovered" like the reference; each
+    * pod fans out to one row per mbean pattern of its type
+    * (base_url × patterns — the reference's return_url_set), with the
+    * full scrape URL assembled.
     */
   def discover(s: SparkSession): DataFrame = {
     import s.implicits._
+    val patterns = broadcast(mbeanPatterns.toDF("server_type", "patterns"))
     pods.toDF("pod_name", "pod_ip", "phase", "annotations")
       .filter(col("phase") === "Running" &&
         element_at(col("annotations"), "jolokia/is_enabled") === "true")
@@ -145,7 +164,13 @@ object Jolokia {
           .as("server_type"),
         concat(lit("http://"), col("pod_ip"), lit(":"),
           element_at(col("annotations"), "jolokia/port"), lit("/jolokia/read/")).as("base_url"))
-      .orderBy("pod_name")
+      .join(patterns, Seq("server_type"), "left")
+      .withColumn("mbean_pattern",
+        explode(coalesce(col("patterns"), typedLit(commonPatterns))))
+      .select(col("pod_name"), col("server_type"), col("base_url"),
+        col("mbean_pattern"),
+        concat(col("base_url"), col("mbean_pattern")).as("scrape_url"))
+      .orderBy("pod_name", "mbean_pattern")
   }
 
   /** m12: oracle-checked via a literal VALUES replay of the expected
@@ -155,13 +180,18 @@ object Jolokia {
     "m12_k8s_discovery",
     Some("""
       SELECT * FROM (VALUES
-        ('connect-0', 'KafkaConnect', 'http://10.0.2.10:7773/jolokia/read/'),
-        ('kafka-0',   'KafkaBroker',  'http://10.0.0.10:7771/jolokia/read/'),
-        ('kafka-1',   'KafkaBroker',  'http://10.0.0.11:7771/jolokia/read/'),
-        ('ksql-0',    'Discovered',   'http://10.0.4.10:7774/jolokia/read/'),
-        ('zk-0',      'ZooKeeper',    'http://10.0.1.10:7772/jolokia/read/')
-      ) AS t(pod_name, server_type, base_url)
-      ORDER BY pod_name"""),
+        ('connect-0', 'KafkaConnect', 'http://10.0.2.10:7773/jolokia/read/',
+         'kafka.*:*', 'http://10.0.2.10:7773/jolokia/read/kafka.*:*'),
+        ('kafka-0',   'KafkaBroker',  'http://10.0.0.10:7771/jolokia/read/',
+         'kafka.*:*', 'http://10.0.0.10:7771/jolokia/read/kafka.*:*'),
+        ('kafka-1',   'KafkaBroker',  'http://10.0.0.11:7771/jolokia/read/',
+         'kafka.*:*', 'http://10.0.0.11:7771/jolokia/read/kafka.*:*'),
+        ('ksql-0',    'Discovered',   'http://10.0.4.10:7774/jolokia/read/',
+         'java.lang:type=*', 'http://10.0.4.10:7774/jolokia/read/java.lang:type=*'),
+        ('zk-0',      'ZooKeeper',    'http://10.0.1.10:7772/jolokia/read/',
+         'org.apache.ZooKeeperService:*', 'http://10.0.1.10:7772/jolokia/read/org.apache.ZooKeeperService:*')
+      ) AS t(pod_name, server_type, base_url, mbean_pattern, scrape_url)
+      ORDER BY pod_name, mbean_pattern"""),
     (s, _) => discover(s),
   )
 

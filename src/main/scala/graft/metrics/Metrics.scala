@@ -1,5 +1,6 @@
 package graft.metrics
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -713,11 +714,66 @@ object Metrics {
     },
   )
 
+  /** Bootstrap requests a sink setup pass issues before the first
+    * bulk (ElasticSearchAppender.py:43-65): the index TEMPLATE put
+    * (dates the createdDateTime field for the rolling
+    * `<index>-YYYY-MM-DD` indices m7 writes) and the Kibana
+    * index-pattern put. Pure deterministic string construction over a
+    * config frame — the body/url byte strings are exactly the
+    * reference's concatenations.
+    */
+  def esBootstrap(configs: DataFrame): DataFrame = {
+    val template = struct(
+      lit(1L).as("step"),
+      lit("PUT").as("method"),
+      concat(col("es_url"), lit("/_template/"), col("index_name"), lit("_template"))
+        .as("url"),
+      concat(lit("{\"template\": \""), col("index_name"),
+        lit("-*\",\"mappings\": {\"default\": {\"properties\": " +
+          "{\"createdDateTime\": {\"type\": \"date\"}}}}}")).as("body"))
+    val kibanaPattern = struct(
+      lit(2L).as("step"),
+      lit("PUT").as("method"),
+      concat(col("kibana_url"), lit("/es_admin/.kibana/index-pattern/"),
+        col("index_name"), lit("-*/_create")).as("url"),
+      concat(lit("{\"title\": \""), col("index_name"),
+        lit("-*\",\"notExpandable\":true, \"timeFieldName\": \"createdDateTime\"}"))
+        .as("body"))
+    configs
+      .select(col("index_name"), explode(array(template, kibanaPattern)).as("req"))
+      .select(col("index_name"), col("req.step"), col("req.method"),
+        col("req.url"), col("req.body"))
+  }
+
+  /** m24: the canned bootstrap for the reference's default endpoints,
+    * oracle-checked via literal replay (like m12) — the construction
+    * must reproduce the reference's PUTs byte-for-byte.
+    */
+  val esBootstrapQuery = GraftQuery(
+    "m24_es_bootstrap",
+    Some("""
+      SELECT * FROM (VALUES
+        ('kafka-jmx-logs', CAST(1 AS BIGINT), 'PUT',
+         'http://localhost:9200/_template/kafka-jmx-logs_template',
+         '{"template": "kafka-jmx-logs-*","mappings": {"default": {"properties": {"createdDateTime": {"type": "date"}}}}}'),
+        ('kafka-jmx-logs', CAST(2 AS BIGINT), 'PUT',
+         'http://localhost:5601/es_admin/.kibana/index-pattern/kafka-jmx-logs-*/_create',
+         '{"title": "kafka-jmx-logs-*","notExpandable":true, "timeFieldName": "createdDateTime"}')
+      ) AS t(index_name, step, method, url, body)
+      ORDER BY index_name, step"""),
+    (s, _) => {
+      import s.implicits._
+      val cfg = Seq(("kafka-jmx-logs", "http://localhost:9200", "http://localhost:5601"))
+        .toDF("index_name", "es_url", "kibana_url")
+      esBootstrap(cfg).orderBy("index_name", "step")
+    },
+  )
+
   def all: Seq[GraftQuery] = Seq(
     flattenProps, windowRollup, rate, latestPerSeries, sessionize,
     anomalyZscore, esBulkFormat, serverDedup, connectStatus, topSeries,
     pollGating, valueHistogram, ewma, alertTransitions, madOutliers, downtime,
     hoppingRollup, counterResetRate, metricCatalog, burnRate, timeWeightedAvg,
-    seasonalBaseline,
+    seasonalBaseline, esBootstrapQuery,
   )
 }

@@ -44,7 +44,12 @@ class JolokiaSpec extends SparkSpec {
     val pods = graft.jolokia.Jolokia.discover(spark).collect()
     assert(pods.map(_.getAs[String]("pod_name")).toSeq ===
       Seq("connect-0", "kafka-0", "kafka-1", "ksql-0", "zk-0"))
-    assert(pods.find(_.getAs[String]("pod_name") === "ksql-0")
-      .get.getAs[String]("server_type") === "Discovered") // no type annotation
+    val ksql = pods.find(_.getAs[String]("pod_name") === "ksql-0").get
+    assert(ksql.getAs[String]("server_type") === "Discovered") // no type annotation
+    // unknown types poll the common default beans; known types their own
+    assert(ksql.getAs[String]("mbean_pattern") === "java.lang:type=*")
+    assert(pods.find(_.getAs[String]("pod_name") === "zk-0")
+      .get.getAs[String]("scrape_url") ===
+      "http://10.0.1.10:7772/jolokia/read/org.apache.ZooKeeperService:*")
   }
 }
