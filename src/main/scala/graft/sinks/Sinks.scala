@@ -39,6 +39,8 @@ object Sinks {
   /** Kafka-shaped JSONL sink (KafkaAppender.py): records rendered as
     * the JSON bytes a producer would send, keyed-partitioned by
     * `keyCol` so each output dir is one topic-partition's batch.
+    * (Keying is an EXTENSION: the reference's producer sends value-only
+    * records — see [[kafkaProducerBatches]] for its exact contract.)
     */
   def writeKafkaJsonl(df: DataFrame, keyCol: String, outDir: String,
                       numPartitions: Int = 8, mode: String = "append"): Unit = {
@@ -46,5 +48,40 @@ object Sinks {
       .withColumn("value", to_json(struct(df.columns.toIndexedSeq.map(col): _*)))
       .select("_kpart", "value")
       .write.mode(mode).partitionBy("_kpart").text(outDir)
+  }
+
+  /** The reference producer's exact delivery contract
+    * (KafkaAppender.py:37-53), materialized: messages are UNKEYED
+    * (`produce(topic, value=item, timestamp=current_timestamp)` — no
+    * key, so partitioning is the producer's round-robin, never key
+    * hashing) and share ONE poll-cycle timestamp; the producer
+    * flushes after the first message and then after every 500th
+    * (`index % 500 == 0`), plus a final flush — so the delivery
+    * batches are [0], (0,500], (500,1000], …
+    *
+    * One poll cycle is a bounded scrape sweep (thousands of rows, not
+    * the corpus), so the sequential enumeration the reference's
+    * producer loop implies is a window over this cycle's frame only —
+    * callers hand in one poll batch at a time, exactly like the
+    * reference hands `data_list` per cycle.
+    *
+    * Returns (topic, msg_index, batch_id, value, timestamp).
+    */
+  def kafkaProducerBatches(df: DataFrame, orderCols: Seq[String], valueCol: String,
+                           topic: String = "jmx_data_ingestion_pipeline",
+                           pollTsMillis: Long = 0L,
+                           flushEvery: Int = 500): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(orderCols.map(col): _*)
+    val idx = (row_number().over(w) - 1).cast("long")
+    df.select(
+        lit(topic).as("topic"),
+        idx.as("msg_index"),
+        col(valueCol).as("value"))
+      .withColumn("batch_id",
+        when(col("msg_index") === 0, 0L)
+          .otherwise(floor((col("msg_index") - 1) / flushEvery) + 1))
+      .withColumn("timestamp", lit(pollTsMillis))
+      .select("topic", "msg_index", "batch_id", "value", "timestamp")
   }
 }

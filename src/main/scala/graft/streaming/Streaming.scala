@@ -141,19 +141,27 @@ object Streaming {
       FROM r WHERE rate IS NOT NULL
       ORDER BY user_id, event_type, event_id"""),
     (s, d) => {
-      import s.implicits._
-      val evs: Dataset[Ev] = streamEvents(s, d)
-        .select(col("user_id"), col("event_type"), col("event_id"),
-          col("ts"), unix_micros(col("ts")).as("ts_us"), col("value"))
-        .withWatermark("ts", "2 hours")
-        .as[Ev]
-      val rates = evs
-        .groupByKey(e => (e.user_id, e.event_type))
-        .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(rateFn)
-      runToTable(s, rates.toDF(), OutputMode.Append())
+      runToTable(s, rateStream(s, streamEvents(s, d)), OutputMode.Append())
         .orderBy("user_id", "event_type", "event_id")
     },
   )
+
+  /** The stateful-rate stream over any events-shaped streaming frame
+    * (user_id, event_type, event_id, ts, value) — shared by the
+    * harness query and the state-rescale spec (which restarts it from
+    * a checkpoint under a different shuffle-partition count).
+    */
+  def rateStream(s: SparkSession, src: DataFrame): DataFrame = {
+    import s.implicits._
+    val evs: Dataset[Ev] = src
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts"), unix_micros(col("ts")).as("ts_us"), col("value"))
+      .withWatermark("ts", "2 hours")
+      .as[Ev]
+    evs.groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(rateFn)
+      .toDF()
+  }
 
   /** st_sinks: foreachBatch fan-out of every micro-batch to both sinks
     * (main.py's appender loop): ES bulk NDJSON partitioned by the
@@ -396,17 +404,22 @@ object Streaming {
       GROUP BY user_id, sid
       ORDER BY user_id, session_start"""),
     (s, d) => {
-      val sessions = streamEvents(s, d)
-        .withWatermark("ts", "2 hours")
-        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-        .agg(max(col("ts")).as("session_end"), count(lit(1)).as("n_events"),
-          graft.gfunctions.dsum(col("value")).as("session_value"))
-        .select(col("user_id"), col("session_window.start").as("session_start"),
-          col("session_end"), col("n_events"), col("session_value"))
-      runToTable(s, sessions, OutputMode.Complete())
+      runToTable(s, sessionStream(streamEvents(s, d)), OutputMode.Complete())
         .orderBy("user_id", "session_start")
     },
   )
+
+  /** The session-window stream over any events-shaped streaming frame —
+    * shared by the harness query and the state-rescale spec.
+    */
+  def sessionStream(src: DataFrame): DataFrame =
+    src
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(max(col("ts")).as("session_end"), count(lit(1)).as("n_events"),
+        graft.gfunctions.dsum(col("value")).as("session_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_end"), col("n_events"), col("session_value"))
 
   /** st_latest: the live gauge view — latest sample per series as a
     * continuously-updated aggregate (`max_by` keyed on the (ts,

@@ -30,6 +30,25 @@ class SinksSpec extends SparkSpec {
     assert(lines === Array("""{"index":{"_index":"metrics-1970-01-02","_type":"doc"}}""", """{"m":1}"""))
   }
 
+  test("Kafka producer contract: unkeyed, shared poll ts, flush-every-500 batch boundaries") {
+    val n = 1234
+    val df = (0 until n).map(i => (i.toLong, s"""{"m":$i}""")).toDF("event_id", "doc")
+    val out = graft.sinks.Sinks.kafkaProducerBatches(
+      df, Seq("event_id"), "doc", pollTsMillis = 1700000000000L).collect()
+    assert(out.length === n)
+    // value-only records: one shared timestamp, no key column at all
+    assert(out.forall(_.getAs[Long]("timestamp") === 1700000000000L))
+    assert(!out.head.schema.fieldNames.contains("key"))
+    // flush after index 0, then every 500th: batches [0], (0,500], (500,1000], tail
+    val sizes = out.groupBy(_.getAs[Long]("batch_id")).view
+      .mapValues(_.length).toMap
+    assert(sizes === Map(0L -> 1, 1L -> 500, 2L -> 500, 3L -> (n - 1001)))
+    // boundary bytes: message 500 closes batch 1, message 501 opens batch 2
+    val byIdx = out.map(r => r.getAs[Long]("msg_index") -> r.getAs[Long]("batch_id")).toMap
+    assert(byIdx(0L) === 0L && byIdx(1L) === 1L && byIdx(500L) === 1L && byIdx(501L) === 2L)
+    assert(out.forall(_.getAs[String]("topic") === "jmx_data_ingestion_pipeline"))
+  }
+
   test("Kafka JSONL sink: records land key-partitioned, JSON round-trips") {
     val out = Files.createTempDirectory("graft_kafka_spec").toString
     val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("k", "name", "v")
