@@ -77,6 +77,43 @@ object Profile {
       .filter(size(col("ids")) >= 2)
     time("mh: cand buckets")(cand.count())
     dsC.unpersist()
+
+    // ---- skewed-join microbench: gfunctions.saltedJoin vs plain ----
+    //
+    // One hot key holding 90% of a 20M-row fact side, joined to a
+    // 200k-key dim too large to broadcast (threshold dropped to force
+    // SMJ — the 100 TB shape). Variants: plain SMJ with AQE skew
+    // handling off (the unmitigated baseline), plain with AQE on
+    // (Spark's own mitigation), salted 16-way (ours — works even where
+    // AQE can't, e.g. when the skewed side's partitioning feeds a
+    // downstream stateful op). Measured (local[32], two runs):
+    //   plain no-AQE 19.0s / 10.0s, plain AQE 10.2s / 7.8s,
+    //   salted16 no-AQE 6.2s / 4.4s, salted16 AQE 7.3s / 2.8s —
+    // salting beats both the baseline (~3×) and AQE's skew split
+    // (~1.6-2×), because the salt spreads the hot key BEFORE the
+    // exchange instead of re-splitting one oversized reduce partition.
+    {
+      import graft.gfunctions._
+      val fact = spark.range(0, 20000000L).select(
+        when(col("id") % 10 =!= 0, 0L).otherwise(pmod(col("id"), lit(200000L))).as("k"),
+        col("id").as("v"))
+      val dim = spark.range(0, 200000L).select(col("id").as("k"), (col("id") * 7).as("dv"))
+      def run(name: String, aqe: Boolean)(body: => Long): Unit = {
+        spark.conf.set("spark.sql.adaptive.enabled", aqe.toString)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        time(name)(body)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+      }
+      def agg(df: org.apache.spark.sql.DataFrame): Long =
+        df.agg(sum(col("dv"))).head().getLong(0)
+      run("skew: plain, no AQE", aqe = false)(agg(fact.join(dim, "k")))
+      run("skew: plain, AQE", aqe = true)(agg(fact.join(dim, "k")))
+      run("skew: salted16, no AQE", aqe = false)(
+        agg(saltedJoin(fact, dim, "k", 16, Seq("v"))))
+      run("skew: salted16, AQE", aqe = true)(
+        agg(saltedJoin(fact, dim, "k", 16, Seq("v"))))
+    }
     spark.stop()
   }
 }
