@@ -720,7 +720,64 @@ object Dedup {
     },
   )
 
+  /** d_split_leakage: train/eval leakage through NEAR-duplicates —
+    * t_contamination catches exact n-gram reuse, but a paraphrased or
+    * truncated twin of a test document sitting in train passes that
+    * check and still inflates eval. Every near-dup pair whose two docs
+    * hash into different splits (t_split's deterministic assignment)
+    * is a leak. The split of a doc is a pure function of its id, so
+    * both sides compute it MAP-SIDE on the pair frame — no join with
+    * a doc-sized split table; cost is the pair pipeline itself.
+    */
+  val splitLeakage = GraftQuery(
+    "d_split_leakage",
+    Some(s"""
+      WITH d AS (SELECT doc_id, ${Text.ToksSql} AS t FROM documents),
+      $ShSql,
+      shf AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 1000),
+      shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN shf USING (shingle)),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      p0 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+             FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+      pairs AS (SELECT doc_a, doc_b,
+                  ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 4) AS jaccard
+                FROM p0 JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+                WHERE ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 4) >= 0.5),
+      sp AS (SELECT doc_a, doc_b, jaccard,
+               CASE WHEN ${Text.polySqlPublic("CAST(doc_a AS VARCHAR)")} % 100 < 80 THEN 'train'
+                    WHEN ${Text.polySqlPublic("CAST(doc_a AS VARCHAR)")} % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS spa,
+               CASE WHEN ${Text.polySqlPublic("CAST(doc_b AS VARCHAR)")} % 100 < 80 THEN 'train'
+                    WHEN ${Text.polySqlPublic("CAST(doc_b AS VARCHAR)")} % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS spb
+             FROM pairs)
+      SELECT least(spa, spb) AS split_a, greatest(spa, spb) AS split_b,
+             least(spa, spb) <> greatest(spa, spb) AS is_leak,
+             COUNT(*) AS n_pairs,
+             ROUND(MAX(jaccard), 4) AS max_jaccard
+      FROM sp
+      GROUP BY 1, 2
+      ORDER BY split_a, split_b"""),
+    (s, d) => {
+      def splitOf(c: Column): Column = {
+        val b = polyHash(c.cast("string")) % 100
+        when(b < 80, "train").when(b < 90, "val").otherwise("test")
+      }
+      ngramJaccardPairs(Tables.documents(s, d))
+        .select(col("jaccard"), splitOf(col("doc_a")).as("spa"), splitOf(col("doc_b")).as("spb"))
+        .select(least(col("spa"), col("spb")).as("split_a"),
+          greatest(col("spa"), col("spb")).as("split_b"), col("jaccard"))
+        .groupBy("split_a", "split_b")
+        .agg(count(lit(1)).as("n_pairs"), round(max(col("jaccard")), 4).as("max_jaccard"))
+        .select(col("split_a"), col("split_b"),
+          (col("split_a") =!= col("split_b")).as("is_leak"),
+          col("n_pairs"), col("max_jaccard"))
+        .orderBy("split_a", "split_b")
+    },
+  )
+
   def all: Seq[GraftQuery] =
     Seq(exact, ngramJaccard, minhashLsh, simhash, embedDup, cdcChunks, components,
-      dupConsistency, prefixContainment, containment, dedupFunnel)
+      dupConsistency, prefixContainment, containment, dedupFunnel, splitLeakage)
 }

@@ -305,6 +305,17 @@ class NewOpsSpec extends SparkSpec {
     assert(out.count() > 0)
   }
 
+  test("d_split_leakage: pair counts account for every near-dup pair; leak flag = split mismatch") {
+    val out = graft.dedup.Dedup.splitLeakage.run(spark, sfDir).collect()
+    val total = out.map(_.getAs[Long]("n_pairs")).sum
+    val pairs = graft.dedup.Dedup.ngramJaccardPairs(
+      graft.sources.Tables.documents(spark, sfDir)).count()
+    assert(total === pairs)
+    assert(out.forall(r =>
+      r.getAs[Boolean]("is_leak") ===
+        (r.getAs[String]("split_a") != r.getAs[String]("split_b"))))
+  }
+
   test("s_sq8_quantize: codes in [0,255], 64 per vector, small reconstruction error") {
     val out = graft.sim.Sim.sq8Quantize.run(spark, sfDir)
     val n = graft.sources.Tables.embeddings(spark, sfDir).count()
