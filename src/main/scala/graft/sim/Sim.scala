@@ -166,28 +166,37 @@ object Sim {
     * a WITH-clause ending at the final assignment `a{iters+1}`
     * (vec_id, v, cid, d2); the final centroids are `c{iters}`.
     */
-  private def ivfSql(k: Int, iters: Int): String = {
+  /** The Lloyd CTE chain over a prepared (vec_id, v) CTE named
+    * `$src`, with every generated CTE name prefixed `$p` so several
+    * chains (e.g. one per PQ subspace) can share one WITH clause.
+    * Emits `${p}c0..c$iters` (centroids) and `${p}a1..a${iters+1}`
+    * (assignments) — no leading WITH.
+    */
+  private def lloydCtes(k: Int, iters: Int, src: String, p: String): String = {
     def d2(v: String, cv: String) = d2Sql(v, cv)
     val sb = new StringBuilder
-    sb.append("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),\n")
-    sb.append(s"c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $k)")
+    sb.append(s"${p}c0 AS (SELECT vec_id AS cid, v AS cv FROM $src WHERE vec_id < $k)")
     for (i <- 1 to iters + 1) {
       sb.append(s""",
-        a$i AS (SELECT vec_id, v, cid, d2 FROM (
+        ${p}a$i AS (SELECT vec_id, v, cid, d2 FROM (
           SELECT e.vec_id, e.v, c.cid, ${d2("e.v", "c.cv")} AS d2,
                  ROW_NUMBER() OVER (PARTITION BY e.vec_id
                    ORDER BY ${d2("e.v", "c.cv")}, c.cid) AS rn
-          FROM e CROSS JOIN c${i - 1} c) WHERE rn = 1)""")
+          FROM $src e CROSS JOIN ${p}c${i - 1} c) WHERE rn = 1)""")
       if (i <= iters)
         sb.append(s""",
-        c$i AS (SELECT cid, list(mx ORDER BY dim) AS cv FROM (
+        ${p}c$i AS (SELECT cid, list(mx ORDER BY dim) AS cv FROM (
           SELECT cid, dim,
                  CAST(SUM(CAST(val AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*) AS mx
-          FROM (SELECT cid, unnest(v) AS val, generate_subscripts(v, 1) AS dim FROM a$i)
+          FROM (SELECT cid, unnest(v) AS val, generate_subscripts(v, 1) AS dim FROM ${p}a$i)
           GROUP BY cid, dim) GROUP BY cid)""")
     }
     sb.toString
   }
+
+  private def ivfSql(k: Int, iters: Int): String =
+    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),\n" +
+      lloydCtes(k, iters, "e", "")
 
   /** A built IVF index: the assigned corpus (vec_id, v, cid, d2,
     * materialized once) plus the final centroids, held driver-side —
@@ -236,17 +245,24 @@ object Sim {
     * index artifact — a cluster deploy writes it to storage at this
     * point, same lifecycle.
     */
-  def buildIvf(e0: DataFrame, k: Int, iters: Int): IvfIndex = {
-    val e = e0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  /** Lloyd's loop over any value expression of the cached corpus
+    * (`vExpr` — the full vector for IVF, a subvector slice for PQ):
+    * per iteration one map-side argmin pass + one tiny
+    * partial-aggregated shuffle of k·dim groups, collected driver-side
+    * (k·dim rows — bytes) to become the next round's literals. The
+    * decimal-exact mean is order-independent, so the centroid is a
+    * pure function of cell membership — replayable bit-exact by the
+    * oracle (a double sum would depend on partition order).
+    */
+  private def lloyd(e: DataFrame, vExpr: Column, k: Int,
+                    iters: Int): Seq[(Long, Seq[Double])] = {
     var cents: Seq[(Long, Seq[Double])] = e.filter(col("vec_id") < k)
-      .select(col("vec_id"), col("v")).collect().toSeq
+      .select(col("vec_id"), vExpr).collect().toSeq
       .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
     for (_ <- 1 to iters) {
-      // decimal-exact mean: order-independent, so the centroid is a
-      // pure function of cell membership — replayable bit-exact by
-      // the oracle (a double sum would depend on partition order).
-      val rows = assignTo(e, cents)
-        .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+      val rows = e
+        .select(array_min(distStructs(vExpr, cents)).getField("cid").as("cid"),
+          posexplode(vExpr).as(Seq("dim", "x")))
         .groupBy("cid", "dim")
         .agg((sum(col("x").cast(org.apache.spark.sql.types.DecimalType(28, 14)))
           .cast("double") / count(lit(1))).as("mx"))
@@ -255,6 +271,12 @@ object Sim {
         (cid, rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
       }.toSeq.sortBy(_._1)
     }
+    cents
+  }
+
+  def buildIvf(e0: DataFrame, k: Int, iters: Int): IvfIndex = {
+    val e = e0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = lloyd(e, col("v"), k, iters)
     IvfIndex(graft.Caching.releaseAfter(assignTo(e, cents), e), cents)
   }
 
@@ -421,6 +443,57 @@ object Sim {
     },
   )
 
+  /** s_pq_quantize: product quantization — the ANN memory path beyond
+    * sq8: the 64-dim vector splits into 4 subvectors of 16 dims, each
+    * quantized to its subspace's nearest Lloyd centroid (k=8 ⇒ 3 bits
+    * per subspace, 12 bits per vector vs 512 double bytes). Codebooks
+    * are built with the same map-side-argmin Lloyd as IVF (one per
+    * subspace, all over ONE cached corpus scan per iteration); the
+    * final pass computes all 4 codes + the reconstruction RMSE in a
+    * single map — Σ subspace d2 IS the total squared reconstruction
+    * error, so no reconstruction join is needed. Oracle: 4 unrolled
+    * Lloyd chains (prefixed CTEs) joined on vec_id.
+    */
+  val pqQuantize = GraftQuery(
+    "s_pq_quantize",
+    Some {
+      val subCtes = (0 until 4).map { j =>
+        val lo = j * 16 + 1
+        val hi = (j + 1) * 16
+        s"s${j}e AS (SELECT vec_id, v[$lo:$hi] AS v FROM eb),\n" +
+          lloydCtes(8, 2, s"s${j}e", s"s$j")
+      }.mkString(",\n")
+      val codes = (0 until 4).map(j => s"CAST(s$j.cid AS VARCHAR)").mkString(" || ',' || ")
+      val d2sum = (0 until 4).map(j => s"s$j.d2").mkString(" + ")
+      val joins = (0 until 4).map(j => s"JOIN s${j}a3 s$j USING (vec_id)").mkString(" ")
+      s"""
+      WITH eb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      $subCtes
+      SELECT eb.vec_id, $codes AS codes,
+             ROUND(sqrt(($d2sum) / 64), 4) AS recon_rmse
+      FROM eb $joins
+      ORDER BY vec_id"""
+    },
+    (s, d) => {
+      val (m, subLen, k, iters) = (4, 16, 8, 2)
+      val e = vecs(s, d).select(col("vec_id"), col("v"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val books = (0 until m).map(j =>
+        lloyd(e, slice(col("v"), j * subLen + 1, subLen), k, iters))
+      val bests = (0 until m).map(j =>
+        array_min(distStructs(slice(col("v"), j * subLen + 1, subLen), books(j)))
+          .as(s"_b$j"))
+      val out = e.select(col("vec_id") +: bests: _*)
+        .select(col("vec_id"),
+          concat_ws(",", (0 until m).map(j => col(s"_b$j.cid").cast("string")): _*)
+            .as("codes"),
+          round(sqrt((0 until m).map(j => col(s"_b$j.d2")).reduce(_ + _) / 64), 4)
+            .as("recon_rmse"))
+        .orderBy("vec_id")
+      graft.Caching.releaseAfter(out, e)
+    },
+  )
+
   /** s_recall_eval: ANN quality as a first-class operator — per-probe
     * recall@3 of the 1-probe IVF search against the exact brute-force
     * top-3 (and the corpus-wide mean). The evaluation harness IS a
@@ -491,5 +564,5 @@ object Sim {
 
   def all: Seq[GraftQuery] =
     Seq(bruteTopk, lshAnn, labelCohesion, centroidIvf, ivfSearch, sq8Quantize,
-      recallEval)
+      pqQuantize, recallEval)
 }

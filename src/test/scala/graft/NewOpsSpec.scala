@@ -316,6 +316,19 @@ class NewOpsSpec extends SparkSpec {
         (r.getAs[String]("split_a") != r.getAs[String]("split_b"))))
   }
 
+  test("s_pq_quantize: 4 codes per vector from the 8-centroid codebooks, sane RMSE") {
+    val out = graft.sim.Sim.pqQuantize.run(spark, sfDir)
+    val n = graft.sources.Tables.embeddings(spark, sfDir).count()
+    assert(out.count() === n)
+    val codes = out.select(split(col("codes"), ",").as("cs")).collect()
+    assert(codes.forall(_.getSeq[String](0).length === 4))
+    // codebook ids are the seed vec_ids 0..7
+    assert(codes.forall(_.getSeq[String](0).forall(c => c.toLong >= 0 && c.toLong < 8)))
+    // quantizing to 12 bits loses information but must stay bounded
+    val worst = out.agg(max("recon_rmse")).head().getDouble(0)
+    assert(worst > 0.0 && worst < 1.0, s"rmse $worst")
+  }
+
   test("s_sq8_quantize: codes in [0,255], 64 per vector, small reconstruction error") {
     val out = graft.sim.Sim.sq8Quantize.run(spark, sfDir)
     val n = graft.sources.Tables.embeddings(spark, sfDir).count()
