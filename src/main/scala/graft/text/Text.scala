@@ -202,6 +202,69 @@ object Text {
     },
   )
 
+  /** t_rep_ngrams: per-document repetition profile — the
+    * Gopher/C4-style repetition quality filters: the fraction of
+    * bigram mass held by the single most frequent bigram, and the
+    * fraction of trigram occurrences belonging to repeated trigrams.
+    * Template-generated and looping documents (the classic web-crawl
+    * failure modes) spike both. Shape: explode grams → one
+    * partial-agg'd shuffle keyed (doc, gram) → per-doc aggregate;
+    * work scales with gram postings, never docs².
+    */
+  val repNgrams = GraftQuery(
+    "t_rep_ngrams",
+    Some(s"""
+      WITH d AS (SELECT doc_id, $ToksSql AS t FROM documents),
+      bg0 AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                i -> t[i] || ' ' || t[i + 1])) AS g FROM d),
+      bgc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg0 GROUP BY 1, 2),
+      bga AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams, MAX(c) AS top_c
+              FROM bgc GROUP BY doc_id),
+      tg0 AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS g FROM d),
+      tgc AS (SELECT doc_id, g, COUNT(*) AS c FROM tg0 GROUP BY 1, 2),
+      tga AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_trigrams,
+                CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_c
+              FROM tgc GROUP BY doc_id)
+      SELECT d.doc_id,
+             coalesce(bga.n_bigrams, 0) AS n_bigrams,
+             coalesce(ROUND(CAST(bga.top_c AS DOUBLE) / bga.n_bigrams, 4), 0.0)
+               AS top_bigram_frac,
+             coalesce(ROUND(CAST(tga.dup_c AS DOUBLE) / nullif(tga.n_trigrams, 0), 4), 0.0)
+               AS dup_trigram_frac
+      FROM d LEFT JOIN bga USING (doc_id) LEFT JOIN tga USING (doc_id)
+      ORDER BY doc_id"""),
+    (s, d) => repetitionProfile(Tables.documents(s, d)).orderBy("doc_id"),
+  )
+
+  /** Per-doc repetition profile for any (doc_id, text) frame —
+    * (doc_id, n_bigrams, top_bigram_frac, dup_trigram_frac).
+    */
+  def repetitionProfile(docsIn: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val docs = docsIn.withColumn("t", toks(col("text")))
+    def grams(n: Int) = when(size(col("t")) >= n,
+      transform(sequence(lit(1), size(col("t")) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(o => element_at(col("t"), i + o)): _*)))
+      .otherwise(array().cast("array<string>"))
+    val bg = docs.select(col("doc_id"), explode(grams(2)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_bigrams"), max("c").as("top_c"))
+    val tg = docs.select(col("doc_id"), explode(grams(3)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_trigrams"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_c"))
+    docs.select("doc_id")
+      .join(bg, Seq("doc_id"), "left").join(tg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(round(safeDiv(col("top_c"), col("n_bigrams")), 4), lit(0.0))
+          .as("top_bigram_frac"),
+        coalesce(round(safeDiv(col("dup_c"), col("n_trigrams")), 4), lit(0.0))
+          .as("dup_trigram_frac"))
+  }
+
   /** t_tfidf: top-3 TF-IDF terms per document (probe set doc_id < 50;
     * DF is still global). Two aggregations + a broadcast of the tiny
     * doc-count scalar; ranking rounds the score first so the
@@ -575,6 +638,7 @@ object Text {
   )
 
   def all: Seq[GraftQuery] =
-    Seq(tokenStats, qualityScore, langid, fingerprint, bigramFreq, tfidf, bpeTokens,
-      split80, vocab, piiScrub, contamination, sentences, packing, corpusFilter)
+    Seq(tokenStats, qualityScore, langid, fingerprint, bigramFreq, repNgrams, tfidf,
+      bpeTokens, split80, vocab, piiScrub, contamination, sentences, packing,
+      corpusFilter)
 }

@@ -316,6 +316,26 @@ class NewOpsSpec extends SparkSpec {
         (r.getAs[String]("split_a") != r.getAs[String]("split_b"))))
   }
 
+  test("t_rep_ngrams: fractions in [0,1]; a looping doc maxes both; short docs are 0") {
+    val out = graft.text.Text.repNgrams.run(spark, sfDir)
+    val n = graft.sources.Tables.documents(spark, sfDir).count()
+    assert(out.count() === n)
+    assert(out.filter(col("top_bigram_frac") < 0 || col("top_bigram_frac") > 1 ||
+      col("dup_trigram_frac") < 0 || col("dup_trigram_frac") > 1).count() === 0)
+    import spark.implicits._
+    val synth = Seq(
+      (0L, ("spam " * 50).trim),   // pure loop: one bigram holds all mass
+      (1L, "one"),                 // no bigrams at all
+      (2L, "all distinct tokens here now")).toDF("doc_id", "text")
+    val p = graft.text.Text.repetitionProfile(synth).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(p(0L).getAs[Double]("top_bigram_frac") === 1.0)
+    assert(p(0L).getAs[Double]("dup_trigram_frac") === 1.0)
+    assert(p(1L).getAs[Long]("n_bigrams") === 0L)
+    assert(p(1L).getAs[Double]("top_bigram_frac") === 0.0)
+    assert(p(2L).getAs[Double]("dup_trigram_frac") === 0.0)
+  }
+
   test("s_pq_quantize: 4 codes per vector from the 8-centroid codebooks, sane RMSE") {
     val out = graft.sim.Sim.pqQuantize.run(spark, sfDir)
     val n = graft.sources.Tables.embeddings(spark, sfDir).count()
