@@ -443,10 +443,39 @@ object Sim {
     },
   )
 
+  /** PQ geometry shared by build, quantize, and ADC search. */
+  val PqM = 4
+  val PqSubLen = 16
+  private val PqK = 16
+  private val PqIters = 2
+
+  /** Memoized per-subspace PQ codebooks for a data dir: built once
+    * per session (same lifecycle as ivfIndex), each a k×subLen
+    * literal table — kilobytes on the driver.
+    */
+  private val pqMemo =
+    scala.collection.mutable.Map[String, (SparkSession, Seq[Seq[(Long, Seq[Double])]])]()
+  graft.Caching.onReleaseAll(() => pqMemo.synchronized(pqMemo.clear()))
+
+  def pqBooks(s: SparkSession, d: String): Seq[Seq[(Long, Seq[Double])]] =
+    pqMemo.synchronized {
+      pqMemo.get(d) match {
+        case Some((sess, books)) if (sess eq s) && !s.sparkContext.isStopped => books
+        case _ =>
+          val e = vecs(s, d).select(col("vec_id"), col("v"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val books = (0 until PqM).map(j =>
+            lloyd(e, slice(col("v"), j * PqSubLen + 1, PqSubLen), PqK, PqIters))
+          e.unpersist(blocking = false)
+          pqMemo(d) = (s, books)
+          books
+      }
+    }
+
   /** s_pq_quantize: product quantization — the ANN memory path beyond
     * sq8: the 64-dim vector splits into 4 subvectors of 16 dims, each
-    * quantized to its subspace's nearest Lloyd centroid (k=8 ⇒ 3 bits
-    * per subspace, 12 bits per vector vs 512 double bytes). Codebooks
+    * quantized to its subspace's nearest Lloyd centroid (k=16 ⇒ 4 bits
+    * per subspace, 16 bits per vector vs 512 double bytes). Codebooks
     * are built with the same map-side-argmin Lloyd as IVF (one per
     * subspace, all over ONE cached corpus scan per iteration); the
     * final pass computes all 4 codes + the reconstruction RMSE in a
@@ -461,7 +490,7 @@ object Sim {
         val lo = j * 16 + 1
         val hi = (j + 1) * 16
         s"s${j}e AS (SELECT vec_id, v[$lo:$hi] AS v FROM eb),\n" +
-          lloydCtes(8, 2, s"s${j}e", s"s$j")
+          lloydCtes(PqK, PqIters, s"s${j}e", s"s$j")
       }.mkString(",\n")
       val codes = (0 until 4).map(j => s"CAST(s$j.cid AS VARCHAR)").mkString(" || ',' || ")
       val d2sum = (0 until 4).map(j => s"s$j.d2").mkString(" + ")
@@ -475,22 +504,96 @@ object Sim {
       ORDER BY vec_id"""
     },
     (s, d) => {
-      val (m, subLen, k, iters) = (4, 16, 8, 2)
-      val e = vecs(s, d).select(col("vec_id"), col("v"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val books = (0 until m).map(j =>
-        lloyd(e, slice(col("v"), j * subLen + 1, subLen), k, iters))
-      val bests = (0 until m).map(j =>
-        array_min(distStructs(slice(col("v"), j * subLen + 1, subLen), books(j)))
+      val books = pqBooks(s, d)
+      val bests = (0 until PqM).map(j =>
+        array_min(distStructs(slice(col("v"), j * PqSubLen + 1, PqSubLen), books(j)))
           .as(s"_b$j"))
-      val out = e.select(col("vec_id") +: bests: _*)
+      vecs(s, d).select(col("vec_id") +: bests: _*)
         .select(col("vec_id"),
-          concat_ws(",", (0 until m).map(j => col(s"_b$j.cid").cast("string")): _*)
+          concat_ws(",", (0 until PqM).map(j => col(s"_b$j.cid").cast("string")): _*)
             .as("codes"),
-          round(sqrt((0 until m).map(j => col(s"_b$j.d2")).reduce(_ + _) / 64), 4)
+          round(sqrt((0 until PqM).map(j => col(s"_b$j.d2")).reduce(_ + _) / 64), 4)
             .as("recon_rmse"))
         .orderBy("vec_id")
-      graft.Caching.releaseAfter(out, e)
+    },
+  )
+
+  /** s_pq_adc: asymmetric-distance search over the PQ-coded corpus —
+    * how ANN actually scans at 100 TB: each probe precomputes ONE
+    * distance table per subspace (k entries: d2 from its subvector to
+    * every codebook centroid), and a candidate's approximate distance
+    * is then PqM map lookups by its stored codes — no per-candidate
+    * dot products at all. Probes (with their tables) broadcast; the
+    * coded corpus streams map-side. Oracle replays the same Lloyd
+    * codebooks and computes each candidate's distance directly from
+    * its assigned centroid vectors — identical doubles, identical
+    * left-assoc subspace sum.
+    */
+  val pqAdc = GraftQuery(
+    "s_pq_adc",
+    Some {
+      val subCtes = (0 until PqM).map { j =>
+        val lo = j * PqSubLen + 1
+        val hi = (j + 1) * PqSubLen
+        s"s${j}e AS (SELECT vec_id, v[$lo:$hi] AS v FROM eb),\n" +
+          lloydCtes(PqK, PqIters, s"s${j}e", s"s$j")
+      }.mkString(",\n")
+      val joins = (0 until PqM).map { j =>
+        val link = if (j == 0) "CROSS JOIN s0a3 x0"
+        else s"JOIN s${j}a3 x$j ON x$j.vec_id = x0.vec_id"
+        s"$link JOIN s${j}c2 b$j ON x$j.cid = b$j.cid"
+      }.mkString(" ")
+      val adist = (0 until PqM).map { j =>
+        val lo = j * PqSubLen + 1
+        val hi = (j + 1) * PqSubLen
+        s"(${d2Sql(s"p.pv[$lo:$hi]", s"b$j.cv")})"
+      }.mkString(" + ")
+      s"""
+      WITH eb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      $subCtes,
+      p AS (SELECT vec_id AS probe_id, v AS pv FROM eb WHERE vec_id < 10),
+      cand AS (SELECT p.probe_id, x0.vec_id AS neighbor_id, $adist AS adist
+               FROM p $joins
+               WHERE x0.vec_id <> p.probe_id),
+      r AS (SELECT probe_id, neighbor_id, adist,
+              ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY adist, neighbor_id) AS rank
+            FROM cand)
+      SELECT probe_id, neighbor_id, rank, ROUND(adist, 4) AS adc_d2
+      FROM r WHERE rank <= 3
+      ORDER BY probe_id, rank"""
+    },
+    (s, d) => {
+      val books = pqBooks(s, d)
+      val e = vecs(s, d).select(col("vec_id"), col("v"))
+      def sub(c: Column, j: Int) = slice(c, j * PqSubLen + 1, PqSubLen)
+      val coded = e.select(col("vec_id").as("neighbor_id") +:
+        (0 until PqM).map(j =>
+          array_min(distStructs(sub(col("v"), j), books(j)))
+            .getField("cid").as(s"code$j")): _*)
+      // per-probe distance tables: cid → d2(probe subvector, centroid),
+      // one bounded map literal-keyed column per subspace
+      val probes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id") +:
+          (0 until PqM).map { j =>
+            map(books(j).flatMap { case (cid, cv) =>
+              val cvl = typedLit(cv)
+              val pv = sub(col("v"), j)
+              Seq(lit(cid),
+                greatest(dotProduct(pv, pv) + dotProduct(cvl, cvl) -
+                  lit(2.0) * dotProduct(pv, cvl), lit(0.0)))
+            }: _*).as(s"dtab$j")
+          }: _*)
+      val adist = (0 until PqM)
+        .map(j => element_at(col(s"dtab$j"), col(s"code$j"))).reduce(_ + _)
+      val w = Window.partitionBy("probe_id").orderBy(col("adist"), col("neighbor_id"))
+      broadcast(probes)
+        .join(coded, col("neighbor_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("neighbor_id"), adist.as("adist"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("probe_id"), col("neighbor_id"), col("rank"),
+          round(col("adist"), 4).as("adc_d2"))
+        .orderBy("probe_id", "rank")
     },
   )
 
@@ -564,5 +667,5 @@ object Sim {
 
   def all: Seq[GraftQuery] =
     Seq(bruteTopk, lshAnn, labelCohesion, centroidIvf, ivfSearch, sq8Quantize,
-      pqQuantize, recallEval)
+      pqQuantize, pqAdc, recallEval)
 }
