@@ -769,11 +769,101 @@ object Metrics {
     },
   )
 
+  /** m25: CUSUM drift detection per series — the changepoint
+    * complement to m6/m16's point outliers: a sustained small shift
+    * (a slow leak, a degrading broker) never trips a z-score but
+    * accumulates in the CUSUM statistic. Two-sided recurrence
+    * s⁺ₜ = max(0, s⁺ₜ₋₁ + xₜ − μ − k), s⁻ₜ = max(0, s⁻ₜ₋₁ + μ − xₜ − k)
+    * with slack k = 0.05μ and drift when either max excursion clears
+    * h = 0.5μ. Same distributed shape as m14's EWMA: one shuffle
+    * groups each series, the ordered fold runs where the series
+    * lives; the oracle replays the recurrence with a struct
+    * accumulator in list_reduce — bit-identical doubles (μ is
+    * decimal-exact, the fold is the same left fold).
+    */
+  val cusumDrift = GraftQuery(
+    "m25_cusum_drift",
+    Some(s"""
+      $E,
+      g AS (SELECT user_id, event_type,
+              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mean,
+              list(value ORDER BY ts, event_id) AS vs
+            FROM e GROUP BY user_id, event_type),
+      f AS (SELECT user_id, event_type, mean, len(vs) AS n,
+              -- field ORDER is load-bearing: DuckDB evaluates struct
+              -- fields sequentially and later fields see the UPDATED
+              -- acc, so the max-trackers (mh/ml) must come BEFORE the
+              -- state fields (hi/lo) they read.
+              list_reduce(
+                list_prepend(
+                  {'mh': CAST(0 AS DOUBLE), 'ml': CAST(0 AS DOUBLE),
+                   'hi': CAST(0 AS DOUBLE), 'lo': CAST(0 AS DOUBLE),
+                   'v': CAST(0 AS DOUBLE)},
+                  list_transform(vs, __cx ->
+                    {'mh': CAST(0 AS DOUBLE), 'ml': CAST(0 AS DOUBLE),
+                     'hi': CAST(0 AS DOUBLE), 'lo': CAST(0 AS DOUBLE), 'v': __cx})),
+                (acc, b) ->
+                  {'mh': greatest(acc.mh,
+                     greatest(acc.hi + b.v - mean - 0.05 * mean, CAST(0 AS DOUBLE))),
+                   'ml': greatest(acc.ml,
+                     greatest(acc.lo + mean - b.v - 0.05 * mean, CAST(0 AS DOUBLE))),
+                   'hi': greatest(acc.hi + b.v - mean - 0.05 * mean, CAST(0 AS DOUBLE)),
+                   'lo': greatest(acc.lo + mean - b.v - 0.05 * mean, CAST(0 AS DOUBLE)),
+                   'v': CAST(0 AS DOUBLE)}) AS r
+            FROM g)
+      SELECT user_id, event_type, CAST(n AS BIGINT) AS n,
+             CAST(floor(r.mh * 10000 + 0.5) AS DOUBLE) / 10000 AS cusum_hi_max,
+             CAST(floor(r.ml * 10000 + 0.5) AS DOUBLE) / 10000 AS cusum_lo_max,
+             (floor(r.mh * 10000 + 0.5) > floor(0.5 * mean * 10000 + 0.5)
+               OR floor(r.ml * 10000 + 0.5) > floor(0.5 * mean * 10000 + 0.5)) AS drift
+      FROM f
+      ORDER BY user_id, event_type"""),
+    (s, d) => {
+      val zero = lit(0.0)
+      val init = struct(zero.as("hi"), zero.as("lo"), zero.as("mh"), zero.as("ml"))
+      val m = col("mean")
+      Tables.events(s, d)
+        .groupBy("user_id", "event_type")
+        .agg(davg(col("value")).as("mean"),
+          transform(array_sort(collect_list(struct(col("ts"), col("event_id"), col("value")))),
+            r => r.getField("value")).as("vs"))
+        .select(col("user_id"), col("event_type"), col("mean"),
+          size(col("vs")).cast("long").as("n"),
+          aggregate(col("vs"), init, (acc, x) => struct(
+            greatest(acc.getField("hi") + x - m - lit(0.05) * m, zero).as("hi"),
+            greatest(acc.getField("lo") + m - x - lit(0.05) * m, zero).as("lo"),
+            greatest(acc.getField("mh"),
+              greatest(acc.getField("hi") + x - m - lit(0.05) * m, zero)).as("mh"),
+            greatest(acc.getField("ml"),
+              greatest(acc.getField("lo") + m - x - lit(0.05) * m, zero)).as("ml"))).as("r"))
+        .select(col("user_id"), col("event_type"), col("n"),
+          // floor-based round-half-up in pure double math: Spark's
+          // round() goes through the double's shortest decimal repr
+          // (BigDecimal.valueOf) and calls exact halves UP where
+          // DuckDB rounds the true binary value DOWN — and the 0.05μ
+          // slack makes x.xxxx5 values systematic here. floor(x·10⁴
+          // + 0.5)/10⁴ is the same double op sequence in both engines.
+          r4(col("r.mh")).as("cusum_hi_max"),
+          r4(col("r.ml")).as("cusum_lo_max"),
+          (floor(col("r.mh") * 10000 + 0.5) > floor(lit(0.5) * m * 10000 + 0.5) ||
+            floor(col("r.ml") * 10000 + 0.5) > floor(lit(0.5) * m * 10000 + 0.5))
+            .as("drift"))
+        .orderBy("user_id", "event_type")
+    },
+  )
+
+  /** Engine-portable round-half-up at 4 decimals via pure double
+    * arithmetic (see m25's comment for why round() can't cross the
+    * engine boundary on half-edges).
+    */
+  private def r4(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(c * 10000 + 0.5).cast("double") / 10000
+
   def all: Seq[GraftQuery] = Seq(
     flattenProps, windowRollup, rate, latestPerSeries, sessionize,
     anomalyZscore, esBulkFormat, serverDedup, connectStatus, topSeries,
     pollGating, valueHistogram, ewma, alertTransitions, madOutliers, downtime,
     hoppingRollup, counterResetRate, metricCatalog, burnRate, timeWeightedAvg,
-    seasonalBaseline, esBootstrapQuery,
+    seasonalBaseline, esBootstrapQuery, cusumDrift,
   )
 }

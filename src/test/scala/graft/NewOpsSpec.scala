@@ -349,6 +349,30 @@ class NewOpsSpec extends SparkSpec {
     assert(worst > 0.0 && worst < 1.0, s"rmse $worst")
   }
 
+  test("m25_cusum_drift: one row per series, non-negative statistics, CUSUM matches a reference fold") {
+    val out = graft.metrics.Metrics.cusumDrift.run(spark, sfDir)
+    val series = graft.sources.Tables.events(spark, sfDir)
+      .select("user_id", "event_type").distinct().count()
+    assert(out.count() === series)
+    assert(out.filter(col("cusum_hi_max") < 0 || col("cusum_lo_max") < 0).count() === 0)
+    // reference fold for one series, computed directly
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .filter(col("user_id") === 0 && col("event_type") === "view")
+      .orderBy("ts", "event_id").select("value").collect().map(_.getDouble(0))
+    assert(ev.nonEmpty)
+    val mean = {
+      val dec = ev.map(v => BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+      (dec.sum.toDouble / ev.length)
+    }
+    var (hi, mh) = (0.0, 0.0)
+    ev.foreach { x =>
+      hi = math.max(hi + x - mean - 0.05 * mean, 0.0); mh = math.max(mh, hi)
+    }
+    val got = out.filter(col("user_id") === 0 && col("event_type") === "view")
+      .head().getAs[Double]("cusum_hi_max")
+    assert(math.abs(got - mh) < 1e-3, s"$got vs $mh")
+  }
+
   test("s_pq_adc: table-lookup distances approximate exact-L2 ranking") {
     val adc = graft.sim.Sim.pqAdc.run(spark, sfDir)
       .select(col("probe_id"), col("neighbor_id")).collect()
