@@ -456,6 +456,9 @@ object Sim {
   private val pqMemo =
     scala.collection.mutable.Map[String, (SparkSession, Seq[Seq[(Long, Seq[Double])]])]()
   graft.Caching.onReleaseAll(() => pqMemo.synchronized(pqMemo.clear()))
+  private val pqCodedMemo =
+    scala.collection.mutable.Map[String, (SparkSession, DataFrame)]()
+  graft.Caching.onReleaseAll(() => pqCodedMemo.synchronized(pqCodedMemo.clear()))
 
   def pqBooks(s: SparkSession, d: String): Seq[Seq[(Long, Seq[Double])]] =
     pqMemo.synchronized {
@@ -566,23 +569,40 @@ object Sim {
       val books = pqBooks(s, d)
       val e = vecs(s, d).select(col("vec_id"), col("v"))
       def sub(c: Column, j: Int) = slice(c, j * PqSubLen + 1, PqSubLen)
-      val coded = e.select(col("vec_id").as("neighbor_id") +:
-        (0 until PqM).map(j =>
-          array_min(distStructs(sub(col("v"), j), books(j)))
-            .getField("cid").as(s"code$j")): _*)
+      // the coded corpus IS the PQ index artifact (bytes per vector):
+      // materialized once and memoized — without the boundary,
+      // CollapseProject inlines the whole 4×k-struct argmin into the
+      // join's output projection and recomputes it per CANDIDATE row
+      // (measured ~5× on this query).
+      val coded = pqCodedMemo.synchronized {
+        pqCodedMemo.get(d) match {
+          case Some((sess, c)) if (sess eq s) && !s.sparkContext.isStopped => c
+          case _ =>
+            val c = graft.Caching.releaseAfter(
+              e.select(col("vec_id").as("neighbor_id") +:
+                (0 until PqM).map(j =>
+                  array_min(distStructs(sub(col("v"), j), books(j)))
+                    .getField("cid").as(s"code$j")): _*))
+            pqCodedMemo(d) = (s, c)
+            c
+        }
+      }
       // per-probe distance tables: cid → d2(probe subvector, centroid),
-      // one bounded map literal-keyed column per subspace
-      val probes = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("probe_id") +:
-          (0 until PqM).map { j =>
-            map(books(j).flatMap { case (cid, cv) =>
-              val cvl = typedLit(cv)
-              val pv = sub(col("v"), j)
-              Seq(lit(cid),
-                greatest(dotProduct(pv, pv) + dotProduct(cvl, cvl) -
-                  lit(2.0) * dotProduct(pv, cvl), lit(0.0)))
-            }: _*).as(s"dtab$j")
-          }: _*)
+      // one bounded map literal-keyed column per subspace — same
+      // materialization boundary (tables must be computed once per
+      // probe, never per candidate).
+      val probes = graft.Caching.releaseAfter(
+        e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("probe_id") +:
+            (0 until PqM).map { j =>
+              map(books(j).flatMap { case (cid, cv) =>
+                val cvl = typedLit(cv)
+                val pv = sub(col("v"), j)
+                Seq(lit(cid),
+                  greatest(dotProduct(pv, pv) + dotProduct(cvl, cvl) -
+                    lit(2.0) * dotProduct(pv, cvl), lit(0.0)))
+              }: _*).as(s"dtab$j")
+            }: _*))
       val adist = (0 until PqM)
         .map(j => element_at(col(s"dtab$j"), col(s"code$j"))).reduce(_ + _)
       val w = Window.partitionBy("probe_id").orderBy(col("adist"), col("neighbor_id"))
