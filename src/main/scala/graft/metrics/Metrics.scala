@@ -859,11 +859,76 @@ object Metrics {
   private def r4(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     floor(c * 10000 + 0.5).cast("double") / 10000
 
+  /** m26: Prometheus-style histogram_quantile — estimate p50/p90/p99
+    * per event type from fixed-width cumulative buckets (the m13
+    * histogram) by linear interpolation inside the first bucket whose
+    * cumulative count reaches q·total. This is how every
+    * Prometheus/Grafana latency panel computes quantiles from
+    * histogram counters: the sketch is mergeable (bucket counts sum),
+    * so at 100 TB the plan is one partial-agg shuffle on
+    * (event_type, bucket) — ~10 rows per series — then a per-series
+    * window over those few rows. Exact-replayable: the estimate is a
+    * closed-form function of integer bucket counts.
+    */
+  val histogramQuantile = GraftQuery(
+    "m26_histogram_quantile",
+    Some(s"""
+      $E,
+      b AS (SELECT event_type, CAST(floor(value / 50) AS BIGINT) AS bucket,
+              COUNT(*) AS n
+            FROM e GROUP BY event_type, bucket),
+      c AS (SELECT event_type, bucket, n,
+              CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+              CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS total
+            FROM b),
+      j AS (SELECT c.*, q, q * total AS rk
+            FROM c CROSS JOIN (SELECT unnest([CAST(0.5 AS DOUBLE),
+                     CAST(0.9 AS DOUBLE), CAST(0.99 AS DOUBLE)]) AS q)
+            WHERE cum >= q * total),
+      p AS (SELECT event_type, q, MIN(bucket) AS bucket FROM j
+            GROUP BY event_type, q),
+      est AS (SELECT c.event_type, p.q,
+                c.bucket * 50 + 50 * (p.q * c.total - (c.cum - c.n)) / c.n AS v
+              FROM p JOIN c ON c.event_type = p.event_type
+                           AND c.bucket = p.bucket)
+      SELECT event_type,
+             ROUND(MAX(CASE WHEN q = 0.5  THEN v END), 4) AS p50,
+             ROUND(MAX(CASE WHEN q = 0.9  THEN v END), 4) AS p90,
+             ROUND(MAX(CASE WHEN q = 0.99 THEN v END), 4) AS p99
+      FROM est GROUP BY event_type
+      ORDER BY event_type"""),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val b = Tables.events(s, d)
+        .groupBy(col("event_type"), floor(col("value") / 50).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+      val byType = Window.partitionBy("event_type")
+      val c = b
+        .withColumn("cum", sum("n").over(byType.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("total", sum("n").over(byType))
+      val j = c
+        .withColumn("q", explode(array(lit(0.5), lit(0.9), lit(0.99))))
+        .filter(col("cum") >= col("q") * col("total"))
+      val p = j.groupBy("event_type", "q").agg(min("bucket").as("bucket"))
+      val est = p.join(c, Seq("event_type", "bucket"))
+        .withColumn("v",
+          col("bucket") * 50 + lit(50) * (col("q") * col("total") - (col("cum") - col("n"))) / col("n"))
+      est.groupBy("event_type")
+        .agg(
+          round(max(when(col("q") === 0.5, col("v"))), 4).as("p50"),
+          round(max(when(col("q") === 0.9, col("v"))), 4).as("p90"),
+          round(max(when(col("q") === 0.99, col("v"))), 4).as("p99"))
+        .orderBy("event_type")
+    },
+  )
+
   def all: Seq[GraftQuery] = Seq(
     flattenProps, windowRollup, rate, latestPerSeries, sessionize,
     anomalyZscore, esBulkFormat, serverDedup, connectStatus, topSeries,
     pollGating, valueHistogram, ewma, alertTransitions, madOutliers, downtime,
     hoppingRollup, counterResetRate, metricCatalog, burnRate, timeWeightedAvg,
-    seasonalBaseline, esBootstrapQuery, cusumDrift,
+    seasonalBaseline, esBootstrapQuery, cusumDrift, histogramQuantile,
   )
 }

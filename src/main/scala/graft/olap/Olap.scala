@@ -279,9 +279,84 @@ object Olap {
         .orderBy("c_mktsegment"),
   )
 
+  /** TPC-H Q17 shape: small-quantity-order revenue — lineitems whose
+    * quantity is below 20% of their part's average. Plan: the brand
+    * filter broadcasts into lineitem FIRST (prunes the fact scan to
+    * one brand's parts), the per-part average is computed over the
+    * pruned rows only (same result — the filter selects whole
+    * partkeys) and broadcast back. The correlated threshold is
+    * multiplied through (5·qty·cnt < sum_qty) so both engines compare
+    * exact decimals, never a divided average.
+    */
+  val q17 = GraftQuery(
+    "q17_small_qty_revenue",
+    Some("""
+      WITH li AS (SELECT l_partkey, l_quantity, l_extendedprice
+                  FROM lineitem JOIN part ON p_partkey = l_partkey
+                  WHERE p_brand = 'Brand#3'),
+      pa AS (SELECT l_partkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+               COUNT(*) AS cnt
+             FROM li GROUP BY l_partkey)
+      SELECT COUNT(*) AS n_small,
+             ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 4)
+               AS avg_yearly
+      FROM li JOIN pa USING (l_partkey)
+      WHERE 5 * CAST(l_quantity AS DECIMAL(18,2)) * cnt < sum_qty"""),
+    (s, d) => {
+      val bparts = broadcast(
+        Tables.part(s, d).filter(col("p_brand") === "Brand#3").select("p_partkey"))
+      val li = Tables.lineitem(s, d)
+        .join(bparts, col("l_partkey") === col("p_partkey"))
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+      val pa = li.groupBy("l_partkey")
+        .agg(sum(dec2(col("l_quantity"))).cast("decimal(18,2)").as("sum_qty"),
+          count(lit(1)).as("cnt"))
+      li.join(broadcast(pa), Seq("l_partkey"))
+        .filter(lit(5) * dec2(col("l_quantity")) * col("cnt") < col("sum_qty"))
+        .agg(count(lit(1)).as("n_small"),
+          round(dsum(col("l_extendedprice")) / 7.0, 4).as("avg_yearly"))
+    },
+  )
+
+  /** TPC-H Q18 shape: large-volume customers — orders whose total
+    * quantity exceeds 300. Plan: the HAVING aggregate is one partial
+    * (map-side) shuffle on orderkey; its survivors are tiny, so they
+    * broadcast into orders; top-100 via TakeOrderedAndProject, never a
+    * global sort.
+    */
+  val q18 = GraftQuery(
+    "q18_large_volume",
+    Some("""
+      WITH big AS (SELECT l_orderkey,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+                   FROM lineitem GROUP BY l_orderkey
+                   HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+      SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+      FROM big
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 100"""),
+    (s, d) => {
+      val big = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(dec2(col("l_quantity"))).as("sq"))
+        .filter(col("sq") > 300)
+        .select(col("l_orderkey"), col("sq").cast("double").as("sum_qty"))
+      Tables.orders(s, d)
+        .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, d), col("c_custkey") === col("o_custkey"))
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+          "o_totalprice", "sum_qty")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    },
+  )
+
   def all: Seq[GraftQuery] = Seq(
     q1, q3, q5, topCustomers, windowRunning, rankParts, rollupAgg,
-    semiAnti, distinctAgg, percentiles,
+    semiAnti, distinctAgg, percentiles, q17, q18,
   )
 }
 
