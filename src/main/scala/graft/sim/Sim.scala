@@ -448,6 +448,11 @@ object Sim {
   val PqSubLen = 16
   private val PqK = 16
   private val PqIters = 2
+  /** ADC shortlist size before the exact re-rank (s_ivf_adc): ADC
+    * ranks are approximate, so the top-k surface is exact cosine over
+    * the top-AdcShortlist ADC candidates.
+    */
+  private val AdcShortlist = 10
 
   /** Memoized per-subspace PQ codebooks for a data dir: built once
     * per session (same lifecycle as ivfIndex), each a k×subLen
@@ -522,15 +527,20 @@ object Sim {
   )
 
   /** s_pq_adc: asymmetric-distance search over the PQ-coded corpus —
-    * how ANN actually scans at 100 TB: each probe precomputes ONE
-    * distance table per subspace (k entries: d2 from its subvector to
-    * every codebook centroid), and a candidate's approximate distance
-    * is then PqM map lookups by its stored codes — no per-candidate
-    * dot products at all. Probes (with their tables) broadcast; the
-    * coded corpus streams map-side. Oracle replays the same Lloyd
-    * codebooks and computes each candidate's distance directly from
-    * its assigned centroid vectors — identical doubles, identical
-    * left-assoc subspace sum.
+    * each probe precomputes ONE distance table per subspace (k
+    * entries: d2 from its subvector to every codebook centroid), and a
+    * candidate's approximate distance is then PqM map lookups by its
+    * stored codes — no per-candidate dot products at all. Probes (with
+    * their tables) broadcast; the coded corpus streams map-side.
+    * Oracle replays the same Lloyd codebooks and computes each
+    * candidate's distance directly from its assigned centroid vectors
+    * — identical doubles, identical left-assoc subspace sum.
+    *
+    * This is the FLAT-ADC correctness kernel: every probe scans the
+    * whole coded corpus, so candidate count — not per-candidate cost —
+    * is its scale axis. The production shape is s_ivf_adc below, which
+    * keeps this exact lookup kernel but routes each probe to its
+    * nprobe IVF cells first (candidates drop to nprobe·n/k per probe).
     */
   val pqAdc = GraftQuery(
     "s_pq_adc",
@@ -617,6 +627,150 @@ object Sim {
     },
   )
 
+  /** The IVF-ADC index artifact: one row per corpus vector carrying
+    * its IVF cell id AND its PqM PQ codes — the cell routes, the codes
+    * scan. Bytes per vector at scale (vs 8·dim for raw doubles).
+    * Memoized like ivfIndex/pqBooks (same session-validity + teardown
+    * lifecycle; data under a dir is assumed immutable for the session,
+    * as with every memo here).
+    */
+  private val ivfCodedMemo =
+    scala.collection.mutable.Map[String, (SparkSession, DataFrame)]()
+  graft.Caching.onReleaseAll(() => ivfCodedMemo.synchronized(ivfCodedMemo.clear()))
+
+  private def ivfCoded(s: SparkSession, d: String): DataFrame =
+    ivfCodedMemo.synchronized {
+      ivfCodedMemo.get(d) match {
+        case Some((sess, c)) if (sess eq s) && !s.sparkContext.isStopped => c
+        case _ =>
+          val books = pqBooks(s, d)
+          val idx = ivfIndex(s, d, k = 8, iters = 3)
+          def sub(c: Column, j: Int) = slice(c, j * PqSubLen + 1, PqSubLen)
+          val c = graft.Caching.releaseAfter(
+            idx.assigned.select(
+              Seq(col("vec_id").as("neighbor_id"), col("cid")) ++
+                (0 until PqM).map(j =>
+                  array_min(distStructs(sub(col("v"), j), books(j)))
+                    .getField("cid").as(s"code$j")): _*))
+          ivfCodedMemo(d) = (s, c)
+          c
+      }
+    }
+
+  /** s_ivf_adc: the production ANN composition — IVF cell routing ×
+    * PQ asymmetric-distance scanning × exact re-rank. How a 100 TB ANN
+    * search actually runs:
+    *
+    *  1. ROUTE: each probe picks its nprobe=2 nearest IVF cells
+    *     map-side (centroid literals, never a join) — candidates drop
+    *     from n to nprobe·n/k per probe.
+    *  2. SCAN: within those cells only, the candidate's approximate
+    *     distance is PqM map lookups of the probe's precomputed
+    *     per-subspace distance tables against the candidate's stored
+    *     PQ codes — an EQUI-join on cid (BroadcastHashJoin), never a
+    *     nested-loop against the corpus, and no per-candidate dot
+    *     products.
+    *  3. RE-RANK: ADC ranks are approximate, so the top-AdcShortlist
+    *     ADC candidates fetch their true vectors (equi-join on
+    *     neighbor_id — the "refine from storage" step) and the final
+    *     top-3 surface is exact cosine, like s_lsh_ann's re-rank.
+    *
+    * The oracle replays the identical pipeline: unrolled Lloyd cells +
+    * 4 unrolled subspace codebooks, the same (d2, cid)-ranked cell
+    * routing, ADC distances from the candidates' assigned centroid
+    * vectors (identical doubles, identical left-assoc subspace sum),
+    * the same shortlist cut, and the same exact-cosine re-rank.
+    */
+  val ivfAdc = GraftQuery(
+    "s_ivf_adc",
+    Some {
+      val subCtes = (0 until PqM).map { j =>
+        val lo = j * PqSubLen + 1
+        val hi = (j + 1) * PqSubLen
+        s"s${j}e AS (SELECT vec_id, v[$lo:$hi] AS v FROM e),\n" +
+          lloydCtes(PqK, PqIters, s"s${j}e", s"s$j")
+      }.mkString(",\n")
+      val codeCols = (0 until PqM).map(j => s"x$j.cid AS code$j").mkString(", ")
+      val codedJoins = (0 until PqM)
+        .map(j => s"JOIN s${j}a${PqIters + 1} x$j ON x$j.vec_id = a.vec_id").mkString(" ")
+      val bookJoins = (0 until PqM)
+        .map(j => s"JOIN s${j}c$PqIters b$j ON b$j.cid = c.code$j").mkString(" ")
+      val adist = (0 until PqM).map { j =>
+        val lo = j * PqSubLen + 1
+        val hi = (j + 1) * PqSubLen
+        s"(${d2Sql(s"pc.pv[$lo:$hi]", s"b$j.cv")})"
+      }.mkString(" + ")
+      s"""
+      ${ivfSql(8, 3)},
+      $subCtes,
+      p0 AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 10),
+      ${probeCellsSql("p0", "c3", 2)},
+      coded AS (SELECT a.vec_id AS neighbor_id, a.cid, $codeCols
+                FROM a4 a $codedJoins),
+      cand AS (SELECT pc.probe_id, pc.pv, c.neighbor_id, $adist AS adist
+               FROM pc JOIN coded c ON c.cid = pc.cid AND c.neighbor_id <> pc.probe_id
+               $bookJoins),
+      sl AS (SELECT probe_id, pv, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY adist, neighbor_id) AS arank
+             FROM cand),
+      rr AS (SELECT sl.probe_id, sl.neighbor_id, ${cosSql("sl.pv", "e2.v")} AS cs
+             FROM sl JOIN e e2 ON e2.vec_id = sl.neighbor_id
+             WHERE sl.arank <= $AdcShortlist),
+      r AS (SELECT probe_id, neighbor_id, cs,
+              ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cs DESC, neighbor_id) AS rank
+            FROM rr)
+      SELECT probe_id, neighbor_id, rank, ROUND(cs, 4) AS cos_sim
+      FROM r WHERE rank <= 3
+      ORDER BY probe_id, rank"""
+    },
+    (s, d) => {
+      val idx = ivfIndex(s, d, k = 8, iters = 3)
+      val books = pqBooks(s, d)
+      val coded = ivfCoded(s, d)
+      val e = vecs(s, d).select(col("vec_id"), col("v"))
+      def sub(c: Column, j: Int) = slice(c, j * PqSubLen + 1, PqSubLen)
+      // per-probe ADC tables computed ONCE (before the cell explode
+      // duplicates the probe row per cell), behind the same
+      // materialization boundary as s_pq_adc's.
+      val dtabs = (0 until PqM).map { j =>
+        map(books(j).flatMap { case (cid, cv) =>
+          val cvl = typedLit(cv)
+          val pv = sub(col("pv"), j)
+          Seq(lit(cid),
+            greatest(dotProduct(pv, pv) + dotProduct(cvl, cvl) -
+              lit(2.0) * dotProduct(pv, cvl), lit(0.0)))
+        }: _*).as(s"dtab$j")
+      }
+      val probes = graft.Caching.releaseAfter(
+        e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+          .select(Seq(col("probe_id"), col("pv")) ++ dtabs :+
+            explode(slice(array_sort(distStructs(col("pv"), idx.centroids)), 1, 2))
+              .as("_pc"): _*)
+          .select(Seq(col("probe_id"), col("pv"), col("_pc.cid").as("cid")) ++
+            (0 until PqM).map(j => col(s"dtab$j")): _*))
+      val adist = (0 until PqM)
+        .map(j => element_at(col(s"dtab$j"), col(s"code$j"))).reduce(_ + _)
+      val wA = Window.partitionBy("probe_id").orderBy(col("adist"), col("neighbor_id"))
+      val shortlist = broadcast(probes)
+        .join(coded, Seq("cid"))
+        .filter(col("neighbor_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("pv"), col("neighbor_id"), adist.as("adist"))
+        .withColumn("arank", row_number().over(wA))
+        .filter(col("arank") <= AdcShortlist)
+        .select(col("probe_id"), col("pv"), col("neighbor_id"))
+      val wX = Window.partitionBy("probe_id").orderBy(col("cs").desc, col("neighbor_id"))
+      broadcast(shortlist)
+        .join(e.select(col("vec_id").as("neighbor_id"), col("v")), Seq("neighbor_id"))
+        .select(col("probe_id"), col("neighbor_id"), cosine(col("pv"), col("v")).as("cs"))
+        .withColumn("rank", row_number().over(wX))
+        .filter(col("rank") <= 3)
+        .select(col("probe_id"), col("neighbor_id"), col("rank"),
+          round(col("cs"), 4).as("cos_sim"))
+        .orderBy("probe_id", "rank")
+    },
+  )
+
   /** s_recall_eval: ANN quality as a first-class operator — per-probe
     * recall@3 of the 1-probe IVF search against the exact brute-force
     * top-3 (and the corpus-wide mean). The evaluation harness IS a
@@ -687,5 +841,5 @@ object Sim {
 
   def all: Seq[GraftQuery] =
     Seq(bruteTopk, lshAnn, labelCohesion, centroidIvf, ivfSearch, sq8Quantize,
-      pqQuantize, pqAdc, recallEval)
+      pqQuantize, pqAdc, ivfAdc, recallEval)
 }

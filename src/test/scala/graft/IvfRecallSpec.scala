@@ -26,4 +26,35 @@ class IvfRecallSpec extends SparkSpec {
     // exists to recover — demand near-exact recall.
     assert(mean >= 0.9, f"recall $mean%.2f below multi-probe floor")
   }
+
+  test("s_ivf_adc recall@3 vs brute force clearly beats chance; re-ranked sims are exact") {
+    val adc = graft.sim.Sim.ivfAdc.run(spark, sfDir)
+    val got = adc.select(col("probe_id"), col("neighbor_id")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val bruteRows = graft.sim.Sim.bruteTopk.run(spark, sfDir).collect()
+    val brute = bruteRows.filter(_.getAs[Int]("rank") <= 3)
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val n = graft.sources.Tables.embeddings(spark, sfDir).count()
+    assert(brute.nonEmpty)
+    val recalls = brute.map { case (p, truth) =>
+      truth.intersect(got.getOrElse(p, Set.empty)).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    val random = 3.0 / (n - 1)
+    info(f"IVF-ADC recall@3 vs brute cosine = $mean%.2f (random = $random%.3f)")
+    // the synthetic embeddings are near-random per subspace, so PQ
+    // quantization noise caps shortlist recall (see the s_pq_adc spec);
+    // the composition must still clearly beat chance.
+    assert(mean > 2 * random, f"IVF-ADC recall $mean%.2f vs random $random%.3f")
+    // the re-rank surface is EXACT cosine: every reported (probe,
+    // neighbor, cos_sim) must equal the brute-force value for that pair
+    val bruteSim = bruteRows
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("cos_sim")).toMap
+    for (r <- adc.collect()) {
+      val key = (r.getLong(0), r.getLong(1))
+      // brute only reports its own top-5; compare where both surfaced
+      bruteSim.get(key).foreach(exp =>
+        assert(r.getAs[Double]("cos_sim") === exp, s"inexact re-rank sim at $key"))
+    }
+  }
 }

@@ -342,7 +342,7 @@ class NewOpsSpec extends SparkSpec {
     assert(out.count() === n)
     val codes = out.select(split(col("codes"), ",").as("cs")).collect()
     assert(codes.forall(_.getSeq[String](0).length === 4))
-    // codebook ids are the seed vec_ids 0..7
+    // codebook ids are the seed vec_ids 0..15 (PqK = 16)
     assert(codes.forall(_.getSeq[String](0).forall(c => c.toLong >= 0 && c.toLong < 16)))
     // quantizing to 16 bits loses information but must stay bounded
     val worst = out.agg(max("recon_rmse")).head().getDouble(0)

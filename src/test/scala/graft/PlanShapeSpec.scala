@@ -39,6 +39,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$p")
   }
 
+  test("s_ivf_adc: cell-routed equi-joins only — no nested-loop scan of the corpus") {
+    val p = plan(graft.sim.Sim.ivfAdc.run(spark, sfDir))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"IVF-ADC must route probes to cells via an equi-join, not scan the corpus:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast hash joins:\n$p")
+  }
+
   test("no operator plans a cartesian product") {
     // includes the IVF family: since the map-side argmin rewrite their
     // centroids are literals, so no crossJoin remains anywhere.
