@@ -32,16 +32,30 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // a leaked SPARK_GRAFT_ONLY must never masquerade as a full run:
+    // mark subset output explicitly so partial totals are recognizable.
+    val subsetTag = only
+      .map(o => s""","subset":true,"only":"${o.toSeq.sorted.mkString(",")}"""")
+      .getOrElse("")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(line)
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$subsetTag}"""
     // the stdout line is the driver contract, but its captured tail has
     // truncated in past rounds — also write the full JSON as a file
     // artifact so per-query timings are always recoverable.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $outPath: $e") }
-    Caching.releaseAll()
-    spark.stop()
+    // quiet shutdown BEFORE the contract line: stop any streaming query
+    // a st_ operator left active, free cached blocks, quiesce logging,
+    // stop the context — shutdown-race stacks (executor pools rejecting
+    // tasks mid-stop) have polluted the captured tail two rounds
+    // running. Printing last keeps the JSON the final stdout content.
+    try {
+      spark.sparkContext.setLogLevel("OFF")
+      spark.streams.active.foreach(q => try q.stop() catch { case _: Throwable => () })
+      Caching.releaseAll()
+      spark.stop()
+    } catch { case e: Throwable => System.err.println(s"[bench] shutdown: $e") }
+    println(line)
   }
 }

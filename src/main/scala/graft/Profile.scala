@@ -99,11 +99,18 @@ object Profile {
         col("id").as("v"))
       val dim = spark.range(0, 200000L).select(col("id").as("k"), (col("id") * 7).as("dv"))
       def run(name: String, aqe: Boolean)(body: => Long): Unit = {
-        spark.conf.set("spark.sql.adaptive.enabled", aqe.toString)
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        time(name)(body)
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        // restore the session's OWN pre-benchmark values, not hardcoded
+        // defaults — this main shares the session with later sections.
+        val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+        try {
+          spark.conf.set("spark.sql.adaptive.enabled", aqe.toString)
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          time(name)(body)
+        } finally {
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+          spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+        }
       }
       def agg(df: org.apache.spark.sql.DataFrame): Long =
         df.agg(sum(col("dv"))).head().getLong(0)

@@ -36,6 +36,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // a leaked SPARK_GRAFT_ONLY must never masquerade as a full dump:
+    // leave an explicit marker file next to the partial output.
+    only.foreach(o => Files.writeString(Paths.get(s"$outDir/_SUBSET.txt"),
+      o.toSeq.sorted.mkString(",") + "\n"))
+    spark.streams.active.foreach(qr => try qr.stop() catch { case _: Throwable => () })
     Caching.releaseAll()
     spark.stop()
   }

@@ -893,9 +893,9 @@ object Metrics {
               FROM p JOIN c ON c.event_type = p.event_type
                            AND c.bucket = p.bucket)
       SELECT event_type,
-             ROUND(MAX(CASE WHEN q = 0.5  THEN v END), 4) AS p50,
-             ROUND(MAX(CASE WHEN q = 0.9  THEN v END), 4) AS p90,
-             ROUND(MAX(CASE WHEN q = 0.99 THEN v END), 4) AS p99
+             CAST(floor(MAX(CASE WHEN q = 0.5  THEN v END) * 10000 + 0.5) AS DOUBLE) / 10000 AS p50,
+             CAST(floor(MAX(CASE WHEN q = 0.9  THEN v END) * 10000 + 0.5) AS DOUBLE) / 10000 AS p90,
+             CAST(floor(MAX(CASE WHEN q = 0.99 THEN v END) * 10000 + 0.5) AS DOUBLE) / 10000 AS p99
       FROM est GROUP BY event_type
       ORDER BY event_type"""),
     (s, d) => {
@@ -917,9 +917,11 @@ object Metrics {
           col("bucket") * 50 + lit(50) * (col("q") * col("total") - (col("cum") - col("n"))) / col("n"))
       est.groupBy("event_type")
         .agg(
-          round(max(when(col("q") === 0.5, col("v"))), 4).as("p50"),
-          round(max(when(col("q") === 0.9, col("v"))), 4).as("p90"),
-          round(max(when(col("q") === 0.99, col("v"))), 4).as("p99"))
+          // r4, not round(): interpolated estimates land on half-edges
+          // (see m25's comment on Spark-vs-DuckDB round divergence)
+          r4(max(when(col("q") === 0.5, col("v")))).as("p50"),
+          r4(max(when(col("q") === 0.9, col("v")))).as("p90"),
+          r4(max(when(col("q") === 0.99, col("v")))).as("p99"))
         .orderBy("event_type")
     },
   )

@@ -67,10 +67,22 @@ object Sinks {
     *
     * Returns (topic, msg_index, batch_id, value, timestamp).
     */
+  /** Hard ceiling for one poll cycle's frame: the global msg_index
+    * window funnels all rows through one task, so a corpus-sized input
+    * must fail loudly rather than silently single-thread.
+    */
+  val MaxPollCycleRows: Long = 1000000L
+
   def kafkaProducerBatches(df: DataFrame, orderCols: Seq[String], valueCol: String,
                            topic: String = "jmx_data_ingestion_pipeline",
                            pollTsMillis: Long = 0L,
                            flushEvery: Int = 500): DataFrame = {
+    require(!df.isStreaming,
+      "kafkaProducerBatches takes one bounded poll-cycle frame (use inside foreachBatch for streams)")
+    val n = df.count()
+    require(n <= MaxPollCycleRows,
+      s"kafkaProducerBatches got $n rows — one poll cycle is a bounded scrape sweep " +
+        s"(<= $MaxPollCycleRows); the global msg_index window would single-thread this input")
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(orderCols.map(col): _*)
     val idx = (row_number().over(w) - 1).cast("long")
