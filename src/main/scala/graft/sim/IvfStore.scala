@@ -1,0 +1,56 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.sim.Sim.IvfIndex
+
+/** Storage lifecycle for the ANN index artifacts — the
+  * executor-loss-tolerant production shape that the in-session
+  * localCheckpoint memos stand in for (see Caching.releaseAfter's
+  * note): a cluster deploy builds the index ONCE, saves it to
+  * storage, and every consumer loads it from there — surviving
+  * executor loss, session restarts, and serving from a different job
+  * than the build.
+  *
+  * Artifact layout under `dir`:
+  *   - `assigned/`  — the IVF-assigned corpus (vec_id, v, cid, d2)
+  *   - `centroids/` — the final centroids (cid, cv)
+  *   - `codebooks/` — PQ subspace codebooks (sub, cid, cv)
+  *   - `coded/`     — the IVF-ADC coded corpus (neighbor_id, cid, code0..3)
+  *
+  * Parquet round-trips doubles exactly, so a loaded index searches
+  * bit-identically to the in-memory one (asserted in IvfStoreSpec).
+  */
+object IvfStore {
+
+  def save(idx: IvfIndex, dir: String): Unit = {
+    val s = idx.assigned.sparkSession
+    import s.implicits._
+    idx.assigned.write.mode("overwrite").parquet(s"$dir/assigned")
+    idx.centroids.toDF("cid", "cv").write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  def load(s: SparkSession, dir: String): IvfIndex = {
+    val cents = s.read.parquet(s"$dir/centroids").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
+    IvfIndex(s.read.parquet(s"$dir/assigned"), cents)
+  }
+
+  def savePq(books: Seq[Seq[(Long, Seq[Double])]], coded: DataFrame,
+             dir: String): Unit = {
+    val s = coded.sparkSession
+    import s.implicits._
+    books.zipWithIndex
+      .flatMap { case (b, j) => b.map { case (cid, cv) => (j, cid, cv) } }
+      .toDF("sub", "cid", "cv").write.mode("overwrite").parquet(s"$dir/codebooks")
+    coded.write.mode("overwrite").parquet(s"$dir/coded")
+  }
+
+  def loadPq(s: SparkSession, dir: String): (Seq[Seq[(Long, Seq[Double])]], DataFrame) = {
+    val rows = s.read.parquet(s"$dir/codebooks").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
+    val books = rows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, rs) => rs.map(r => (r._2, r._3)).toSeq.sortBy(_._1) }
+    (books, s.read.parquet(s"$dir/coded"))
+  }
+}

@@ -368,26 +368,33 @@ object Sim {
       SELECT probe_id, neighbor_id, rank, ROUND(cs, 4) AS cos_sim
       FROM r WHERE rank <= 3
       ORDER BY probe_id, rank"""),
-    (s, d) => {
-      val idx = ivfIndex(s, d, k = 8, iters = 3)
-      val assigned = idx.assigned.select(col("vec_id"), col("v"), col("cid"))
-      val probes = probeCells(
-        assigned.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("probe_id"), col("v").as("pv")),
-        idx.centroids, nprobe = 2)
-      val w = Window.partitionBy("probe_id").orderBy(col("cs").desc, col("neighbor_id"))
-      broadcast(probes)
-        .join(assigned.select(col("vec_id").as("neighbor_id"), col("v"), col("cid")),
-          Seq("cid"))
-        .filter(col("neighbor_id") =!= col("probe_id"))
-        .select(col("probe_id"), col("neighbor_id"), cosine(col("pv"), col("v")).as("cs"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
-        .select(col("probe_id"), col("neighbor_id"), col("rank"),
-          round(col("cs"), 4).as("cos_sim"))
-        .orderBy("probe_id", "rank")
-    },
+    (s, d) => searchIvf(ivfIndex(s, d, k = 8, iters = 3)),
   )
+
+  /** The cell-routed exact-cosine search over a built (or
+    * storage-loaded — see [[IvfStore]]) index: probes route map-side
+    * to their nprobe=2 cells, candidates come from an equi-join on
+    * cid, top-3 by exact cosine. Shared by s_ivf_search and the
+    * save→load≡in-memory spec.
+    */
+  def searchIvf(idx: IvfIndex): DataFrame = {
+    val assigned = idx.assigned.select(col("vec_id"), col("v"), col("cid"))
+    val probes = probeCells(
+      assigned.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv")),
+      idx.centroids, nprobe = 2)
+    val w = Window.partitionBy("probe_id").orderBy(col("cs").desc, col("neighbor_id"))
+    broadcast(probes)
+      .join(assigned.select(col("vec_id").as("neighbor_id"), col("v"), col("cid")),
+        Seq("cid"))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("neighbor_id"), cosine(col("pv"), col("v")).as("cs"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("probe_id"), col("neighbor_id"), col("rank"),
+        round(col("cs"), 4).as("cos_sim"))
+      .orderBy("probe_id", "rank")
+  }
 
   /** s_sq8_quantize: int8 scalar quantization of the embedding corpus —
     * the memory-side of ANN at scale (64 bytes/vector instead of 512).
@@ -638,7 +645,7 @@ object Sim {
     scala.collection.mutable.Map[String, (SparkSession, DataFrame)]()
   graft.Caching.onReleaseAll(() => ivfCodedMemo.synchronized(ivfCodedMemo.clear()))
 
-  private def ivfCoded(s: SparkSession, d: String): DataFrame =
+  def ivfCoded(s: SparkSession, d: String): DataFrame =
     ivfCodedMemo.synchronized {
       ivfCodedMemo.get(d) match {
         case Some((sess, c)) if (sess eq s) && !s.sparkContext.isStopped => c
@@ -723,16 +730,24 @@ object Sim {
       FROM r WHERE rank <= 3
       ORDER BY probe_id, rank"""
     },
-    (s, d) => {
-      val idx = ivfIndex(s, d, k = 8, iters = 3)
-      val books = pqBooks(s, d)
-      val coded = ivfCoded(s, d)
-      val e = vecs(s, d).select(col("vec_id"), col("v"))
-      def sub(c: Column, j: Int) = slice(c, j * PqSubLen + 1, PqSubLen)
-      // per-probe ADC tables computed ONCE (before the cell explode
-      // duplicates the probe row per cell), behind the same
-      // materialization boundary as s_pq_adc's.
-      val dtabs = (0 until PqM).map { j =>
+    (s, d) => searchIvfAdc(s, d,
+      ivfIndex(s, d, k = 8, iters = 3).centroids, pqBooks(s, d), ivfCoded(s, d)),
+  )
+
+  /** The IVF-ADC search body over explicit index artifacts (built
+    * in-session or loaded from storage — see [[IvfStore]]): raw probe
+    * vectors come from the corpus table under `d`; `cents`, `books`,
+    * and the `coded` corpus are the index. Shared by s_ivf_adc and the
+    * save→load≡in-memory spec.
+    */
+  def searchIvfAdc(s: SparkSession, d: String, cents: Seq[(Long, Seq[Double])],
+                   books: Seq[Seq[(Long, Seq[Double])]], coded: DataFrame): DataFrame = {
+    val e = vecs(s, d).select(col("vec_id"), col("v"))
+    def sub(c: Column, j: Int): Column = slice(c, j * PqSubLen + 1, PqSubLen)
+    // per-probe ADC tables computed ONCE (before the cell explode
+    // duplicates the probe row per cell), behind the same
+    // materialization boundary as s_pq_adc's.
+    val dtabs = (0 until PqM).map { j =>
         map(books(j).flatMap { case (cid, cv) =>
           val cvl = typedLit(cv)
           val pv = sub(col("pv"), j)
@@ -745,7 +760,7 @@ object Sim {
         e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("probe_id"), col("v").as("pv"))
           .select(Seq(col("probe_id"), col("pv")) ++ dtabs :+
-            explode(slice(array_sort(distStructs(col("pv"), idx.centroids)), 1, 2))
+            explode(slice(array_sort(distStructs(col("pv"), cents)), 1, 2))
               .as("_pc"): _*)
           .select(Seq(col("probe_id"), col("pv"), col("_pc.cid").as("cid")) ++
             (0 until PqM).map(j => col(s"dtab$j")): _*))
@@ -768,8 +783,7 @@ object Sim {
         .select(col("probe_id"), col("neighbor_id"), col("rank"),
           round(col("cs"), 4).as("cos_sim"))
         .orderBy("probe_id", "rank")
-    },
-  )
+  }
 
   /** s_recall_eval: ANN quality as a first-class operator — per-probe
     * recall@3 of the 1-probe IVF search against the exact brute-force
