@@ -898,33 +898,52 @@ object Metrics {
              CAST(floor(MAX(CASE WHEN q = 0.99 THEN v END) * 10000 + 0.5) AS DOUBLE) / 10000 AS p99
       FROM est GROUP BY event_type
       ORDER BY event_type"""),
-    (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val b = Tables.events(s, d)
-        .groupBy(col("event_type"), floor(col("value") / 50).cast("long").as("bucket"))
-        .agg(count(lit(1)).as("n"))
-      val byType = Window.partitionBy("event_type")
-      val c = b
-        .withColumn("cum", sum("n").over(byType.orderBy("bucket")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("total", sum("n").over(byType))
-      val j = c
-        .withColumn("q", explode(array(lit(0.5), lit(0.9), lit(0.99))))
-        .filter(col("cum") >= col("q") * col("total"))
-      val p = j.groupBy("event_type", "q").agg(min("bucket").as("bucket"))
-      val est = p.join(c, Seq("event_type", "bucket"))
-        .withColumn("v",
-          col("bucket") * 50 + lit(50) * (col("q") * col("total") - (col("cum") - col("n"))) / col("n"))
-      est.groupBy("event_type")
-        .agg(
-          // r4, not round(): interpolated estimates land on half-edges
-          // (see m25's comment on Spark-vs-DuckDB round divergence)
-          r4(max(when(col("q") === 0.5, col("v")))).as("p50"),
-          r4(max(when(col("q") === 0.9, col("v")))).as("p90"),
-          r4(max(when(col("q") === 0.99, col("v")))).as("p99"))
-        .orderBy("event_type")
-    },
+    (s, d) => quantileFromBuckets(bucketCounts(Tables.events(s, d))),
   )
+
+  /** The mergeable bucket sketch (fixed width 50) — works identically
+    * on a batch frame and a streaming one (counts sum), which is what
+    * makes m26 streamable as st_histogram_quantile.
+    */
+  private[graft] def bucketCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"), floor(col("value") / 50).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+
+  /** The closed-form quantile estimate over a (event_type, bucket, n)
+    * bucket-count frame — the query-time half of m26, shared with its
+    * streaming twin (Prometheus semantics: counters accumulate
+    * continuously, histogram_quantile evaluates over the ~10 scraped
+    * bucket rows per series at read time).
+    */
+  private[graft] def quantileFromBuckets(b: DataFrame): DataFrame = {
+    val byType = Window.partitionBy("event_type")
+    val c = b
+      .withColumn("cum", sum("n").over(byType.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum("n").over(byType))
+    val j = c
+      .withColumn("q", explode(array(lit(0.5), lit(0.9), lit(0.99))))
+      .filter(col("cum") >= col("q") * col("total"))
+    // min_by picks the first bucket whose cum reaches the target rank
+    // — one aggregation, no join back onto the bucket frame (a
+    // self-join would also trip reference dedup over a memory-sink
+    // table in the streaming twin)
+    val est = j.groupBy("event_type", "q")
+      .agg(min_by(struct(col("bucket"), col("n"), col("cum"), col("total")),
+        col("bucket")).as("b"))
+      .withColumn("v",
+        col("b.bucket") * 50 +
+          lit(50) * (col("q") * col("b.total") - (col("b.cum") - col("b.n"))) / col("b.n"))
+    est.groupBy("event_type")
+      .agg(
+        // r4, not round(): interpolated estimates land on half-edges
+        // (see m25's comment on Spark-vs-DuckDB round divergence)
+        r4(max(when(col("q") === 0.5, col("v")))).as("p50"),
+        r4(max(when(col("q") === 0.9, col("v")))).as("p90"),
+        r4(max(when(col("q") === 0.99, col("v")))).as("p99"))
+      .orderBy("event_type")
+  }
 
   def all: Seq[GraftQuery] = Seq(
     flattenProps, windowRollup, rate, latestPerSeries, sessionize,

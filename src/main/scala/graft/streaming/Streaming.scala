@@ -442,9 +442,93 @@ object Streaming {
     },
   )
 
+  /** st_histogram_quantile: m26 as a continuous query — the
+    * fixed-width bucket counts are the streamed state (a mergeable
+    * sketch: counts sum across micro-batches, state = ~10 rows per
+    * series), and the closed-form quantile interpolation runs at READ
+    * time over the materialized bucket table. Exactly Prometheus
+    * semantics: histogram counters accumulate continuously;
+    * histogram_quantile() evaluates over the scraped buckets per
+    * query. Complete mode ⇒ the bucket table equals the batch sketch,
+    * so m26's oracle applies verbatim. Shares bucketCounts /
+    * quantileFromBuckets with the batch operator.
+    */
+  val streamHistogramQuantile = GraftQuery(
+    "st_histogram_quantile",
+    graft.metrics.Metrics.histogramQuantile.oracle,
+    (s, d) => {
+      val buckets = graft.metrics.Metrics.bucketCounts(streamEvents(s, d))
+      graft.metrics.Metrics.quantileFromBuckets(
+        runToTable(s, buckets, OutputMode.Complete()))
+    },
+  )
+
+  // ---- st_cusum ---------------------------------------------------------
+
+  /** Per-series CUSUM drift state machine: the running (hi, lo) CUSUM
+    * recurrence and its maxima live in group state — one 5-field row
+    * per series, the natural bound. The reference mean μ arrives as a
+    * static calibration-baseline join (standard deployed-CUSUM shape:
+    * μ comes from a calibration window, the monitored stream folds
+    * against it). Each micro-batch emits the series' updated snapshot;
+    * in the single-batch harness that is exactly m25's batch result.
+    * The fold is the same left-assoc double sequence as m25's column
+    * fold, so parity is bit-exact.
+    */
+  private def cusumFn(key: (Long, String), rows: Iterator[CuEv],
+                      state: GroupState[CuState]): Iterator[CuOut] = {
+    val batch = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
+    if (batch.isEmpty) {
+      if (state.hasTimedOut) state.remove()
+      Iterator.empty
+    } else {
+      val m = batch.head.mean
+      var st = state.getOption.getOrElse(CuState(0.0, 0.0, 0.0, 0.0, 0L))
+      batch.foreach { e =>
+        val hi = math.max(st.hi + e.value - m - 0.05 * m, 0.0)
+        val lo = math.max(st.lo + m - e.value - 0.05 * m, 0.0)
+        st = CuState(hi, lo, math.max(st.mh, hi), math.max(st.ml, lo), st.n + 1)
+      }
+      state.update(st)
+      state.setTimeoutTimestamp(batch.last.ts_us / 1000L + 3600L * 1000)
+      // same floor-based round-half-up as m25's r4 (see its comment)
+      def fl(x: Double) = math.floor(x * 10000 + 0.5)
+      Iterator.single(CuOut(key._1, key._2, st.n,
+        fl(st.mh) / 10000, fl(st.ml) / 10000,
+        fl(st.mh) > fl(0.5 * m) || fl(st.ml) > fl(0.5 * m)))
+    }
+  }
+
+  /** st_cusum: m25 as a live drift monitor — batch-parity with m25's
+    * whole-series fold (asserted in StreamingParitySpec; the oracle
+    * applies verbatim in the single-batch harness).
+    */
+  val streamCusum = GraftQuery(
+    "st_cusum",
+    graft.metrics.Metrics.cusumDrift.oracle,
+    (s, d) => {
+      import s.implicits._
+      val means = graft.sources.Tables.events(s, d)
+        .groupBy("user_id", "event_type")
+        .agg(graft.gfunctions.davg(col("value")).as("mean"))
+      val evs: Dataset[CuEv] = streamEvents(s, d)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("ts"), unix_micros(col("ts")).as("ts_us"), col("value"))
+        .join(broadcast(means), Seq("user_id", "event_type"))
+        .withWatermark("ts", "2 hours")
+        .as[CuEv]
+      val out = evs
+        .groupByKey(e => (e.user_id, e.event_type))
+        .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(cusumFn)
+      runToTable(s, out.toDF(), OutputMode.Append())
+        .orderBy("user_id", "event_type")
+    },
+  )
+
   def all: Seq[GraftQuery] =
     Seq(pipeline, statefulRate, sinkFanout, streamDedup, streamJoin, streamEnrich,
-      streamHopping, streamAlerts, streamSessions, streamLatest)
+      streamHopping, streamAlerts, streamSessions, streamLatest,
+      streamHistogramQuantile, streamCusum)
 }
 
 // Encoder-visible row types for the stateful stream (must not be
@@ -458,3 +542,8 @@ case class AlertEv(user_id: Long, event_type: String, event_id: Long,
 case class AlertState(alerting: Boolean)
 case class AlertOut(user_id: Long, event_type: String, ts: java.sql.Timestamp,
                     value: Double, transition: String, event_id: Long)
+case class CuEv(user_id: Long, event_type: String, event_id: Long,
+                ts: java.sql.Timestamp, ts_us: Long, value: Double, mean: Double)
+case class CuState(hi: Double, lo: Double, mh: Double, ml: Double, n: Long)
+case class CuOut(user_id: Long, event_type: String, n: Long,
+                 cusum_hi_max: Double, cusum_lo_max: Double, drift: Boolean)

@@ -14,6 +14,18 @@ class StreamingParitySpec extends SparkSpec {
     assert(rows(streamed) === rows(batch))
   }
 
+  test("st_histogram_quantile == m26 batch histogram quantile") {
+    val streamed = graft.streaming.Streaming.streamHistogramQuantile.run(spark, sfDir)
+    val batch = graft.metrics.Metrics.histogramQuantile.run(spark, sfDir)
+    assert(rows(streamed) === rows(batch))
+  }
+
+  test("st_cusum == m25 batch CUSUM fold") {
+    val streamed = graft.streaming.Streaming.streamCusum.run(spark, sfDir)
+    val batch = graft.metrics.Metrics.cusumDrift.run(spark, sfDir)
+    assert(rows(streamed) === rows(batch))
+  }
+
   test("st_stateful_rate == m3 batch lag-rate (nulls dropped)") {
     import org.apache.spark.sql.functions._
     val streamed = graft.streaming.Streaming.statefulRate.run(spark, sfDir)
