@@ -442,6 +442,40 @@ object Streaming {
     },
   )
 
+  /** Synthetic events from the RATE source — timestamped generator
+    * micro-batches driven by trigger cadence, no file listing: the
+    * source-parameterization path that the file micro-batches (and, on
+    * a cluster, a Kafka source) slot into. Each generated sequential
+    * id maps deterministically to an events-shaped row, so whatever
+    * prefix of the stream the triggers have processed equals
+    * [[rateEventsBatch]] of the same row count — that equivalence is
+    * the replay-parity assertion in RateSourceSpec.
+    */
+  def rateEvents(s: SparkSession, rowsPerSecond: Int = 5000): DataFrame =
+    shapeGenerated(s.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toString)
+      .option("numPartitions", "2").load()
+      .select(col("value").as("gid")))
+
+  /** The same deterministic shaping over a bounded id range — the
+    * batch twin used to assert rate-replay parity.
+    */
+  def rateEventsBatch(s: SparkSession, n: Long): DataFrame =
+    shapeGenerated(s.range(0, n).select(col("id").as("gid")))
+
+  /** id → events-shaped row: 61s-spaced timestamps (rollups span many
+    * hours), 50 users, 4 event types, a non-trivial value sequence.
+    */
+  private def shapeGenerated(ids: DataFrame): DataFrame =
+    ids.select(
+      col("gid").as("event_id"),
+      timestamp_micros(lit(1700000000000000L) + col("gid") * 61000000L).as("ts"),
+      pmod(col("gid"), lit(50L)).as("user_id"),
+      element_at(
+        array(lit("click"), lit("view"), lit("purchase"), lit("scroll")),
+        (pmod(col("gid"), lit(4L)) + 1).cast("int")).as("event_type"),
+      pmod(col("gid") * 7919, lit(500L)).cast("double").as("value"))
+
   /** st_histogram_quantile: m26 as a continuous query — the
     * fixed-width bucket counts are the streamed state (a mergeable
     * sketch: counts sum across micro-batches, state = ~10 rows per
