@@ -1,0 +1,119 @@
+package graft.tools
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** One-off ~N× scale-up of a driver testdata dir (default 10×) for
+  * stress benching — `GenScale <srcDir> <outDir> [factor]`.
+  *
+  * Replica 0 is the source data verbatim; replicas 1..N-1:
+  *   - shift every key domain by rep·(max+1), so joins (orders ⋈
+  *     lineitem ⋈ part/supplier, events ⋈ customer) scale consistently
+  *     and per-key row counts stay what they were;
+  *   - perturb document text token-wise (a rep-unique token inserted
+  *     after every 4th token kills ~half the 3-gram shingles), so
+  *     replicas sit at ~0.29 Jaccard / ~0.5 containment to their
+  *     originals — BELOW the 0.5 / 0.8 dedup gates. Near-dup pair
+  *     counts therefore scale linearly with the corpus, not
+  *     quadratically with the replication factor;
+  *   - re-draw embedding vectors from the corpus' own distribution
+  *     (hash-derived uniform direction, unit norm — the source is
+  *     unit-norm with per-dim std 1/√64): independent unit vectors
+  *     sit ~0.125±σ cosine, far below the 0.45 near-dup gate.
+  *
+  * Probe sets (vec_id < 10) stay fixed — replica ids are shifted out
+  * of the probe range — so ANN queries measure pure corpus-scan
+  * scaling.
+  */
+object GenScale {
+
+  def main(args: Array[String]): Unit = {
+    val Array(src, out) = args.take(2)
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors())
+    val spark = graft.GraftSession.local(cpus)
+    import spark.implicits._
+
+    val reps = (0 until factor).toDF("rep")
+    def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
+    def shift(c: String, stride: Long): Column =
+      col(c) + col("rep").cast("long") * stride
+    def stride(df: DataFrame, c: String): Long =
+      df.agg(max(col(c))).head().getLong(0) + 1
+    def write(df: DataFrame, t: String): Unit = {
+      df.drop("rep").write.mode("overwrite").parquet(s"$out/$t.parquet")
+      println(s"[genscale] wrote $t")
+    }
+
+    // dims: copied verbatim (they are fixed-size at any scale)
+    write(read("region").withColumn("rep", lit(0)), "region")
+    write(read("nation").withColumn("rep", lit(0)), "nation")
+
+    val cust = read("customer")
+    val C = stride(cust, "c_custkey")
+    write(cust.crossJoin(reps).withColumn("c_custkey", shift("c_custkey", C)),
+      "customer")
+
+    val supp = read("supplier")
+    val S = stride(supp, "s_suppkey")
+    write(supp.crossJoin(reps).withColumn("s_suppkey", shift("s_suppkey", S)),
+      "supplier")
+
+    val part = read("part")
+    val P = stride(part, "p_partkey")
+    write(part.crossJoin(reps).withColumn("p_partkey", shift("p_partkey", P)),
+      "part")
+
+    val ord = read("orders")
+    val O = stride(ord, "o_orderkey")
+    write(ord.crossJoin(reps)
+      .withColumn("o_orderkey", shift("o_orderkey", O))
+      .withColumn("o_custkey", shift("o_custkey", C)), "orders")
+
+    write(read("lineitem").crossJoin(reps)
+      .withColumn("l_orderkey", shift("l_orderkey", O))
+      .withColumn("l_partkey", shift("l_partkey", P))
+      .withColumn("l_suppkey", shift("l_suppkey", S)), "lineitem")
+
+    // events.ts is nanosecond parquet: read nanos as a long, shift one
+    // second per replica, write the long back (Tables.events divides
+    // to micros on read either way).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = read("events")
+    val E = stride(ev, "event_id")
+    write(ev.crossJoin(reps)
+      .withColumn("event_id", shift("event_id", E))
+      .withColumn("user_id", shift("user_id", C))
+      .withColumn("ts", col("ts") + col("rep").cast("long") * 1000000000L),
+      "events")
+
+    val docs = read("documents")
+    val D = stride(docs, "doc_id")
+    val perturbedText = when(col("rep") === 0, col("text")).otherwise(
+      concat_ws(" ", transform(split(col("text"), " "), (t, i) =>
+        when(i % 4 === 3,
+          concat(t, lit(" z"), col("rep"), lit("q"), pmod(i, lit(89))))
+          .otherwise(t))))
+    write(docs.crossJoin(reps)
+      .withColumn("text", perturbedText)
+      .withColumn("doc_id", shift("doc_id", D))
+      .withColumn("n_chars", length(col("text")).cast("long")), "documents")
+
+    val emb = read("embeddings")
+    val V = stride(emb, "vec_id")
+    val rawVec = transform(sequence(lit(0), lit(63)), i =>
+      (pmod(xxhash64(col("vec_id"), col("rep"), i), lit(2001L)).cast("double")
+        - 1000.0) / 1000.0)
+    write(emb.crossJoin(reps)
+      .withColumn("_raw", rawVec)
+      .withColumn("_nrm", sqrt(aggregate(col("_raw"), lit(0.0), (a, x) => a + x * x)))
+      .withColumn("embedding",
+        when(col("rep") === 0, col("embedding"))
+          .otherwise(transform(col("_raw"), x => (x / col("_nrm")).cast("float"))))
+      .withColumn("vec_id", shift("vec_id", V))
+      .drop("_raw", "_nrm"), "embeddings")
+
+    spark.stop()
+  }
+}
