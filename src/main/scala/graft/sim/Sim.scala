@@ -785,6 +785,162 @@ object Sim {
         .orderBy("probe_id", "rank")
   }
 
+  /** cid → centroid vector as a bounded map literal (k entries of dim
+    * doubles — kilobytes), so the per-row residual v − centroid(cid)
+    * is a map lookup + zip_with, never a join.
+    */
+  private def centroidMap(cents: Seq[(Long, Seq[Double])]): Column =
+    map(cents.flatMap { case (cid, cv) => Seq(lit(cid), typedLit(cv)) }: _*)
+
+  private def residual(v: Column, cid: Column, cents: Seq[(Long, Seq[Double])]): Column =
+    zip_with(v, element_at(centroidMap(cents), cid), (a, b) => a - b)
+
+  /** Memoized residual-PQ artifacts for a dir: per-subspace codebooks
+    * trained on IVF residuals + the coded corpus (cid + 4 residual
+    * codes per vector). Same memo lifecycle as the others.
+    */
+  private val ivfResMemo = scala.collection.mutable.Map[
+    String, (SparkSession, (Seq[Seq[(Long, Seq[Double])]], DataFrame))]()
+  graft.Caching.onReleaseAll(() => ivfResMemo.synchronized(ivfResMemo.clear()))
+
+  private def ivfResidualArtifacts(
+      s: SparkSession, d: String): (Seq[Seq[(Long, Seq[Double])]], DataFrame) =
+    ivfResMemo.synchronized {
+      ivfResMemo.get(d) match {
+        case Some((sess, art)) if (sess eq s) && !s.sparkContext.isStopped => art
+        case _ =>
+          val idx = ivfIndex(s, d, k = 8, iters = 3)
+          val eRes = idx.assigned
+            .select(col("vec_id"),
+              residual(col("v"), col("cid"), idx.centroids).as("r"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val books = (0 until PqM).map(j =>
+            lloyd(eRes, slice(col("r"), j * PqSubLen + 1, PqSubLen), PqK, PqIters))
+          val coded = graft.Caching.releaseAfter(
+            idx.assigned.select(
+              Seq(col("vec_id").as("neighbor_id"), col("cid")) ++
+                (0 until PqM).map { j =>
+                  val rsub = slice(residual(col("v"), col("cid"), idx.centroids),
+                    j * PqSubLen + 1, PqSubLen)
+                  array_min(distStructs(rsub, books(j))).getField("cid").as(s"rcode$j")
+                }: _*),
+            eRes)
+          ivfResMemo(d) = (s, (books, coded))
+          (books, coded)
+      }
+    }
+
+  /** s_ivf_adc_residual: IVF-ADC with RESIDUAL product quantization —
+    * the production IVFADC of the PQ literature: codebooks are trained
+    * on v − centroid(cell) instead of raw vectors (residuals are
+    * smaller and better-centered, so the same 16 bits buy less
+    * quantization error), and each probe builds its ADC tables per
+    * PROBED CELL from its own residual pv − centroid(cell). Same
+    * routing (map-side, nprobe=2), same equi-join candidate scan, same
+    * exact-cosine re-rank as s_ivf_adc; the only extra cost is nprobe
+    * table computations per probe instead of one — still O(k·dim)
+    * driver-free map work per probe-cell, independent of corpus size.
+    * Oracle replays the IVF chain, the residual frame, 4 residual
+    * Lloyd chains, per-cell probe residual tables, shortlist, and
+    * re-rank — bit-exact.
+    */
+  val ivfAdcResidual = GraftQuery(
+    "s_ivf_adc_residual",
+    Some {
+      // residual corpus (vec_id, cid, v = v − centroid(cid)), then one
+      // Lloyd chain per subspace over it (prefix w$j; var names are
+      // collision-proofed per the DuckDB lambda shadowing rule)
+      val subCtes = (0 until PqM).map { j =>
+        val lo = j * PqSubLen + 1
+        val hi = (j + 1) * PqSubLen
+        s"w${j}e AS (SELECT vec_id, v[$lo:$hi] AS v FROM res),\n" +
+          lloydCtes(PqK, PqIters, s"w${j}e", s"w$j")
+      }.mkString(",\n")
+      val codeCols = (0 until PqM).map(j => s"x$j.cid AS rcode$j").mkString(", ")
+      val codedJoins = (0 until PqM)
+        .map(j => s"JOIN w${j}a${PqIters + 1} x$j ON x$j.vec_id = a.vec_id").mkString(" ")
+      val bookJoins = (0 until PqM)
+        .map(j => s"JOIN w${j}c$PqIters b$j ON b$j.cid = c.rcode$j").mkString(" ")
+      val adist = (0 until PqM).map { j =>
+        val lo = j * PqSubLen + 1
+        val hi = (j + 1) * PqSubLen
+        val pr = s"list_transform(range($lo, ${hi + 1}), __rv$j -> pc.pv[__rv$j] - cc.cv[__rv$j])"
+        s"(${d2Sql(pr, s"b$j.cv")})"
+      }.mkString(" + ")
+      s"""
+      ${ivfSql(8, 3)},
+      res AS (SELECT a.vec_id, a.cid,
+                list_transform(range(1, 65), __rr -> a.v[__rr] - c.cv[__rr]) AS v
+              FROM a4 a JOIN c3 c USING (cid)),
+      $subCtes,
+      p0 AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 10),
+      ${probeCellsSql("p0", "c3", 2)},
+      coded AS (SELECT a.vec_id AS neighbor_id, a.cid, $codeCols
+                FROM a4 a $codedJoins),
+      cand AS (SELECT pc.probe_id, pc.pv, c.neighbor_id, $adist AS adist
+               FROM pc JOIN coded c ON c.cid = pc.cid AND c.neighbor_id <> pc.probe_id
+               JOIN c3 cc ON cc.cid = pc.cid
+               $bookJoins),
+      sl AS (SELECT probe_id, pv, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY adist, neighbor_id) AS arank
+             FROM cand),
+      rr AS (SELECT sl.probe_id, sl.neighbor_id, ${cosSql("sl.pv", "e2.v")} AS cs
+             FROM sl JOIN e e2 ON e2.vec_id = sl.neighbor_id
+             WHERE sl.arank <= $AdcShortlist),
+      r AS (SELECT probe_id, neighbor_id, cs,
+              ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cs DESC, neighbor_id) AS rank
+            FROM rr)
+      SELECT probe_id, neighbor_id, rank, ROUND(cs, 4) AS cos_sim
+      FROM r WHERE rank <= 3
+      ORDER BY probe_id, rank"""
+    },
+    (s, d) => {
+      val idx = ivfIndex(s, d, k = 8, iters = 3)
+      val (books, coded) = ivfResidualArtifacts(s, d)
+      val e = vecs(s, d).select(col("vec_id"), col("v"))
+      // route first (explode to probe-cell rows), THEN build the ADC
+      // tables from the per-cell probe residual — residual tables are
+      // inherently per (probe, cell)
+      val routed = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+        .select(col("probe_id"), col("pv"),
+          explode(slice(array_sort(distStructs(col("pv"), idx.centroids)), 1, 2))
+            .as("_pc"))
+        .select(col("probe_id"), col("pv"), col("_pc.cid").as("cid"))
+      val pr = residual(col("pv"), col("cid"), idx.centroids)
+      val dtabs = (0 until PqM).map { j =>
+        val prs = slice(pr, j * PqSubLen + 1, PqSubLen)
+        map(books(j).flatMap { case (cid, cv) =>
+          val cvl = typedLit(cv)
+          Seq(lit(cid),
+            greatest(dotProduct(prs, prs) + dotProduct(cvl, cvl) -
+              lit(2.0) * dotProduct(prs, cvl), lit(0.0)))
+        }: _*).as(s"dtab$j")
+      }
+      val probes = graft.Caching.releaseAfter(
+        routed.select(Seq(col("probe_id"), col("pv"), col("cid")) ++ dtabs: _*))
+      val adist = (0 until PqM)
+        .map(j => element_at(col(s"dtab$j"), col(s"rcode$j"))).reduce(_ + _)
+      val wA = Window.partitionBy("probe_id").orderBy(col("adist"), col("neighbor_id"))
+      val shortlist = broadcast(probes)
+        .join(coded, Seq("cid"))
+        .filter(col("neighbor_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("pv"), col("neighbor_id"), adist.as("adist"))
+        .withColumn("arank", row_number().over(wA))
+        .filter(col("arank") <= AdcShortlist)
+        .select(col("probe_id"), col("pv"), col("neighbor_id"))
+      val wX = Window.partitionBy("probe_id").orderBy(col("cs").desc, col("neighbor_id"))
+      broadcast(shortlist)
+        .join(e.select(col("vec_id").as("neighbor_id"), col("v")), Seq("neighbor_id"))
+        .select(col("probe_id"), col("neighbor_id"), cosine(col("pv"), col("v")).as("cs"))
+        .withColumn("rank", row_number().over(wX))
+        .filter(col("rank") <= 3)
+        .select(col("probe_id"), col("neighbor_id"), col("rank"),
+          round(col("cs"), 4).as("cos_sim"))
+        .orderBy("probe_id", "rank")
+    },
+  )
+
   /** s_recall_eval: ANN quality as a first-class operator — per-probe
     * recall@3 of the 1-probe IVF search against the exact brute-force
     * top-3 (and the corpus-wide mean). The evaluation harness IS a
@@ -855,5 +1011,5 @@ object Sim {
 
   def all: Seq[GraftQuery] =
     Seq(bruteTopk, lshAnn, labelCohesion, centroidIvf, ivfSearch, sq8Quantize,
-      pqQuantize, pqAdc, ivfAdc, recallEval)
+      pqQuantize, pqAdc, ivfAdc, ivfAdcResidual, recallEval)
 }
