@@ -559,10 +559,61 @@ object Streaming {
     },
   )
 
+  /** Per-series EWMA state machine: one (ewma, n) row per series; the
+    * first sample seeds, each next folds e' = 0.3·x + 0.7·e — the same
+    * left-assoc double sequence as m14's array fold, so parity is
+    * bit-exact. Rounding at emit uses BigDecimal.valueOf HALF_UP,
+    * which IS Spark round()'s double path (m14's output rounding).
+    */
+  private def ewmaFn(key: (Long, String), rows: Iterator[Ev],
+                     state: GroupState[EwmaState]): Iterator[EwmaOut] = {
+    val batch = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
+    if (batch.isEmpty) {
+      if (state.hasTimedOut) state.remove()
+      Iterator.empty
+    } else {
+      var st = state.getOption
+      batch.foreach { e =>
+        st = Some(st match {
+          case None => EwmaState(e.value, 1L)
+          case Some(p) => EwmaState(0.3 * e.value + 0.7 * p.ewma, p.n + 1)
+        })
+      }
+      state.update(st.get)
+      state.setTimeoutTimestamp(batch.last.ts_us / 1000L + 3600L * 1000)
+      val rounded = java.math.BigDecimal.valueOf(st.get.ewma)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+      Iterator.single(EwmaOut(key._1, key._2, rounded, st.get.n))
+    }
+  }
+
+  /** st_ewma: m14 as a live smoothed-gauge view — each micro-batch
+    * emits the series' updated EWMA snapshot; in the single-batch
+    * harness that equals m14's whole-series fold, so its oracle
+    * applies verbatim (parity asserted in StreamingParitySpec).
+    */
+  val streamEwma = GraftQuery(
+    "st_ewma",
+    graft.metrics.Metrics.ewma.oracle,
+    (s, d) => {
+      import s.implicits._
+      val evs: Dataset[Ev] = streamEvents(s, d)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("ts"), unix_micros(col("ts")).as("ts_us"), col("value"))
+        .withWatermark("ts", "2 hours")
+        .as[Ev]
+      val out = evs
+        .groupByKey(e => (e.user_id, e.event_type))
+        .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(ewmaFn)
+      runToTable(s, out.toDF(), OutputMode.Append())
+        .orderBy("user_id", "event_type")
+    },
+  )
+
   def all: Seq[GraftQuery] =
     Seq(pipeline, statefulRate, sinkFanout, streamDedup, streamJoin, streamEnrich,
       streamHopping, streamAlerts, streamSessions, streamLatest,
-      streamHistogramQuantile, streamCusum)
+      streamHistogramQuantile, streamCusum, streamEwma)
 }
 
 // Encoder-visible row types for the stateful stream (must not be
@@ -579,5 +630,7 @@ case class AlertOut(user_id: Long, event_type: String, ts: java.sql.Timestamp,
 case class CuEv(user_id: Long, event_type: String, event_id: Long,
                 ts: java.sql.Timestamp, ts_us: Long, value: Double, mean: Double)
 case class CuState(hi: Double, lo: Double, mh: Double, ml: Double, n: Long)
+case class EwmaState(ewma: Double, n: Long)
+case class EwmaOut(user_id: Long, event_type: String, ewma: Double, n: Long)
 case class CuOut(user_id: Long, event_type: String, n: Long,
                  cusum_hi_max: Double, cusum_lo_max: Double, drift: Boolean)

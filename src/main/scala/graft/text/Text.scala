@@ -637,8 +637,48 @@ object Text {
     },
   )
 
+  /** t_mixture: the training-data mixture report — per (source, lang):
+    * document count, whitespace-token count, and each cell's share of
+    * corpus documents and tokens. This is the table a data-mixture
+    * decision (how much of each source/language goes into a training
+    * run) reads first. One partial-agg shuffle on (source, lang); the
+    * share windows run over the aggregated frame (tens of rows), never
+    * raw documents — the same percent-of-total shape as
+    * q_percent_of_total. Shares use the floor-based round-half-up (see
+    * m25) since ratios land on arbitrary half-edges.
+    */
+  val mixture = GraftQuery(
+    "t_mixture",
+    Some(s"""
+      WITH d AS (SELECT source, lang, len($ToksSql) AS nt FROM documents),
+      g AS (SELECT source, lang, COUNT(*) AS n_docs,
+              CAST(SUM(nt) AS BIGINT) AS n_tokens
+            FROM d GROUP BY source, lang)
+      SELECT source, lang, n_docs, n_tokens,
+             CAST(floor(CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER () * 10000 + 0.5)
+               AS DOUBLE) / 10000 AS doc_share,
+             CAST(floor(CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER () * 10000 + 0.5)
+               AS DOUBLE) / 10000 AS token_share
+      FROM g
+      ORDER BY source, lang"""),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      def shr(c: Column): Column =
+        floor(c * 10000 + 0.5).cast("double") / 10000
+      val g = Tables.documents(s, d)
+        .select(col("source"), col("lang"), size(toks(col("text"))).cast("long").as("nt"))
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
+      val all = Window.partitionBy()
+      g.select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+          shr(col("n_docs").cast("double") / sum("n_docs").over(all)).as("doc_share"),
+          shr(col("n_tokens").cast("double") / sum("n_tokens").over(all)).as("token_share"))
+        .orderBy("source", "lang")
+    },
+  )
+
   def all: Seq[GraftQuery] =
     Seq(tokenStats, qualityScore, langid, fingerprint, bigramFreq, repNgrams, tfidf,
       bpeTokens, split80, vocab, piiScrub, contamination, sentences, packing,
-      corpusFilter)
+      corpusFilter, mixture)
 }

@@ -40,10 +40,12 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("s_ivf_adc: cell-routed equi-joins only — no nested-loop scan of the corpus") {
-    val p = plan(graft.sim.Sim.ivfAdc.run(spark, sfDir))
-    assert(!p.contains("BroadcastNestedLoopJoin"),
-      s"IVF-ADC must route probes to cells via an equi-join, not scan the corpus:\n$p")
-    assert(p.contains("BroadcastHashJoin"), s"expected broadcast hash joins:\n$p")
+    for (q <- Seq(graft.sim.Sim.ivfAdc, graft.sim.Sim.ivfAdcResidual)) {
+      val p = plan(q.run(spark, sfDir))
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"${q.name} must route probes to cells via an equi-join, not scan the corpus:\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"${q.name}: expected broadcast hash joins:\n$p")
+    }
   }
 
   test("no operator plans a cartesian product") {

@@ -26,6 +26,14 @@ class StreamingParitySpec extends SparkSpec {
     assert(rows(streamed) === rows(batch))
   }
 
+  test("st_ewma == m14 batch EWMA fold") {
+    val streamed = graft.streaming.Streaming.streamEwma.run(spark, sfDir)
+      .select("user_id", "event_type", "ewma", "n")
+    val batch = graft.metrics.Metrics.ewma.run(spark, sfDir)
+      .select("user_id", "event_type", "ewma", "n")
+    assert(rows(streamed) === rows(batch))
+  }
+
   test("st_stateful_rate == m3 batch lag-rate (nulls dropped)") {
     import org.apache.spark.sql.functions._
     val streamed = graft.streaming.Streaming.statefulRate.run(spark, sfDir)
