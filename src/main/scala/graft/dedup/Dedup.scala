@@ -798,7 +798,68 @@ object Dedup {
     },
   )
 
+  /** d_incremental: incremental ingestion dedup — the production daily
+    * shape: the newest batch (here: the top 10% of doc_ids, standing
+    * in for "today's crawl") dedups against the WHOLE corpus without
+    * recomputing old×old pairs. The DF-capped inverted index is the
+    * stored historical artifact; the increment's shingle rows join
+    * against it, so per-batch cost is ∝ increment size × shingle df —
+    * independent of corpus history length. New×new pairs count once
+    * (doc_other > doc_new); new×old pairs are flagged cross_batch.
+    * A spec asserts the result equals the full-recompute pair table
+    * restricted to pairs touching the increment — the incremental
+    * correctness contract.
+    */
+  val incrementalDedup = GraftQuery(
+    "d_incremental",
+    Some(s"""
+      WITH d AS (SELECT doc_id, ${Text.ToksSql} AS t FROM documents),
+      $ShSql,
+      thr AS (SELECT CAST(floor(0.9 * (MAX(doc_id) + 1)) AS BIGINT) AS v FROM documents),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      shf AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 1000),
+      shc AS (SELECT sh.doc_id, n, sh.shingle FROM sh
+              JOIN sizes USING (doc_id) JOIN shf USING (shingle)),
+      cand AS (SELECT nw.doc_id AS doc_new, nw.n AS na,
+                      ex.doc_id AS doc_other, ex.n AS nb, COUNT(*) AS n_common
+               FROM shc nw CROSS JOIN thr
+               JOIN shc ex ON nw.shingle = ex.shingle
+                AND (ex.doc_id < thr.v OR ex.doc_id > nw.doc_id)
+               WHERE nw.doc_id >= thr.v
+               GROUP BY 1, 2, 3, 4)
+      SELECT doc_new, doc_other,
+             doc_other < (SELECT v FROM thr) AS cross_batch,
+             ROUND(CAST(n_common AS DOUBLE) / (na + nb - n_common), 4) AS jaccard
+      FROM cand
+      WHERE ROUND(CAST(n_common AS DOUBLE) / (na + nb - n_common), 4) >= 0.5
+      ORDER BY doc_new, doc_other"""),
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      // one bounded driver row: the increment boundary
+      val thr = docs.agg(floor(lit(0.9) * (max("doc_id") + 1)).cast("long")).head().getLong(0)
+      val entries = shingleSets(docs)
+        .select(col("doc_id"), size(col("shs")).as("n"), explode(col("shs")).as("shingle"))
+      val shf = entries.groupBy("shingle")
+        .agg(count(lit(1)).as("df")).filter(col("df") <= 1000).select("shingle")
+      val shc = entries.join(shf, Seq("shingle"))
+      val newE = shc.filter(col("doc_id") >= thr)
+        .select(col("shingle"), col("doc_id").as("doc_new"), col("n").as("na"))
+      val exE = shc.select(col("shingle"), col("doc_id").as("doc_other"), col("n").as("nb"))
+      newE.join(exE, Seq("shingle"))
+        .filter(col("doc_other") < thr || col("doc_other") > col("doc_new"))
+        .groupBy("doc_new", "na", "doc_other", "nb")
+        .agg(count(lit(1)).as("n_common"))
+        .select(col("doc_new"), col("doc_other"),
+          (col("doc_other") < thr).as("cross_batch"),
+          round(col("n_common").cast("double") /
+            (col("na") + col("nb") - col("n_common")), 4).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy("doc_new", "doc_other")
+    },
+  )
+
   def all: Seq[GraftQuery] =
     Seq(exact, ngramJaccard, minhashLsh, simhash, embedDup, cdcChunks, components,
-      dupConsistency, prefixContainment, containment, dedupFunnel, splitLeakage)
+      dupConsistency, prefixContainment, containment, dedupFunnel, splitLeakage,
+      incrementalDedup)
 }

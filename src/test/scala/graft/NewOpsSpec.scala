@@ -400,6 +400,24 @@ class NewOpsSpec extends SparkSpec {
     assert(mean > 2 * random, f"ADC recall $mean%.2f vs random $random%.3f")
   }
 
+  test("d_incremental == full near-dup recompute restricted to pairs touching the increment") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val thr = docs.agg(floor(lit(0.9) * (max("doc_id") + 1)).cast("long")).head().getLong(0)
+    val full = graft.dedup.Dedup.ngramJaccardPairs(docs)
+      .filter(col("doc_a") >= thr || col("doc_b") >= thr)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inc = graft.dedup.Dedup.incrementalDedup.run(spark, sfDir)
+      .select("doc_new", "doc_other").collect()
+      .map { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        (math.min(a, b), math.max(a, b))
+      }.toSet
+    assert(inc === full, "incremental result must equal the restricted full recompute")
+    assert(inc.nonEmpty)
+  }
+
   test("s_sq8_quantize: codes in [0,255], 64 per vector, small reconstruction error") {
     val out = graft.sim.Sim.sq8Quantize.run(spark, sfDir)
     val n = graft.sources.Tables.embeddings(spark, sfDir).count()
