@@ -46,6 +46,19 @@ object IvfStore {
     coded.write.mode("overwrite").parquet(s"$dir/coded")
   }
 
+  /** Online index ADD: assign a batch of new vectors (vec_id, v) to an
+    * EXISTING index's centroids — the standard no-retrain append every
+    * serving ANN index supports (retraining is a periodic offline
+    * rebuild, not a per-batch cost). Assignment is the same map-side
+    * argmin as the build, so adding batches one at a time is exactly
+    * equivalent to assigning the union in one pass (asserted in
+    * IvfStoreSpec).
+    */
+  def add(idx: IvfIndex, batch: DataFrame): IvfIndex =
+    IvfIndex(
+      idx.assigned.unionByName(Sim.assignTo(batch, idx.centroids)),
+      idx.centroids)
+
   def loadPq(s: SparkSession, dir: String): (Seq[Seq[(Long, Seq[Double])]], DataFrame) = {
     val rows = s.read.parquet(s"$dir/codebooks").collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))

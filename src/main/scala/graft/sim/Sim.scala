@@ -229,7 +229,7 @@ object Sim {
     * row_number window — shuffled a k×-replicated corpus per call; at
     * 100 TB that shuffle per Lloyd iteration IS the job.)
     */
-  private def assignTo(e: DataFrame, cents: Seq[(Long, Seq[Double])]): DataFrame =
+  private[sim] def assignTo(e: DataFrame, cents: Seq[(Long, Seq[Double])]): DataFrame =
     e.select(col("vec_id"), col("v"),
         array_min(distStructs(col("v"), cents)).as("_best"))
       .select(col("vec_id"), col("v"),
@@ -377,12 +377,19 @@ object Sim {
     * cid, top-3 by exact cosine. Shared by s_ivf_search and the
     * save→load≡in-memory spec.
     */
-  def searchIvf(idx: IvfIndex): DataFrame = {
+  def searchIvf(idx: IvfIndex): DataFrame =
+    searchIvfProbes(idx,
+      idx.assigned.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv")))
+
+  /** The same cell-routed search over an arbitrary (probe_id, pv)
+    * probe frame — the online-serving entry point: a probe batch (from
+    * a stream micro-batch, an RPC batch, …) routes map-side and scans
+    * only its cells. Used by st_ann per micro-batch.
+    */
+  def searchIvfProbes(idx: IvfIndex, probeFrame: DataFrame): DataFrame = {
     val assigned = idx.assigned.select(col("vec_id"), col("v"), col("cid"))
-    val probes = probeCells(
-      assigned.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("probe_id"), col("v").as("pv")),
-      idx.centroids, nprobe = 2)
+    val probes = probeCells(probeFrame, idx.centroids, nprobe = 2)
     val w = Window.partitionBy("probe_id").orderBy(col("cs").desc, col("neighbor_id"))
     broadcast(probes)
       .join(assigned.select(col("vec_id").as("neighbor_id"), col("v"), col("cid")),

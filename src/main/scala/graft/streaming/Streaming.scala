@@ -610,10 +610,47 @@ object Streaming {
     },
   )
 
+  /** st_ann: online ANN serving — probe batches arrive as a stream and
+    * each micro-batch searches the STATIC IVF index (built once,
+    * centroids as literals, candidates via the cid equi-join): the
+    * lookup-service shape, where the index is a published artifact
+    * (IvfStore) and probes are the unbounded side. Exactly-once to the
+    * result sink via per-batch overwrite directories (same contract as
+    * Pipeline). In the single-micro-batch harness the result is
+    * exactly s_ivf_search, whose oracle applies verbatim.
+    */
+  val streamAnn = GraftQuery(
+    "st_ann",
+    graft.sim.Sim.ivfSearch.oracle,
+    (s, d) => {
+      val idx = graft.sim.Sim.ivfIndex(s, d, k = 8, iters = 3)
+      val outDir = Files.createTempDirectory("graft_ann_out").toString
+      val ckpt = Files.createTempDirectory("graft_ckpt").toString
+      val sch = s.read.parquet(s"$d/embeddings.parquet").schema
+      val probes = s.readStream.schema(sch)
+        .option("pathGlobFilter", "embeddings.parquet").parquet(d)
+        .filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"),
+          col("embedding").cast("array<double>").as("pv"))
+      val q = probes.writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          graft.sim.Sim.searchIvfProbes(idx, b)
+            .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      s.read.option("basePath", outDir).parquet(outDir)
+        .select("probe_id", "neighbor_id", "rank", "cos_sim")
+        .orderBy("probe_id", "rank")
+    },
+  )
+
   def all: Seq[GraftQuery] =
     Seq(pipeline, statefulRate, sinkFanout, streamDedup, streamJoin, streamEnrich,
       streamHopping, streamAlerts, streamSessions, streamLatest,
-      streamHistogramQuantile, streamCusum, streamEwma)
+      streamHistogramQuantile, streamCusum, streamEwma, streamAnn)
 }
 
 // Encoder-visible row types for the stateful stream (must not be

@@ -21,6 +21,31 @@ class IvfStoreSpec extends SparkSpec {
     assert(rows(graft.sim.Sim.searchIvf(loaded)) === rows(graft.sim.Sim.searchIvf(idx)))
   }
 
+  test("IVF add: appending a batch == assigning the union (no-retrain online add)") {
+    import org.apache.spark.sql.functions._
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cut = e.agg((max("vec_id") * 0.9).cast("long")).head().getLong(0)
+    // build on the first 90%, then online-add the newest 10%
+    val base = graft.sim.Sim.buildIvf(e.filter(col("vec_id") < cut), k = 8, iters = 3)
+    val extended = graft.sim.IvfStore.add(base, e.filter(col("vec_id") >= cut))
+    assert(extended.assigned.count() === e.count())
+    // one-shot assignment of the union with the same centroids must
+    // agree cell-for-cell (assignment is a pure per-row function)
+    val oneShot = graft.sim.IvfStore.add(
+      graft.sim.Sim.IvfIndex(base.assigned.limit(0), base.centroids), e)
+    val a = extended.assigned.select("vec_id", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val b = oneShot.assigned.select("vec_id", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(a === b)
+    // the extended index serves probes from the ADDED batch
+    val got = graft.sim.Sim.searchIvfProbes(extended,
+      e.filter(col("vec_id") >= cut).limit(3)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv")))
+    assert(got.count() > 0)
+  }
+
   test("IVF-ADC: save -> load -> search is identical to in-memory search") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_store_pq").toString
     val idx = graft.sim.Sim.ivfIndex(spark, sfDir, k = 8, iters = 3)
