@@ -610,6 +610,26 @@ object Streaming {
     },
   )
 
+  /** st_mixture: the data-mixture report as a continuous query — the
+    * per-(source, lang) doc/token counts stream in complete mode (a
+    * mergeable sketch, state = one row per cell) and the corpus shares
+    * evaluate at read time over the materialized table (same
+    * accumulate/evaluate split as st_histogram_quantile). An ingestion
+    * pipeline watches its mixture drift live this way. t_mixture's
+    * oracle applies verbatim; shares functions shared with the batch op.
+    */
+  val streamMixture = GraftQuery(
+    "st_mixture",
+    graft.text.Text.mixture.oracle,
+    (s, d) => {
+      val sch = s.read.parquet(s"$d/documents.parquet").schema
+      val docs = s.readStream.schema(sch)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+      graft.text.Text.mixtureShares(
+        runToTable(s, graft.text.Text.mixtureCounts(docs), OutputMode.Complete()))
+    },
+  )
+
   /** st_ann: online ANN serving — probe batches arrive as a stream and
     * each micro-batch searches the STATIC IVF index (built once,
     * centroids as literals, candidates via the cid equi-join): the
@@ -650,7 +670,7 @@ object Streaming {
   def all: Seq[GraftQuery] =
     Seq(pipeline, statefulRate, sinkFanout, streamDedup, streamJoin, streamEnrich,
       streamHopping, streamAlerts, streamSessions, streamLatest,
-      streamHistogramQuantile, streamCusum, streamEwma, streamAnn)
+      streamHistogramQuantile, streamCusum, streamEwma, streamAnn, streamMixture)
 }
 
 // Encoder-visible row types for the stateful stream (must not be

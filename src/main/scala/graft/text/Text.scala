@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -661,21 +661,30 @@ object Text {
                AS DOUBLE) / 10000 AS token_share
       FROM g
       ORDER BY source, lang"""),
-    (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      def shr(c: Column): Column =
-        floor(c * 10000 + 0.5).cast("double") / 10000
-      val g = Tables.documents(s, d)
-        .select(col("source"), col("lang"), size(toks(col("text"))).cast("long").as("nt"))
-        .groupBy("source", "lang")
-        .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
-      val all = Window.partitionBy()
-      g.select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
-          shr(col("n_docs").cast("double") / sum("n_docs").over(all)).as("doc_share"),
-          shr(col("n_tokens").cast("double") / sum("n_tokens").over(all)).as("token_share"))
-        .orderBy("source", "lang")
-    },
+    (s, d) => mixtureShares(mixtureCounts(Tables.documents(s, d))),
   )
+
+  /** The mergeable half of t_mixture — per (source, lang) doc/token
+    * counts; works identically on batch and streaming frames (counts
+    * sum), which is what makes the mixture report streamable.
+    */
+  private[graft] def mixtureCounts(docs: DataFrame): DataFrame =
+    docs.select(col("source"), col("lang"), size(toks(col("text"))).cast("long").as("nt"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
+
+  /** The read-time half: corpus shares over the aggregated frame
+    * (tens of rows). Floor-based rounding (see m25).
+    */
+  private[graft] def mixtureShares(g: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def shr(c: Column): Column = floor(c * 10000 + 0.5).cast("double") / 10000
+    val all = Window.partitionBy()
+    g.select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+        shr(col("n_docs").cast("double") / sum("n_docs").over(all)).as("doc_share"),
+        shr(col("n_tokens").cast("double") / sum("n_tokens").over(all)).as("token_share"))
+      .orderBy("source", "lang")
+  }
 
   def all: Seq[GraftQuery] =
     Seq(tokenStats, qualityScore, langid, fingerprint, bigramFreq, repNgrams, tfidf,

@@ -34,6 +34,12 @@ class StreamingParitySpec extends SparkSpec {
     assert(rows(streamed) === rows(batch))
   }
 
+  test("st_mixture == t_mixture batch data-mixture report") {
+    val streamed = graft.streaming.Streaming.streamMixture.run(spark, sfDir)
+    val batch = graft.text.Text.mixture.run(spark, sfDir)
+    assert(rows(streamed) === rows(batch))
+  }
+
   test("st_stateful_rate == m3 batch lag-rate (nulls dropped)") {
     import org.apache.spark.sql.functions._
     val streamed = graft.streaming.Streaming.statefulRate.run(spark, sfDir)
