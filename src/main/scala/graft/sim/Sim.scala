@@ -206,22 +206,33 @@ object Sim {
   final case class IvfIndex(assigned: DataFrame, centroids: Seq[(Long, Seq[Double])])
 
   /** Per-row distance table to the k centroids as an array of
-    * struct(d2, cid) LITERALS-against-column — evaluated map-side
-    * inside whole-stage codegen. k is small (≤ hundreds), so the
-    * expression tree is bounded; argmin/top-n over it is `array_min`/
+    * struct(d2, cid) — evaluated map-side inside whole-stage codegen.
+    * The centroids ride along as TWO literals (one array<array<double>>
+    * of vectors, one array<bigint> of ids) and a `transform` loop
+    * computes the k distances — NOT as k unrolled per-centroid
+    * expression subtrees: at k=256 the unrolled form (the r4 shape)
+    * grew past janino's 64 KB method limit (killing whole-stage
+    * codegen) and serialized ~24 MiB of literal expression tree into
+    * every task binary. The loop form is a constant-size expression
+    * whatever k is. argmin/top-n over the array is `array_min`/
     * `array_sort` (struct ordering = (d2, cid), the oracle's
-    * `ORDER BY d2, cid` tie-break). The constant dot(cv,cv) terms are
-    * constant-folded by Catalyst using the same left-fold eval as the
-    * oracle's list_reduce, so doubles stay bit-identical.
+    * `ORDER BY d2, cid` tie-break); the dot products use the same
+    * left-fold eval as the oracle's list_reduce, so doubles stay
+    * bit-identical.
     */
-  private def distStructs(v: Column, cents: Seq[(Long, Seq[Double])]): Column =
-    array(cents.map { case (cid, cv) =>
-      val cvl = typedLit(cv)
+  private def distStructs(v: Column, cents: Seq[(Long, Seq[Double])]): Column = {
+    val cvs = typedLit(cents.map(_._2))
+    val cids = typedLit(cents.map(_._1))
+    // field names are assigned by the cast: aliases inside a lambda
+    // body are stripped by the analyzer
+    transform(sequence(lit(1), lit(cents.size)), i => {
+      val cv = element_at(cvs, i)
       struct(
-        greatest(dotProduct(v, v) + dotProduct(cvl, cvl) - lit(2.0) * dotProduct(v, cvl),
-          lit(0.0)).as("d2"),
-        lit(cid).as("cid"))
-    }: _*)
+        greatest(dotProduct(v, v) + dotProduct(cv, cv) - lit(2.0) * dotProduct(v, cv),
+          lit(0.0)),
+        element_at(cids, i))
+    }).cast("array<struct<d2:double,cid:bigint>>")
+  }
 
   /** Nearest-centroid assignment — map-side only, NO shuffle: the
     * centroids ride along as literals and each row picks its argmin
@@ -457,16 +468,23 @@ object Sim {
     },
   )
 
-  /** PQ geometry shared by build, quantize, and ADC search. */
+  /** PQ geometry shared by build, quantize, and ADC search. k = 256
+    * (8-bit codes per subspace) is the PQ-literature standard: 4-bit
+    * codebooks (the r4 setting) lose too much signal for any shortlist
+    * to recover — measured recall@3 0.30 at k=16 vs ≥ 0.9 at k=256 on
+    * the same corpus (IvfRecallSpec).
+    */
   val PqM = 4
   val PqSubLen = 16
-  private val PqK = 16
+  private val PqK = 256
   private val PqIters = 2
   /** ADC shortlist size before the exact re-rank (s_ivf_adc): ADC
     * ranks are approximate, so the top-k surface is exact cosine over
-    * the top-AdcShortlist ADC candidates.
+    * the top-AdcShortlist ADC candidates. 50 bounds the re-rank fetch
+    * per probe while leaving ADC ranking errors ~17× slack over the
+    * final top-3.
     */
-  private val AdcShortlist = 10
+  private val AdcShortlist = 50
 
   /** Memoized per-subspace PQ codebooks for a data dir: built once
     * per session (same lifecycle as ivfIndex), each a k×subLen
@@ -496,8 +514,9 @@ object Sim {
 
   /** s_pq_quantize: product quantization — the ANN memory path beyond
     * sq8: the 64-dim vector splits into 4 subvectors of 16 dims, each
-    * quantized to its subspace's nearest Lloyd centroid (k=16 ⇒ 4 bits
-    * per subspace, 16 bits per vector vs 512 double bytes). Codebooks
+    * quantized to its subspace's nearest Lloyd centroid (k=256 ⇒ 8
+    * bits per subspace, 32 bits per vector vs 512 double bytes).
+    * Codebooks
     * are built with the same map-side-argmin Lloyd as IVF (one per
     * subspace, all over ONE cached corpus scan per iteration); the
     * final pass computes all 4 codes + the reconstruction RMSE in a
@@ -618,15 +637,8 @@ object Sim {
       val probes = graft.Caching.releaseAfter(
         e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("probe_id") +:
-            (0 until PqM).map { j =>
-              map(books(j).flatMap { case (cid, cv) =>
-                val cvl = typedLit(cv)
-                val pv = sub(col("v"), j)
-                Seq(lit(cid),
-                  greatest(dotProduct(pv, pv) + dotProduct(cvl, cvl) -
-                    lit(2.0) * dotProduct(pv, cvl), lit(0.0)))
-              }: _*).as(s"dtab$j")
-            }: _*))
+            (0 until PqM).map(j =>
+              adcTable(sub(col("v"), j), books(j)).as(s"dtab$j")): _*))
       val adist = (0 until PqM)
         .map(j => element_at(col(s"dtab$j"), col(s"code$j"))).reduce(_ + _)
       val w = Window.partitionBy("probe_id").orderBy(col("adist"), col("neighbor_id"))
@@ -640,6 +652,22 @@ object Sim {
         .orderBy("probe_id", "rank")
     },
   )
+
+  /** A probe's per-subspace ADC distance table: cid → d2(probe
+    * subvector, codebook centroid) as a bounded map literal-keyed
+    * column (k entries). Built as map_from_arrays over the codebook
+    * literals + a transform loop — same loop-not-unroll rationale as
+    * distStructs (an unrolled k=256 map literal breaks codegen and
+    * bloats task binaries).
+    */
+  private def adcTable(pv: Column, book: Seq[(Long, Seq[Double])]): Column = {
+    val cvs = typedLit(book.map(_._2))
+    val cids = typedLit(book.map(_._1))
+    map_from_arrays(cids,
+      transform(cvs, cv =>
+        greatest(dotProduct(pv, pv) + dotProduct(cv, cv) - lit(2.0) * dotProduct(pv, cv),
+          lit(0.0))))
+  }
 
   /** The IVF-ADC index artifact: one row per corpus vector carrying
     * its IVF cell id AND its PqM PQ codes — the cell routes, the codes
@@ -754,15 +782,8 @@ object Sim {
     // per-probe ADC tables computed ONCE (before the cell explode
     // duplicates the probe row per cell), behind the same
     // materialization boundary as s_pq_adc's.
-    val dtabs = (0 until PqM).map { j =>
-        map(books(j).flatMap { case (cid, cv) =>
-          val cvl = typedLit(cv)
-          val pv = sub(col("pv"), j)
-          Seq(lit(cid),
-            greatest(dotProduct(pv, pv) + dotProduct(cvl, cvl) -
-              lit(2.0) * dotProduct(pv, cvl), lit(0.0)))
-        }: _*).as(s"dtab$j")
-      }
+    val dtabs = (0 until PqM).map(j =>
+      adcTable(sub(col("pv"), j), books(j)).as(s"dtab$j"))
       val probes = graft.Caching.releaseAfter(
         e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("probe_id"), col("v").as("pv"))
@@ -840,7 +861,7 @@ object Sim {
   /** s_ivf_adc_residual: IVF-ADC with RESIDUAL product quantization —
     * the production IVFADC of the PQ literature: codebooks are trained
     * on v − centroid(cell) instead of raw vectors (residuals are
-    * smaller and better-centered, so the same 16 bits buy less
+    * smaller and better-centered, so the same 32 bits buy less
     * quantization error), and each probe builds its ADC tables per
     * PROBED CELL from its own residual pv − centroid(cell). Same
     * routing (map-side, nprobe=2), same equi-join candidate scan, same
@@ -915,15 +936,8 @@ object Sim {
             .as("_pc"))
         .select(col("probe_id"), col("pv"), col("_pc.cid").as("cid"))
       val pr = residual(col("pv"), col("cid"), idx.centroids)
-      val dtabs = (0 until PqM).map { j =>
-        val prs = slice(pr, j * PqSubLen + 1, PqSubLen)
-        map(books(j).flatMap { case (cid, cv) =>
-          val cvl = typedLit(cv)
-          Seq(lit(cid),
-            greatest(dotProduct(prs, prs) + dotProduct(cvl, cvl) -
-              lit(2.0) * dotProduct(prs, cvl), lit(0.0)))
-        }: _*).as(s"dtab$j")
-      }
+      val dtabs = (0 until PqM).map(j =>
+        adcTable(slice(pr, j * PqSubLen + 1, PqSubLen), books(j)).as(s"dtab$j"))
       val probes = graft.Caching.releaseAfter(
         routed.select(Seq(col("probe_id"), col("pv"), col("cid")) ++ dtabs: _*))
       val adist = (0 until PqM)

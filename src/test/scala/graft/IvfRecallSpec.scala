@@ -27,25 +27,24 @@ class IvfRecallSpec extends SparkSpec {
     assert(mean >= 0.9, f"recall $mean%.2f below multi-probe floor")
   }
 
-  test("s_ivf_adc recall@3 vs brute force clearly beats chance; re-ranked sims are exact") {
+  test("s_ivf_adc recall@3 vs brute force is production-grade; re-ranked sims are exact") {
     val adc = graft.sim.Sim.ivfAdc.run(spark, sfDir)
     val got = adc.select(col("probe_id"), col("neighbor_id")).collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
     val bruteRows = graft.sim.Sim.bruteTopk.run(spark, sfDir).collect()
     val brute = bruteRows.filter(_.getAs[Int]("rank") <= 3)
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
-    val n = graft.sources.Tables.embeddings(spark, sfDir).count()
     assert(brute.nonEmpty)
     val recalls = brute.map { case (p, truth) =>
       truth.intersect(got.getOrElse(p, Set.empty)).size.toDouble / truth.size
     }
     val mean = recalls.sum / recalls.size
-    val random = 3.0 / (n - 1)
-    info(f"IVF-ADC recall@3 vs brute cosine = $mean%.2f (random = $random%.3f)")
-    // the synthetic embeddings are near-random per subspace, so PQ
-    // quantization noise caps shortlist recall (see the s_pq_adc spec);
-    // the composition must still clearly beat chance.
-    assert(mean > 2 * random, f"IVF-ADC recall $mean%.2f vs random $random%.3f")
+    info(f"IVF-ADC recall@3 vs brute cosine = $mean%.2f")
+    // 8-bit subspace codebooks (PqK = 256) + a 50-candidate shortlist:
+    // the ADC ranking must carry the true neighbors into the exact
+    // re-rank — the residual IVF-routing loss (nprobe=2 of 8 cells,
+    // ceiling ~0.93 per the s_ivf_search test) is all that may remain.
+    assert(mean >= 0.8, f"IVF-ADC recall $mean%.2f below production floor 0.8")
     // the re-rank surface is EXACT cosine: every reported (probe,
     // neighbor, cos_sim) must equal the brute-force value for that pair
     val bruteSim = bruteRows
@@ -58,7 +57,7 @@ class IvfRecallSpec extends SparkSpec {
     }
   }
 
-  test("residual ADC: same 16-bit memory budget, recall vs plain ADC recorded") {
+  test("residual ADC: same 32-bit memory budget, recall vs plain ADC recorded") {
     def recallOf(df: org.apache.spark.sql.DataFrame, brute: Map[Long, Set[Long]]): Double = {
       val got = df.select(col("probe_id"), col("neighbor_id")).collect()
         .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
@@ -71,16 +70,13 @@ class IvfRecallSpec extends SparkSpec {
       .filter(col("rank") <= 3)
       .select(col("probe_id"), col("neighbor_id")).collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
-    val n = graft.sources.Tables.embeddings(spark, sfDir).count()
-    val random = 3.0 / (n - 1)
     val plain = recallOf(graft.sim.Sim.ivfAdc.run(spark, sfDir), brute)
     val res = recallOf(graft.sim.Sim.ivfAdcResidual.run(spark, sfDir), brute)
-    // the recall-vs-memory point: both variants spend 16 bits/vector;
-    // residual codebooks see smaller, better-centered inputs. On this
-    // near-random synthetic corpus the gap is noise-bounded (see the
-    // s_pq_adc spec) — record both, demand both clearly beat chance.
-    info(f"recall@3 vs brute: plain ADC $plain%.2f, residual ADC $res%.2f (random $random%.3f)")
-    assert(res > 2 * random, f"residual ADC recall $res%.2f vs random $random%.3f")
-    assert(plain > 2 * random)
+    // the recall-vs-memory point: both variants spend 32 bits/vector;
+    // residual codebooks see smaller, better-centered inputs, so the
+    // residual form must clear the higher floor.
+    info(f"recall@3 vs brute: plain ADC $plain%.2f, residual ADC $res%.2f")
+    assert(res >= 0.85, f"residual ADC recall $res%.2f below production floor 0.85")
+    assert(plain >= 0.8, f"plain ADC recall $plain%.2f below production floor 0.8")
   }
 }

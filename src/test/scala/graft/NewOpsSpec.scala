@@ -336,15 +336,15 @@ class NewOpsSpec extends SparkSpec {
     assert(p(2L).getAs[Double]("dup_trigram_frac") === 0.0)
   }
 
-  test("s_pq_quantize: 4 codes per vector from the 16-centroid codebooks, sane RMSE") {
+  test("s_pq_quantize: 4 codes per vector from the 256-centroid codebooks, sane RMSE") {
     val out = graft.sim.Sim.pqQuantize.run(spark, sfDir)
     val n = graft.sources.Tables.embeddings(spark, sfDir).count()
     assert(out.count() === n)
     val codes = out.select(split(col("codes"), ",").as("cs")).collect()
     assert(codes.forall(_.getSeq[String](0).length === 4))
-    // codebook ids are the seed vec_ids 0..15 (PqK = 16)
-    assert(codes.forall(_.getSeq[String](0).forall(c => c.toLong >= 0 && c.toLong < 16)))
-    // quantizing to 16 bits loses information but must stay bounded
+    // codebook ids are the seed vec_ids 0..255 (PqK = 256)
+    assert(codes.forall(_.getSeq[String](0).forall(c => c.toLong >= 0 && c.toLong < 256)))
+    // quantizing to 32 bits loses information but must stay bounded
     val worst = out.agg(max("recon_rmse")).head().getDouble(0)
     assert(worst > 0.0 && worst < 1.0, s"rmse $worst")
   }
