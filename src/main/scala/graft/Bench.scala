@@ -1,6 +1,69 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
 object Bench {
+
+  /** Measurement outcome: `timings` holds min-of-runs seconds for
+    * queries whose runs SUCCEEDED; `errors` holds the failure message
+    * for any query that threw (it never appears in `timings` — the r4
+    * bench recorded the wall time of a failure as if it were a fast
+    * success); `spreads` holds run_max/run_min per query with ≥ 2
+    * successful runs.
+    */
+  final case class Result(
+      timings: Seq[(String, Double)],
+      spreads: Map[String, Double],
+      errors: Map[String, String])
+
+  /** Time each query (min of `runs` full-result counts). Separated
+    * from main() so a spec can feed a deliberately-broken query and
+    * assert it lands in `errors`, not in the timings.
+    */
+  def measure(spark: SparkSession, sfDir: String,
+              queries: Seq[(String, (SparkSession, String) => DataFrame)],
+              runs: Int = 2): Result = {
+    val timings = Vector.newBuilder[(String, Double)]
+    val spreads = Map.newBuilder[String, Double]
+    val errors = Map.newBuilder[String, String]
+    for ((name, fn) <- queries) {
+      val ok = Vector.newBuilder[Double]
+      var err: Option[String] = None
+      for (_ <- 1 to runs if err.isEmpty) {
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).count()
+          ok += (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            err = Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
+        }
+      }
+      val times = ok.result()
+      err match {
+        case Some(msg) => errors += name -> msg
+        case None =>
+          timings += name -> times.min
+          if (times.size >= 2 && times.min > 0) spreads += name -> times.max / times.min
+      }
+    }
+    Result(timings.result(), spreads.result(), errors.result())
+  }
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => " "
+      case c => c.toString
+    } + "\""
+
+  /** Total GC wall-time across all collector beans (ms). */
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(b => math.max(b.getCollectionTime, 0L)).sum
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
@@ -19,26 +82,34 @@ object Bench {
     // min of 2 runs per query: the host shows bursty noise (identical
     // code has measured 49s and 159s back-to-back); min-of-2 reports
     // the machine's actual capability.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-        val times = (1 to 2).map { _ =>
-          val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-          (System.nanoTime() - t0) / 1e9
-        }
-        name -> times.min
-      }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val gc0 = gcMillis()
+    val res = measure(spark, sfDir,
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.contains(name)) })
+    // environment telemetry: a capture on a contended host (BENCH_r04
+    // totaled 194.6 s where a clean re-run of the same binary took
+    // 64.6 s) must self-identify — gc time, 1-min load average, and
+    // the per-query run_max/run_min spread expose sustained
+    // contention that min-of-2 cannot defend against.
+    val gcMs = gcMillis() - gc0
+    val loadAvg =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    val qs = res.timings.map { case (k, v) => jsonStr(k) + ":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val spreadsJson = res.spreads.toSeq.sortBy(_._1)
+      .map { case (k, v) => jsonStr(k) + ":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val errorsJson = res.errors.toSeq.sortBy(_._1)
+      .map { case (k, v) => jsonStr(k) + ":" + jsonStr(v) }.mkString("{", ",", "}")
+    val total = res.timings.map(_._2).sum
     // a leaked SPARK_GRAFT_ONLY must never masquerade as a full run:
     // mark subset output explicitly so partial totals are recognizable.
     val subsetTag = only
       .map(o => s""","subset":true,"only":"${o.toSeq.sorted.mkString(",")}"""")
       .getOrElse("")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$subsetTag}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs""" +
+        s""","errors":$errorsJson,"spreads":$spreadsJson""" +
+        s""","gc_ms":$gcMs,"load_avg":$loadAvg,"sf":"$sfDir"$subsetTag}"""
     // the stdout line is the driver contract, but its captured tail has
     // truncated in past rounds — also write the full JSON as a file
     // artifact so per-query timings are always recoverable.
