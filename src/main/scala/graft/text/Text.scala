@@ -336,6 +336,126 @@ object Text {
     },
   )
 
+  /** Number of BPE merge-training rounds (fixed so the oracle replay
+    * is a bounded generated-CTE chain, like the Lloyd unrolls in Sim).
+    */
+  private val BpeMergeRounds = 50
+
+  /** t_bpe_merges: corpus-level BPE merge TRAINING — the actual
+    * tokenizer-build step of an LLM data pipeline (t_bpe_tokens above
+    * only pre-tokenizes). Classic algorithm, Spark-shaped:
+    *
+    *  - The corpus-sized work happens ONCE: pre-token pieces (same
+    *    regex as t_bpe_tokens) aggregate to a (piece, freq) word
+    *    table. Every training round after that runs on the VOCAB
+    *    (bounded by distinct pre-tokens, ~10⁵–10⁷ at any corpus
+    *    size), never on raw documents — the trick that makes BPE
+    *    training corpus-size-independent after one pass.
+    *  - Per round (same bounded-iteration shape as d_components): one
+    *    tiny shuffle counts adjacent symbol pairs weighted by word
+    *    freq; the argmax pair (tie-break: count desc, then left/right
+    *    token — deterministic) is a 1-row collect; the merge rewrites
+    *    every word map-side.
+    *  - Word state is a double-space-joined symbol string
+    *    (" l o w ") so the rewrite is a plain substring replace:
+    *    replace(" l  o ", " lo ") consumes each symbol's flanking
+    *    spaces, which makes non-overlapping left-to-right replacement
+    *    EXACTLY the greedy BPE merge fold ([a,a,a,a] → [aa,aa], not
+    *    [aa,a,a]) — and byte-identical between Spark and DuckDB.
+    *
+    * Output is the merge table itself (rank, lft, rgt, merged,
+    * pair_count) — the artifact a tokenizer ships. The oracle replays
+    * all rounds as generated CTEs (MATERIALIZED: v{r} is referenced
+    * twice per round, and DuckDB's default inlining would otherwise
+    * re-expand the whole chain exponentially).
+    */
+  val bpeMerges = GraftQuery(
+    "t_bpe_merges",
+    Some {
+      val ctes = Seq(
+        """w0 AS MATERIALIZED (SELECT piece, COUNT(*) AS freq FROM (
+          SELECT unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS piece
+          FROM documents) GROUP BY piece)""",
+        """v0 AS MATERIALIZED (SELECT ' ' || array_to_string(
+            list_transform(range(1, length(piece) + 1), __ci -> piece[__ci]), '  ') || ' ' AS repr,
+            freq FROM w0)""") ++
+        (1 to BpeMergeRounds).flatMap { r =>
+          Seq(
+            s"""p$r AS (SELECT sym[__bi] AS lft, sym[__bi + 1] AS rgt,
+                CAST(SUM(freq) AS BIGINT) AS cnt
+              FROM (SELECT sym, freq, unnest(range(1, len(sym))) AS __bi
+                    FROM (SELECT str_split(trim(repr), '  ') AS sym, freq FROM v${r - 1}))
+              GROUP BY 1, 2)""",
+            s"""b$r AS MATERIALIZED (SELECT lft, rgt, cnt FROM p$r
+              ORDER BY cnt DESC, lft, rgt LIMIT 1)""",
+            s"""v$r AS MATERIALIZED (SELECT
+                replace(repr, ' ' || lft || '  ' || rgt || ' ', ' ' || lft || rgt || ' ') AS repr,
+                freq
+              FROM v${r - 1} CROSS JOIN b$r)""")
+        }
+      val union = (1 to BpeMergeRounds)
+        .map(r => s"SELECT $r AS rank, lft, rgt, lft || rgt AS merged, cnt AS pair_count FROM b$r")
+        .mkString("\nUNION ALL ")
+      "WITH " + ctes.mkString(",\n") + "\nSELECT * FROM (" + union + ") ORDER BY rank"
+    },
+    (s, d) => bpeTrain(s, Tables.documents(s, d), BpeMergeRounds),
+  )
+
+  /** The merge-training loop over any (doc_id, text) frame. Driver
+    * state per round is ONE argmax row (and the final merge table,
+    * `rounds` rows) — never data-sized.
+    */
+  private[graft] def bpeTrain(s: org.apache.spark.sql.SparkSession, docs: DataFrame,
+                              rounds: Int): DataFrame = {
+    import s.implicits._
+    val pieces = expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)")
+    // the one corpus-sized pass: pre-token pieces → (piece, freq)
+    var vocab = graft.Caching.releaseAfter(
+      docs.select(explode(pieces).as("piece"))
+        .groupBy("piece").agg(count(lit(1)).as("freq"))
+        .select(concat(lit(" "),
+          concat_ws("  ", transform(sequence(lit(1), length(col("piece"))),
+            i => col("piece").substr(i, lit(1)))), lit(" ")).as("repr"),
+          col("freq"))
+        // vocab-sized from here on: a handful of partitions beats 32
+        // near-empty tasks per round (scale knob — a 10⁷-word vocab
+        // would keep more)
+        .coalesce(4))
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    for (r <- 1 to rounds) {
+      val sym = split(trim(col("repr")), "  ")
+      // field names come from the cast: aliases inside a lambda are
+      // stripped by the analyzer (same trick as Sim.distStructs)
+      val pairsType = "array<struct<l:string,r:string>>"
+      val pairsCol = when(size(sym) >= 2,
+          transform(sequence(lit(1), size(sym) - 1),
+            i => struct(element_at(sym, i), element_at(sym, i + 1))).cast(pairsType))
+        .otherwise(typedLit(Seq.empty[(String, String)]).cast(pairsType))
+      val best = vocab.select(col("freq"), explode(pairsCol).as("p"))
+        .groupBy(col("p.l").as("lft"), col("p.r").as("rgt"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("lft"), col("rgt"))
+        .limit(1).collect()
+      if (best.nonEmpty) {
+        val (l, rt, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((r, l, rt, c))
+        vocab = vocab.select(
+          replace(col("repr"), lit(s" $l  $rt "), lit(s" $l$rt ")).as("repr"),
+          col("freq"))
+        // truncate lineage every few rounds, not every round: the
+        // rewrite is a narrow map, so a shallow chain of replaces is
+        // free to recompute inside the next pair-count job, while a
+        // per-round checkpoint would cost a full extra job per merge
+        // (measured ~2× on the 50-round train)
+        if (r % 5 == 0) vocab = graft.Caching.releaseAfter(vocab)
+      }
+    }
+    merges.toSeq.toDF("rank", "lft", "rgt", "pair_count")
+      .select(col("rank"), col("lft"), col("rgt"),
+        concat(col("lft"), col("rgt")).as("merged"), col("pair_count"))
+      .orderBy("rank")
+  }
+
   /** t_split: deterministic stratified train/val/test split — the
     * portable polynomial hash of the doc id buckets each document
     * 80/10/10 within its language stratum. Reproducible across engines
@@ -688,6 +808,6 @@ object Text {
 
   def all: Seq[GraftQuery] =
     Seq(tokenStats, qualityScore, langid, fingerprint, bigramFreq, repNgrams, tfidf,
-      bpeTokens, split80, vocab, piiScrub, contamination, sentences, packing,
+      bpeTokens, bpeMerges, split80, vocab, piiScrub, contamination, sentences, packing,
       corpusFilter, mixture)
 }
