@@ -59,6 +59,21 @@ object IvfStore {
       idx.assigned.unionByName(Sim.assignTo(batch, idx.centroids)),
       idx.centroids)
 
+  /** Periodic write-back for a serving index that has accumulated
+    * online `add` batches: every add wraps another unionByName, so
+    * after N batches the assigned plan is an N-deep union chain that
+    * every search re-walks (and that grows without bound in a
+    * long-lived serving job). compact() persists the unioned
+    * assignment via save() and returns the reloaded index — plan
+    * depth drops back to a single parquet scan however many adds
+    * came before, and search results are unchanged (parquet
+    * round-trips doubles bit-exactly; asserted in IvfStoreSpec).
+    */
+  def compact(idx: IvfIndex, dir: String): IvfIndex = {
+    save(idx, dir)
+    load(idx.assigned.sparkSession, dir)
+  }
+
   def loadPq(s: SparkSession, dir: String): (Seq[Seq[(Long, Seq[Double])]], DataFrame) = {
     val rows = s.read.parquet(s"$dir/codebooks").collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))

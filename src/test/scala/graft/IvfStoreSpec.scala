@@ -46,6 +46,41 @@ class IvfStoreSpec extends SparkSpec {
     assert(got.count() > 0)
   }
 
+  test("compact: union-chain depth resets to a constant; search results unchanged") {
+    import org.apache.spark.sql.functions._
+    // adds stacked in the plan = union inputs beyond the base (the
+    // analyzer flattens nested unions into one n-ary Union node)
+    def unionCount(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.collect {
+        case u: org.apache.spark.sql.catalyst.plans.logical.Union => u.children.size - 1
+      }.sum
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cut = e.agg((max("vec_id") * 0.8).cast("long")).head().getLong(0)
+    val base = graft.sim.Sim.buildIvf(e.filter(col("vec_id") < cut), k = 8, iters = 3)
+    // three online adds -> three stacked unions in the assigned plan
+    var chained = base
+    for (b <- 0 until 3)
+      chained = graft.sim.IvfStore.add(chained,
+        e.filter(col("vec_id") >= cut && col("vec_id") % 3 === b))
+    assert(unionCount(chained.assigned) === 3)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_compact").toString
+    val compacted = graft.sim.IvfStore.compact(chained, dir)
+    // depth is constant after compaction: no unions survive, and the
+    // plan is the same single-scan shape a once-compacted 1-add index
+    // has — the chain length before compaction no longer matters
+    assert(unionCount(compacted.assigned) === 0)
+    val once = graft.sim.IvfStore.compact(
+      graft.sim.IvfStore.add(base, e.filter(col("vec_id") >= cut)),
+      java.nio.file.Files.createTempDirectory("ivf_compact1").toString)
+    assert(compacted.assigned.queryExecution.analyzed.getClass ===
+      once.assigned.queryExecution.analyzed.getClass)
+    // search over the compacted index ≡ search over the union chain
+    assert(rows(graft.sim.Sim.searchIvf(compacted)) ===
+      rows(graft.sim.Sim.searchIvf(chained)))
+    assert(compacted.assigned.count() === chained.assigned.count())
+  }
+
   test("IVF-ADC: save -> load -> search is identical to in-memory search") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_store_pq").toString
     val idx = graft.sim.Sim.ivfIndex(spark, sfDir, k = 8, iters = 3)
