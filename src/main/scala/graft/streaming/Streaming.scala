@@ -81,7 +81,8 @@ object Streaming {
       GROUP BY 1, 2
       ORDER BY win_start, event_type"""),
     (s, d) => {
-      val flat = Transforms.flattenProps(streamEvents(s, d).withWatermark("ts", "2 hours"))
+      val flat = Transforms.flattenProps(
+        eventsSource(s, SourceKind.File(d)).withWatermark("ts", "2 hours"))
         .withColumnRenamed("injected_server_type", "event_type")
       val rolled = Transforms.hourlyRollup(flat)
       runToTable(s, rolled, OutputMode.Complete())
@@ -442,6 +443,32 @@ object Streaming {
     },
   )
 
+  /** The pipeline's source, as a parameter: the downstream plan
+    * (flatten → watermark → rollup → sinks) is IDENTICAL whichever
+    * ingress feeds it — a file listing (replayable micro-batches), the
+    * rate generator (trigger-cadence-driven), or a TCP socket
+    * (receiver-driven, no replay — the closest local stand-in for a
+    * network ingest like Kafka, whose connector jar this container
+    * lacks). One parity spec per kind (StreamingParitySpec /
+    * RateSourceSpec / SocketSourceSpec) proves the trigger and
+    * backpressure paths behave uniformly.
+    */
+  sealed trait SourceKind
+  object SourceKind {
+    /** Parquet micro-batches of the events table under `dir`. */
+    final case class File(dir: String) extends SourceKind
+    /** Generator micro-batches at `rowsPerSecond`, shaped to events. */
+    final case class Rate(rowsPerSecond: Int = 5000) extends SourceKind
+    /** Newline-delimited generator ids over TCP, shaped to events. */
+    final case class Socket(port: Int) extends SourceKind
+  }
+
+  def eventsSource(s: SparkSession, kind: SourceKind): DataFrame = kind match {
+    case SourceKind.File(d) => streamEvents(s, d)
+    case SourceKind.Rate(r) => rateEvents(s, r)
+    case SourceKind.Socket(p) => socketEvents(s, p)
+  }
+
   /** Synthetic events from the RATE source — timestamped generator
     * micro-batches driven by trigger cadence, no file listing: the
     * source-parameterization path that the file micro-batches (and, on
@@ -462,6 +489,18 @@ object Streaming {
     */
   def rateEventsBatch(s: SparkSession, n: Long): DataFrame =
     shapeGenerated(s.range(0, n).select(col("id").as("gid")))
+
+  /** Generated events over the SOCKET source: the harness (or any
+    * producer) writes newline-delimited generator ids to the port and
+    * each becomes the same deterministic events-shaped row as the
+    * rate/batch twins — so whatever id SET arrived equals
+    * [[rateEventsBatch]] restricted to those ids (SocketSourceSpec).
+    * Receiver-driven and non-replayable, like a raw network ingest.
+    */
+  def socketEvents(s: SparkSession, port: Int): DataFrame =
+    shapeGenerated(s.readStream.format("socket")
+      .option("host", "127.0.0.1").option("port", port.toString).load()
+      .select(col("value").cast("long").as("gid")))
 
   /** id → events-shaped row: 61s-spaced timestamps (rollups span many
     * hours), 50 users, 4 event types, a non-trivial value sequence.
