@@ -50,6 +50,12 @@ object Sinks {
       .write.mode(mode).partitionBy("_kpart").text(outDir)
   }
 
+  /** Hard ceiling for one poll cycle's frame: the global msg_index
+    * window funnels all rows through one task, so a corpus-sized input
+    * must fail loudly rather than silently single-thread.
+    */
+  val MaxPollCycleRows: Long = 1000000L
+
   /** The reference producer's exact delivery contract
     * (KafkaAppender.py:37-53), materialized: messages are UNKEYED
     * (`produce(topic, value=item, timestamp=current_timestamp)` — no
@@ -67,22 +73,19 @@ object Sinks {
     *
     * Returns (topic, msg_index, batch_id, value, timestamp).
     */
-  /** Hard ceiling for one poll cycle's frame: the global msg_index
-    * window funnels all rows through one task, so a corpus-sized input
-    * must fail loudly rather than silently single-thread.
-    */
-  val MaxPollCycleRows: Long = 1000000L
-
   def kafkaProducerBatches(df: DataFrame, orderCols: Seq[String], valueCol: String,
                            topic: String = "jmx_data_ingestion_pipeline",
                            pollTsMillis: Long = 0L,
                            flushEvery: Int = 500): DataFrame = {
     require(!df.isStreaming,
       "kafkaProducerBatches takes one bounded poll-cycle frame (use inside foreachBatch for streams)")
-    val n = df.count()
-    require(n <= MaxPollCycleRows,
-      s"kafkaProducerBatches got $n rows — one poll cycle is a bounded scrape sweep " +
-        s"(<= $MaxPollCycleRows); the global msg_index window would single-thread this input")
+    // guard cost is bounded by the ceiling itself: count over a
+    // limit(ceiling+1) scan stops at the first excess row instead of
+    // fully evaluating an over-sized input just to reject it
+    val over = df.limit(MaxPollCycleRows.toInt + 1).count() > MaxPollCycleRows
+    require(!over,
+      s"kafkaProducerBatches input exceeds $MaxPollCycleRows rows — one poll cycle is a " +
+        "bounded scrape sweep; the global msg_index window would single-thread this input")
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(orderCols.map(col): _*)
     val idx = (row_number().over(w) - 1).cast("long")

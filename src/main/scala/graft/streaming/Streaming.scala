@@ -593,10 +593,27 @@ object Streaming {
       val out = evs
         .groupByKey(e => (e.user_id, e.event_type))
         .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(cusumFn)
-      runToTable(s, out.toDF(), OutputMode.Append())
+      latestSnapshotPerSeries(runToTable(s, out.toDF(), OutputMode.Append()))
         .orderBy("user_id", "event_type")
     },
   )
+
+  /** Append-mode state monitors (st_cusum / st_ewma) emit one snapshot
+    * per ACTIVE series per micro-batch. The parquet file source
+    * delivers the whole dataset in a single batch here, but any
+    * multi-batch trigger config (e.g. maxFilesPerTrigger) would stack
+    * one snapshot per batch in the sink — so reads take the LATEST
+    * snapshot per series (max samples seen, `n`) instead of assuming
+    * single-batch delivery. Under single-batch delivery this is the
+    * identity; under multi-batch it is the current state, not a
+    * corrupted union of partial ones.
+    */
+  private def latestSnapshotPerSeries(tbl: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "event_type").orderBy(col("n").desc)
+    tbl.withColumn("_snap_rn", row_number().over(w))
+      .filter(col("_snap_rn") === 1).drop("_snap_rn")
+  }
 
   /** Per-series EWMA state machine: one (ewma, n) row per series; the
     * first sample seeds, each next folds e' = 0.3·x + 0.7·e — the same
@@ -644,7 +661,8 @@ object Streaming {
       val out = evs
         .groupByKey(e => (e.user_id, e.event_type))
         .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(ewmaFn)
-      runToTable(s, out.toDF(), OutputMode.Append())
+      // latest snapshot per series — see latestSnapshotPerSeries
+      latestSnapshotPerSeries(runToTable(s, out.toDF(), OutputMode.Append()))
         .orderBy("user_id", "event_type")
     },
   )

@@ -90,11 +90,18 @@ object GenScale {
 
     val docs = read("documents")
     val D = stride(docs, "doc_id")
+    // every replica must differ from its original: token insertion
+    // only fires at every 4th position, so docs with < 4 whitespace
+    // tokens additionally get one rep-unique token appended — without
+    // it short docs replicate verbatim (Jaccard 1.0) and the dedup
+    // stress gates' near-dup-pairs-scale-linearly property breaks
     val perturbedText = when(col("rep") === 0, col("text")).otherwise(
-      concat_ws(" ", transform(split(col("text"), " "), (t, i) =>
-        when(i % 4 === 3,
-          concat(t, lit(" z"), col("rep"), lit("q"), pmod(i, lit(89))))
-          .otherwise(t))))
+      when(size(split(col("text"), " ")) < 4,
+        concat(col("text"), lit(" z"), col("rep"), lit("qshort")))
+        .otherwise(concat_ws(" ", transform(split(col("text"), " "), (t, i) =>
+          when(i % 4 === 3,
+            concat(t, lit(" z"), col("rep"), lit("q"), pmod(i, lit(89))))
+            .otherwise(t)))))
     write(docs.crossJoin(reps)
       .withColumn("text", perturbedText)
       .withColumn("doc_id", shift("doc_id", D))
