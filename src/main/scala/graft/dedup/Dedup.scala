@@ -858,8 +858,61 @@ object Dedup {
     },
   )
 
+  /** d_semantic_dedup: SemDeDup-style semantic deduplication (Abbas et
+    * al. 2023, arXiv:2303.09540) — cluster the embedding corpus with
+    * k-means, then prune near-duplicates WITHIN each cluster only:
+    * a vector is dropped when an earlier (smaller-id) vector in its
+    * cluster has cosine ≥ τ, and `kept_by` is the smallest such id
+    * (the deterministic stand-in for the paper's "keep one random
+    * representative per ε-ball"). Output is the dropped set — the rows
+    * a corpus-pruning pass would delete.
+    *
+    * This is the scale shape that makes embedding dedup tractable at
+    * 100 TB where d_embed_dup's exact all-pairs (O(n²), the oracle
+    * baseline) cannot run: the pairwise stage is confined to cells, so
+    * cost is Σ n_c² with n_c ≈ n/k, and k is the knob that grows with
+    * the corpus (SemDeDup used 11k clusters for LAION). The cluster
+    * assignment reuses the memoized IVF index (same artifact that
+    * serves the ANN family); the self-join is an equi-join on cid over
+    * the checkpointed assigned frame — cells are near-balanced by
+    * construction, so no skew salt is needed.
+    *
+    * Oracle: full replay — the unrolled Lloyd chain (same seeds, same
+    * decimal-exact means), the same within-cell pair predicate, the
+    * same smallest-partner window. Bit-exact like the other IVF ops.
+    */
+  val semanticDedup = GraftQuery(
+    "d_semantic_dedup",
+    Some(s"""
+      ${graft.sim.Sim.ivfSql(8, 3)},
+      pr AS (SELECT y.vec_id AS vec_id, y.cid AS cid, x.vec_id AS partner,
+               ROUND(${graft.sim.Sim.cosSql("x.v", "y.v")}, 4) AS cs
+             FROM a4 x JOIN a4 y ON x.cid = y.cid AND x.vec_id < y.vec_id),
+      q AS (SELECT vec_id, cid, partner, cs,
+              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY partner) AS rn
+            FROM pr WHERE cs >= 0.45)
+      SELECT vec_id, cid, partner AS kept_by, cs AS cos_sim
+      FROM q WHERE rn = 1
+      ORDER BY vec_id"""),
+    (s, d) => {
+      val a = graft.sim.Sim.ivfIndex(s, d, k = 8, iters = 3).assigned
+        .select(col("cid"), col("vec_id"), col("v"))
+      val w = Window.partitionBy("vec_id").orderBy(col("partner"))
+      a.as("x").join(a.as("y"),
+          col("x.cid") === col("y.cid") && col("x.vec_id") < col("y.vec_id"))
+        .select(col("y.vec_id").as("vec_id"), col("y.cid").as("cid"),
+          col("x.vec_id").as("partner"),
+          round(graft.gfunctions.cosine(col("x.v"), col("y.v")), 4).as("cs"))
+        .filter(col("cs") >= 0.45)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid"), col("partner").as("kept_by"),
+          col("cs").as("cos_sim"))
+        .orderBy("vec_id")
+    },
+  )
+
   def all: Seq[GraftQuery] =
     Seq(exact, ngramJaccard, minhashLsh, simhash, embedDup, cdcChunks, components,
       dupConsistency, prefixContainment, containment, dedupFunnel, splitLeakage,
-      incrementalDedup)
+      incrementalDedup, semanticDedup)
 }

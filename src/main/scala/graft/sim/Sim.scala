@@ -27,7 +27,7 @@ object Sim {
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_prepend(0.0, list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])), (x, y) -> x + y)"
 
-  private def cosSql(a: String, b: String): String =
+  private[graft] def cosSql(a: String, b: String): String =
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
 
   /** s_brute_topk: exact cosine top-k for a probe set — broadcast
@@ -194,7 +194,7 @@ object Sim {
     sb.toString
   }
 
-  private def ivfSql(k: Int, iters: Int): String =
+  private[graft] def ivfSql(k: Int, iters: Int): String =
     "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),\n" +
       lloydCtes(k, iters, "e", "")
 
