@@ -17,7 +17,7 @@ import graft.sources.Tables
   */
 object Sim {
 
-  private def vecs(s: SparkSession, d: String): DataFrame =
+  private[sim] def vecs(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
 
@@ -172,7 +172,7 @@ object Sim {
     * Emits `${p}c0..c$iters` (centroids) and `${p}a1..a${iters+1}`
     * (assignments) — no leading WITH.
     */
-  private def lloydCtes(k: Int, iters: Int, src: String, p: String): String = {
+  private[sim] def lloydCtes(k: Int, iters: Int, src: String, p: String): String = {
     def d2(v: String, cv: String) = d2Sql(v, cv)
     val sb = new StringBuilder
     sb.append(s"${p}c0 AS (SELECT vec_id AS cid, v AS cv FROM $src WHERE vec_id < $k)")
@@ -220,7 +220,7 @@ object Sim {
     * left-fold eval as the oracle's list_reduce, so doubles stay
     * bit-identical.
     */
-  private def distStructs(v: Column, cents: Seq[(Long, Seq[Double])]): Column = {
+  private[sim] def distStructs(v: Column, cents: Seq[(Long, Seq[Double])]): Column = {
     val cvs = typedLit(cents.map(_._2))
     val cids = typedLit(cents.map(_._1))
     // field names are assigned by the cast: aliases inside a lambda
@@ -265,7 +265,7 @@ object Sim {
     * pure function of cell membership — replayable bit-exact by the
     * oracle (a double sum would depend on partition order).
     */
-  private def lloyd(e: DataFrame, vExpr: Column, k: Int,
+  private[sim] def lloyd(e: DataFrame, vExpr: Column, k: Int,
                     iters: Int): Seq[(Long, Seq[Double])] = {
     var cents: Seq[(Long, Seq[Double])] = e.filter(col("vec_id") < k)
       .select(col("vec_id"), vExpr).collect().toSeq
@@ -476,15 +476,15 @@ object Sim {
     */
   val PqM = 4
   val PqSubLen = 16
-  private val PqK = 256
-  private val PqIters = 2
+  private[sim] val PqK = 256
+  private[sim] val PqIters = 2
   /** ADC shortlist size before the exact re-rank (s_ivf_adc): ADC
     * ranks are approximate, so the top-k surface is exact cosine over
     * the top-AdcShortlist ADC candidates. 50 bounds the re-rank fetch
     * per probe while leaving ADC ranking errors ~17× slack over the
     * final top-3.
     */
-  private val AdcShortlist = 50
+  private[sim] val AdcShortlist = 50
 
   /** Memoized per-subspace PQ codebooks for a data dir: built once
     * per session (same lifecycle as ivfIndex), each a k×subLen
@@ -660,7 +660,7 @@ object Sim {
     * distStructs (an unrolled k=256 map literal breaks codegen and
     * bloats task binaries).
     */
-  private def adcTable(pv: Column, book: Seq[(Long, Seq[Double])]): Column = {
+  private[sim] def adcTable(pv: Column, book: Seq[(Long, Seq[Double])]): Column = {
     val cvs = typedLit(book.map(_._2))
     val cids = typedLit(book.map(_._1))
     map_from_arrays(cids,
@@ -820,7 +820,7 @@ object Sim {
   private def centroidMap(cents: Seq[(Long, Seq[Double])]): Column =
     map(cents.flatMap { case (cid, cv) => Seq(lit(cid), typedLit(cv)) }: _*)
 
-  private def residual(v: Column, cid: Column, cents: Seq[(Long, Seq[Double])]): Column =
+  private[sim] def residual(v: Column, cid: Column, cents: Seq[(Long, Seq[Double])]): Column =
     zip_with(v, element_at(centroidMap(cents), cid), (a, b) => a - b)
 
   /** Memoized residual-PQ artifacts for a dir: per-subspace codebooks
@@ -1032,5 +1032,5 @@ object Sim {
 
   def all: Seq[GraftQuery] =
     Seq(bruteTopk, lshAnn, labelCohesion, centroidIvf, ivfSearch, sq8Quantize,
-      pqQuantize, pqAdc, ivfAdc, ivfAdcResidual, recallEval)
+      pqQuantize, pqAdc, ivfAdc, ivfAdcResidual, Opq.opqAdc, recallEval)
 }

@@ -79,4 +79,37 @@ class IvfRecallSpec extends SparkSpec {
     assert(res >= 0.85, f"residual ADC recall $res%.2f below production floor 0.85")
     assert(plain >= 0.8, f"plain ADC recall $plain%.2f below production floor 0.8")
   }
+
+  test("OPQ rotation: recall-vs-memory curve vs un-rotated residual ADC at each code budget") {
+    def recallOf(df: org.apache.spark.sql.DataFrame, brute: Map[Long, Set[Long]]): Double = {
+      val got = df.select(col("probe_id"), col("neighbor_id")).collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      val rs = brute.map { case (p, t) =>
+        t.intersect(got.getOrElse(p, Set.empty)).size.toDouble / t.size
+      }
+      rs.sum / rs.size
+    }
+    val brute = graft.sim.Sim.bruteTopk.run(spark, sfDir)
+      .filter(col("rank") <= 3)
+      .select(col("probe_id"), col("neighbor_id")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    // the curve: at each per-subspace budget k (16 = 4-bit codes, the
+    // memory-starved regime where rotation matters most; 256 = the
+    // production 8-bit budget), the SAME routed pipeline with and
+    // without the learned rotation
+    val curve = Seq(16, 256).map { k =>
+      val plain = recallOf(graft.sim.Opq.searchOpq(spark, sfDir, k, rotate = false), brute)
+      val opq = recallOf(graft.sim.Opq.searchOpq(spark, sfDir, k, rotate = true), brute)
+      info(f"k=$k%3d (${graft.sim.Sim.PqM * (32 - Integer.numberOfLeadingZeros(k - 1))} bits/vec): residual $plain%.3f → OPQ $opq%.3f")
+      (k, plain, opq)
+    }
+    // OPQ must never lose to the un-rotated baseline at any budget,
+    // and must strictly win somewhere on the curve — the rotation has
+    // to BUY something, not just be orthogonally harmless.
+    curve.foreach { case (k, plain, opq) =>
+      assert(opq >= plain, f"OPQ recall $opq%.3f below un-rotated $plain%.3f at k=$k")
+    }
+    assert(curve.exists { case (_, plain, opq) => opq > plain },
+      "OPQ strictly improved recall nowhere on the curve")
+  }
 }

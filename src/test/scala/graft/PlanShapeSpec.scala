@@ -40,7 +40,7 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("s_ivf_adc: cell-routed equi-joins only — no nested-loop scan of the corpus") {
-    for (q <- Seq(graft.sim.Sim.ivfAdc, graft.sim.Sim.ivfAdcResidual)) {
+    for (q <- Seq(graft.sim.Sim.ivfAdc, graft.sim.Sim.ivfAdcResidual, graft.sim.Opq.opqAdc)) {
       val p = plan(q.run(spark, sfDir))
       assert(!p.contains("BroadcastNestedLoopJoin"),
         s"${q.name} must route probes to cells via an equi-join, not scan the corpus:\n$p")
