@@ -911,8 +911,103 @@ object Dedup {
     },
   )
 
+  /** Exact-substring span length for d_substring_spans: the toy-corpus
+    * analogue of Lee et al.'s 50-BPE-token threshold (the median doc
+    * here is 56 whitespace tokens, so 20 keeps the same "a span must
+    * be long enough to be memorization, not idiom" intent at this
+    * document length).
+    */
+  private[graft] val SpanLen = 20
+
+  /** d_substring_spans: exact duplicated SUBSTRINGS, not duplicated
+    * documents (Lee et al. 2021, "Deduplicating Training Data Makes
+    * Language Models Better", arXiv:2107.06499) — the dedup class the
+    * doc-level operators miss: boilerplate, licenses, and quoted
+    * passages repeated inside otherwise-unique documents.
+    *
+    * The paper builds a corpus suffix array; the shape that survives a
+    * distributed 100 TB corpus is the rolling-window equivalent: hash
+    * every L-token window map-side (native PolyHash over the joined
+    * window — one pass per doc, no shuffle), count window-hash
+    * occurrences corpus-wide (one shuffle, map-side partial agg), keep
+    * windows whose hash occurs ≥ 2 times (within-doc repetition counts,
+    * as in the paper), then merge overlapping duplicated windows per
+    * doc into maximal spans (one shuffle, per-doc sorted position
+    * array bounded by doc length; union length = L + Σ min(gap, L)
+    * over consecutive positions — no interval-walk state needed). No
+    * stage enumerates document pairs, so cost is linear in corpus
+    * windows however many documents share a span — the property that
+    * makes this the scale path where the suffix array is not.
+    *
+    * Window identity is the 31-bit polynomial hash (portable to the
+    * oracle); a production run would widen it to 64/128 bits — the
+    * plan is hash-width-agnostic.
+    *
+    * Output: per doc with ≥ 1 duplicated window — total tokens covered
+    * by duplicated spans and the covered fraction (what the paper's
+    * pipeline would CUT from each doc).
+    */
+  val substringSpans = GraftQuery(
+    "d_substring_spans",
+    Some(s"""
+      WITH d AS (SELECT doc_id, ${Text.ToksSql} AS t FROM documents),
+      w AS (SELECT doc_id, len(t) AS n_tokens,
+              unnest(list_transform(range(1, greatest(len(t) - ${SpanLen - 1}, 0) + 1),
+                i -> {'pos': i,
+                      'h': ${Text.polySqlPublic(s"array_to_string(t[i:i+${SpanLen - 1}], ' ')")}})) AS pw
+            FROM d),
+      wf AS (SELECT doc_id, n_tokens, pw.pos AS pos, pw.h AS h FROM w),
+      hc AS (SELECT h FROM wf GROUP BY h HAVING COUNT(*) >= 2),
+      dup AS (SELECT doc_id, n_tokens, pos FROM wf JOIN hc USING (h)),
+      per AS (SELECT doc_id, n_tokens, list_sort(list(pos)) AS ps,
+                COUNT(*) AS dup_windows
+              FROM dup GROUP BY 1, 2),
+      cov AS (SELECT doc_id, n_tokens, dup_windows,
+                CAST($SpanLen + coalesce(list_sum(list_transform(range(2, len(ps) + 1),
+                  j -> least(ps[j] - ps[j-1], $SpanLen))), 0) AS BIGINT) AS dup_tokens
+              FROM per)
+      SELECT doc_id, n_tokens, dup_windows, dup_tokens,
+             ROUND(CAST(dup_tokens AS DOUBLE) / n_tokens, 4) AS dup_frac
+      FROM cov
+      ORDER BY doc_id"""),
+    (s, d) => substringSpanStats(Tables.documents(s, d)).orderBy("doc_id"),
+  )
+
+  /** The span pipeline over any (doc_id, text) frame — per doc with
+    * ≥ 1 duplicated L-token window: window count, tokens covered by
+    * the merged duplicated spans, covered fraction.
+    */
+  def substringSpanStats(docs: DataFrame, L: Int = SpanLen): DataFrame = {
+    val toked = docs
+      .select(col("doc_id"), Text.toks(col("text")).as("t"))
+      .select(col("doc_id"), col("t"), size(col("t")).cast("long").as("n_tokens"))
+    val windows = toked
+      .select(col("doc_id"), col("n_tokens"),
+        explode(when(col("n_tokens") >= L,
+          transform(sequence(lit(1), (col("n_tokens") - (L - 1)).cast("int")),
+            i => struct(i.cast("long").as("pos"),
+              polyHash(concat_ws(" ", slice(col("t"), i, lit(L)))).as("h"))))
+          .otherwise(array().cast("array<struct<pos:bigint,h:bigint>>"))).as("w"))
+      .select(col("doc_id"), col("n_tokens"), col("w.pos").as("pos"), col("w.h").as("h"))
+    val dupHashes = windows.groupBy("h")
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 2).select("h")
+    val per = windows.join(dupHashes, Seq("h"), "left_semi")
+      .groupBy("doc_id", "n_tokens")
+      .agg(sort_array(collect_list(col("pos"))).as("ps"),
+        count(lit(1)).as("dup_windows"))
+    val gapSum = aggregate(
+      transform(sequence(lit(2), size(col("ps"))),
+        j => least(element_at(col("ps"), j) - element_at(col("ps"), j - 1), lit(L.toLong))),
+      lit(0L), (a, x) => a + x)
+    val covered = (lit(L.toLong) +
+      when(size(col("ps")) >= 2, gapSum).otherwise(lit(0L))).as("dup_tokens")
+    per.select(col("doc_id"), col("n_tokens"), col("dup_windows"), covered)
+      .withColumn("dup_frac",
+        round(col("dup_tokens").cast("double") / col("n_tokens"), 4))
+  }
+
   def all: Seq[GraftQuery] =
     Seq(exact, ngramJaccard, minhashLsh, simhash, embedDup, cdcChunks, components,
       dupConsistency, prefixContainment, containment, dedupFunnel, splitLeakage,
-      incrementalDedup, semanticDedup)
+      incrementalDedup, semanticDedup, substringSpans)
 }
