@@ -806,8 +806,105 @@ object Text {
       .orderBy("source", "lang")
   }
 
+  /** DSIR feature-bucket count and selection size. */
+  private[graft] val DsirBuckets = 256
+  private[graft] val DsirTopK = 25
+
+  /** t_dsir: Data Selection via Importance Resampling (Xie et al.
+    * 2023, arXiv:2302.03169) — score every raw document by how much
+    * more likely its hashed-n-gram features are under a TARGET
+    * distribution than under the raw-corpus distribution, and keep the
+    * top-weighted docs. The standard "make the crawl look like the
+    * high-quality domain" selection pass of an LLM data pipeline.
+    *
+    * Shapes, exactly as the paper distributes:
+    *  - features are hashed n-grams (unigrams + bigrams → B=256
+    *    buckets via the portable PolyHash), built map-side per doc;
+    *  - both bag-of-buckets models are ONE groupBy over B buckets
+    *    (target = the 10% doc_id-hash sample, the same deterministic
+    *    bucketing t_split uses; raw = the whole corpus), add-1
+    *    smoothed; B rows total — bytes, not data;
+    *  - per-bucket log-likelihood ratio ln(p̂_target/p̂_raw) computed
+    *    from exact integer counts (one double division + ln, rounded
+    *    to 6 — the t_tfidf log-portability convention), broadcast back;
+    *  - per-doc importance weight Σ c_b·lr_b as an exact DECIMAL sum
+    *    (doubles would be partition-order-dependent);
+    *  - selection is the deterministic analogue of the paper's
+    *    Gumbel-top-k: global top-K by (weight desc, doc_id) — a
+    *    TakeOrdered, no full sort.
+    */
+  val dsir = GraftQuery(
+    "t_dsir",
+    Some(s"""
+      WITH d AS (SELECT doc_id, $ToksSql AS t FROM documents),
+      g AS (SELECT doc_id,
+              unnest(list_concat(t, list_transform(range(1, len(t)),
+                i -> t[i] || ' ' || t[i+1]))) AS gram
+            FROM d),
+      b AS (SELECT doc_id, ${polySqlPublic("gram")} % $DsirBuckets AS bucket FROM g),
+      tgt AS (SELECT doc_id FROM documents
+              WHERE ${polySqlPublic("CAST(doc_id AS VARCHAR)")} % 100 < 10),
+      cnt AS (SELECT bucket, COUNT(*) AS cr,
+                CAST(SUM(CASE WHEN tgt.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS ct
+              FROM b LEFT JOIN tgt USING (doc_id) GROUP BY bucket),
+      tot AS (SELECT CAST(SUM(cr) AS BIGINT) AS rt, CAST(SUM(ct) AS BIGINT) AS tt FROM cnt),
+      lr AS (SELECT bucket,
+               ROUND(ln(CAST((ct + 1) * (rt + $DsirBuckets) AS DOUBLE)
+                 / ((cr + 1) * (tt + $DsirBuckets))), 6) AS lr
+             FROM cnt CROSS JOIN tot),
+      db AS (SELECT doc_id, bucket, COUNT(*) AS c FROM b GROUP BY 1, 2),
+      wgt AS (SELECT doc_id,
+                ROUND(CAST(SUM(c * CAST(lr AS DECIMAL(12,6))) AS DOUBLE), 4) AS dsir_weight
+              FROM db JOIN lr USING (bucket) GROUP BY doc_id),
+      r AS (SELECT doc_id, dsir_weight,
+              ROW_NUMBER() OVER (ORDER BY dsir_weight DESC, doc_id) AS rnk
+            FROM wgt)
+      SELECT rnk, doc_id, dsir_weight,
+             ${polySqlPublic("CAST(doc_id AS VARCHAR)")} % 100 < 10 AS is_target
+      FROM r WHERE rnk <= $DsirTopK
+      ORDER BY rnk"""),
+    (s, d) => {
+      val w = Window.orderBy(col("dsir_weight").desc, col("doc_id"))
+      dsirWeights(Tables.documents(s, d))
+        .orderBy(col("dsir_weight").desc, col("doc_id")).limit(DsirTopK)
+        .withColumn("rnk", row_number().over(w))
+        .select(col("rnk"), col("doc_id"), col("dsir_weight"),
+          (polyHash(col("doc_id").cast("string")) % 100 < 10).as("is_target"))
+        .orderBy("rnk")
+    },
+  )
+
+  /** Per-doc DSIR importance weight over any (doc_id, text) frame,
+    * with the target sample drawn by `isTarget` (default: the t_split
+    * 10% doc_id-hash bucket).
+    */
+  private[graft] def dsirWeights(docs: DataFrame,
+      isTarget: Column = polyHash(col("doc_id").cast("string")) % 100 < 10): DataFrame = {
+    val B = DsirBuckets
+    val bigrams = when(size(col("t")) >= 2,
+      transform(sequence(lit(1), size(col("t")) - 1),
+        i => concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val buckets = docs
+      .select(col("doc_id"), toks(col("text")).as("t"), isTarget.as("is_t"))
+      .select(col("doc_id"), col("is_t"),
+        explode(concat(col("t"), bigrams)).as("gram"))
+      .select(col("doc_id"), col("is_t"), (polyHash(col("gram")) % B).as("bucket"))
+    val cnt = buckets.groupBy("bucket").agg(count(lit(1)).as("cr"),
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"))
+    val tot = cnt.agg(sum("cr").as("rt"), sum("ct").as("tt"))
+    val lr = cnt.crossJoin(broadcast(tot)).select(col("bucket"),
+      round(log(((col("ct") + 1) * (col("rt") + B)).cast("double") /
+        ((col("cr") + 1) * (col("tt") + B))), 6).as("lr"))
+    buckets.groupBy("doc_id", "bucket").agg(count(lit(1)).as("c"))
+      .join(broadcast(lr), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(round(sum(col("c") * col("lr").cast("decimal(12,6)")).cast("double"), 4)
+        .as("dsir_weight"))
+  }
+
   def all: Seq[GraftQuery] =
     Seq(tokenStats, qualityScore, langid, fingerprint, bigramFreq, repNgrams, tfidf,
       bpeTokens, bpeMerges, split80, vocab, piiScrub, contamination, sentences, packing,
-      corpusFilter, mixture)
+      corpusFilter, mixture, dsir)
 }
