@@ -1006,8 +1006,72 @@ object Dedup {
         round(col("dup_tokens").cast("double") / col("n_tokens"), 4))
   }
 
+  /** d_canonical: the KEEP decision after near-dup clustering — per
+    * dedup component, retain the highest-quality member (t_quality's
+    * composite score, min-doc_id tie-break), not an arbitrary one.
+    * This is the step real pipelines run between d_components and the
+    * corpus rewrite: min-id canonicalization (what d_dedup_funnel
+    * accounts with) keeps whichever duplicate happened to be crawled
+    * first; quality-argmax keeps the best copy. Pure composition of
+    * registered operators — cluster labels from the shared memoized
+    * pair table, scores from t_quality_score — plus one window. Adds
+    * one quality join over component members only; no new corpus scan
+    * shapes, so it scales exactly as d_components does.
+    */
+  val canonicalPick = GraftQuery(
+    "d_canonical",
+    Some(s"""
+      WITH RECURSIVE d AS (SELECT doc_id, ${Text.ToksSql} AS t FROM documents),
+      $ShSql,
+      shf AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 1000),
+      shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN shf USING (shingle)),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      p0 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+             FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+      pairs AS (SELECT doc_a, doc_b
+                FROM p0 JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+                WHERE ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 4) >= 0.5),
+      e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs),
+      reach(src, dst) AS (
+        SELECT a, a FROM e
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a),
+      cc AS (SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY src),
+      q AS (SELECT doc_id,
+              ROUND(0.5 * (CAST(len(list_distinct(t)) AS DOUBLE) / len(t))
+                + 0.5 * (1.0 - CAST(len(list_filter(t,
+                    x -> x IN (${Text.stopwords.map(w => s"'$w'").mkString(", ")})))
+                  AS DOUBLE) / len(t)), 4) AS quality
+            FROM d),
+      rk AS (SELECT cc.doc_id, cc.component, q.quality,
+               ROW_NUMBER() OVER (PARTITION BY component
+                 ORDER BY quality DESC, cc.doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY component) AS n_members
+             FROM cc JOIN q USING (doc_id))
+      SELECT component, doc_id AS kept_doc, quality AS kept_quality,
+             n_members, n_members - 1 AS n_dropped
+      FROM rk WHERE rn = 1
+      ORDER BY component"""),
+    (s, d) => {
+      val labels = connectedComponents(pairsFor(s, d).select("doc_a", "doc_b"))
+      val qual = Text.qualityScore.run(s, d).select(col("doc_id"), col("quality"))
+      val w = Window.partitionBy("component").orderBy(col("quality").desc, col("doc_id"))
+      val wc = Window.partitionBy("component")
+      labels.join(qual, Seq("doc_id"))
+        .withColumn("n_members", count(lit(1)).over(wc))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("component"), col("doc_id").as("kept_doc"),
+          col("quality").as("kept_quality"), col("n_members"),
+          (col("n_members") - 1).as("n_dropped"))
+        .orderBy("component")
+    },
+  )
+
   def all: Seq[GraftQuery] =
     Seq(exact, ngramJaccard, minhashLsh, simhash, embedDup, cdcChunks, components,
       dupConsistency, prefixContainment, containment, dedupFunnel, splitLeakage,
-      incrementalDedup, semanticDedup, substringSpans)
+      incrementalDedup, semanticDedup, substringSpans, canonicalPick)
 }
