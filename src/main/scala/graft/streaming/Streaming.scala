@@ -724,10 +724,51 @@ object Streaming {
     },
   )
 
+  /** st_dsir: importance-resampling as a SERVING pipeline — the DSIR
+    * model (B-row log-likelihood-ratio table) is trained offline on
+    * the batch corpus and published, then unbounded document batches
+    * stream in and are scored map-side against the broadcast model per
+    * micro-batch (the st_ann shape: static artifact × streaming
+    * probes). Scored docs land in per-batch overwrite directories
+    * (exactly-once); the top-K selection evaluates at read time over
+    * everything scored so far — the accumulate/evaluate split, since a
+    * running global top-K is not a streaming aggregate. In the
+    * single-micro-batch harness the result is exactly t_dsir, whose
+    * oracle applies verbatim.
+    */
+  val streamDsir = GraftQuery(
+    "st_dsir",
+    graft.text.Text.dsir.oracle,
+    (s, d) => {
+      import graft.text.Text
+      val lr = Text.dsirModel(graft.sources.Tables.documents(s, d))
+        .localCheckpoint(eager = true) // train once; batches must not re-derive it
+      val outDir = Files.createTempDirectory("graft_dsir_out").toString
+      val ckpt = Files.createTempDirectory("graft_ckpt").toString
+      val sch = s.read.parquet(s"$d/documents.parquet").schema
+      val docs = s.readStream.schema(sch)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+      val q = docs.writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          Text.dsirScore(b, lr)
+            .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      val scored = s.read.option("basePath", outDir).parquet(outDir)
+        .select("doc_id", "dsir_weight")
+      lr.unpersist(blocking = false)
+      Text.dsirSelect(scored)
+    },
+  )
+
   def all: Seq[GraftQuery] =
     Seq(pipeline, statefulRate, sinkFanout, streamDedup, streamJoin, streamEnrich,
       streamHopping, streamAlerts, streamSessions, streamLatest,
-      streamHistogramQuantile, streamCusum, streamEwma, streamAnn, streamMixture)
+      streamHistogramQuantile, streamCusum, streamEwma, streamAnn, streamMixture,
+      streamDsir)
 }
 
 // Encoder-visible row types for the stateful stream (must not be

@@ -863,44 +863,71 @@ object Text {
              ${polySqlPublic("CAST(doc_id AS VARCHAR)")} % 100 < 10 AS is_target
       FROM r WHERE rnk <= $DsirTopK
       ORDER BY rnk"""),
-    (s, d) => {
-      val w = Window.orderBy(col("dsir_weight").desc, col("doc_id"))
-      dsirWeights(Tables.documents(s, d))
-        .orderBy(col("dsir_weight").desc, col("doc_id")).limit(DsirTopK)
-        .withColumn("rnk", row_number().over(w))
-        .select(col("rnk"), col("doc_id"), col("dsir_weight"),
-          (polyHash(col("doc_id").cast("string")) % 100 < 10).as("is_target"))
-        .orderBy("rnk")
-    },
+    (s, d) => dsirSelect(dsirWeights(Tables.documents(s, d))),
   )
+
+  /** Per-doc hashed-n-gram feature buckets (unigrams + bigrams →
+    * B buckets, map-side).
+    */
+  private def dsirFeatureBuckets(docs: DataFrame): DataFrame = {
+    val bigrams = when(size(col("t")) >= 2,
+      transform(sequence(lit(1), size(col("t")) - 1),
+        i => concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1))))
+      .otherwise(array().cast("array<string>"))
+    docs
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .select(col("doc_id"), explode(concat(col("t"), bigrams)).as("gram"))
+      .select(col("doc_id"), (polyHash(col("gram")) % DsirBuckets).as("bucket"))
+  }
+
+  /** The trained DSIR model: per-bucket smoothed log-likelihood ratio
+    * ln(p̂_target/p̂_raw) — B rows, the broadcastable artifact a
+    * serving pipeline trains offline and publishes.
+    */
+  private[graft] def dsirModel(docs: DataFrame,
+      isTarget: Column = polyHash(col("doc_id").cast("string")) % 100 < 10): DataFrame = {
+    val B = DsirBuckets
+    // isTarget is a pure function of doc_id ⇒ evaluated map-side on
+    // the feature rows, never joined
+    val cnt = dsirFeatureBuckets(docs).withColumn("is_t", isTarget)
+      .groupBy("bucket").agg(count(lit(1)).as("cr"),
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"))
+    val tot = cnt.agg(sum("cr").as("rt"), sum("ct").as("tt"))
+    cnt.crossJoin(broadcast(tot)).select(col("bucket"),
+      round(log(((col("ct") + 1) * (col("rt") + B)).cast("double") /
+        ((col("cr") + 1) * (col("tt") + B))), 6).as("lr"))
+  }
+
+  /** Score any (doc_id, text) frame against a trained model — the
+    * map-side serving half (per-doc bucket counts ⋈ broadcast lr,
+    * exact decimal sum).
+    */
+  private[graft] def dsirScore(docs: DataFrame, lr: DataFrame): DataFrame =
+    dsirFeatureBuckets(docs)
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("c"))
+      .join(broadcast(lr), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(round(sum(col("c") * col("lr").cast("decimal(12,6)")).cast("double"), 4)
+        .as("dsir_weight"))
 
   /** Per-doc DSIR importance weight over any (doc_id, text) frame,
     * with the target sample drawn by `isTarget` (default: the t_split
     * 10% doc_id-hash bucket).
     */
   private[graft] def dsirWeights(docs: DataFrame,
-      isTarget: Column = polyHash(col("doc_id").cast("string")) % 100 < 10): DataFrame = {
-    val B = DsirBuckets
-    val bigrams = when(size(col("t")) >= 2,
-      transform(sequence(lit(1), size(col("t")) - 1),
-        i => concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1))))
-      .otherwise(array().cast("array<string>"))
-    val buckets = docs
-      .select(col("doc_id"), toks(col("text")).as("t"), isTarget.as("is_t"))
-      .select(col("doc_id"), col("is_t"),
-        explode(concat(col("t"), bigrams)).as("gram"))
-      .select(col("doc_id"), col("is_t"), (polyHash(col("gram")) % B).as("bucket"))
-    val cnt = buckets.groupBy("bucket").agg(count(lit(1)).as("cr"),
-      sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"))
-    val tot = cnt.agg(sum("cr").as("rt"), sum("ct").as("tt"))
-    val lr = cnt.crossJoin(broadcast(tot)).select(col("bucket"),
-      round(log(((col("ct") + 1) * (col("rt") + B)).cast("double") /
-        ((col("cr") + 1) * (col("tt") + B))), 6).as("lr"))
-    buckets.groupBy("doc_id", "bucket").agg(count(lit(1)).as("c"))
-      .join(broadcast(lr), Seq("bucket"))
-      .groupBy("doc_id")
-      .agg(round(sum(col("c") * col("lr").cast("decimal(12,6)")).cast("double"), 4)
-        .as("dsir_weight"))
+      isTarget: Column = polyHash(col("doc_id").cast("string")) % 100 < 10): DataFrame =
+    dsirScore(docs, dsirModel(docs, isTarget))
+
+  /** Deterministic top-K selection over a (doc_id, dsir_weight) frame
+    * (TakeOrdered + rank over the K survivors).
+    */
+  private[graft] def dsirSelect(wgt: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("dsir_weight").desc, col("doc_id"))
+    wgt.orderBy(col("dsir_weight").desc, col("doc_id")).limit(DsirTopK)
+      .withColumn("rnk", row_number().over(w))
+      .select(col("rnk"), col("doc_id"), col("dsir_weight"),
+        (polyHash(col("doc_id").cast("string")) % 100 < 10).as("is_target"))
+      .orderBy("rnk")
   }
 
   def all: Seq[GraftQuery] =
