@@ -611,9 +611,89 @@ object Olap2 {
     },
   )
 
+  /** Z-order bit width per dimension (16+16 → a 32-bit Morton code)
+    * and the bucket prefix (top 8 z-bits → 256 layout buckets).
+    */
+  private val ZBits = 16
+  private val ZBucketShift = 2 * ZBits - 8
+
+  /** q_zorder_layout: multi-dimensional data-layout clustering — the
+    * Morton (z-order) curve over (l_partkey, l_suppkey), the layout
+    * decision that makes PHYSICAL file skipping work when queries
+    * filter on either of two dimensions: sorting by one key makes
+    * min/max pruning perfect on it and useless on the other; z-order
+    * interleaves their bits so every z-contiguous bucket is a small
+    * rectangle in (partkey, suppkey) space and both dims prune.
+    *
+    * All scale-honest pieces: the per-dim 16-bit mapping is the exact
+    * integer scaling floor((x−min)·65535/span) (mins/maxes are one
+    * tiny aggregate, broadcast); the 32-bit interleave is an UNROLLED
+    * constant-shift bit sum (codegen-friendly — no variable-shift
+    * loop); bucket = top-8 z-bits; and the output is the per-bucket
+    * evidence a file-skipping engine consumes: row count + min/max of
+    * BOTH dims (the footer stats). ZorderSpec quantifies the payoff:
+    * mean per-bucket span is a few % of the global span on each dim
+    * simultaneously — single-key layouts give ~100% on the other dim.
+    * At 100 TB this is `write.partitionBy(bucket)` + parquet footer
+    * pruning; the decision table itself is one shuffle.
+    */
+  val zorderLayout = GraftQuery(
+    "q_zorder_layout",
+    Some(s"""
+      WITH b AS (SELECT MIN(l_partkey) AS pmin, MAX(l_partkey) AS pmax,
+                        MIN(l_suppkey) AS smin, MAX(l_suppkey) AS smax
+                 FROM lineitem),
+      sc AS (SELECT l_partkey, l_suppkey,
+               CAST(floor(CAST((l_partkey - pmin) * 65535 AS DOUBLE)
+                 / nullif(pmax - pmin, 0)) AS BIGINT) AS sx,
+               CAST(floor(CAST((l_suppkey - smin) * 65535 AS DOUBLE)
+                 / nullif(smax - smin, 0)) AS BIGINT) AS sy
+             FROM lineitem CROSS JOIN b),
+      z AS (SELECT l_partkey, l_suppkey,
+              ${(0 until ZBits).map(i =>
+                s"((sx >> $i) & 1) * ${1L << (2 * i + 1)} + ((sy >> $i) & 1) * ${1L << (2 * i)}")
+                .mkString(" + ")} AS zval
+            FROM sc)
+      SELECT zval >> $ZBucketShift AS bucket,
+             COUNT(*) AS n,
+             MIN(l_partkey) AS pmin, MAX(l_partkey) AS pmax,
+             MIN(l_suppkey) AS smin, MAX(l_suppkey) AS smax
+      FROM z
+      GROUP BY 1
+      ORDER BY bucket"""),
+    (s, d) => zorderStats(
+      Tables(s, d, "lineitem").select(col("l_partkey"), col("l_suppkey")),
+      "l_partkey", "l_suppkey").orderBy("bucket"),
+  )
+
+  /** The z-order bucket stats over any frame with two long dims —
+    * per-bucket row count and both dims' min/max (the footer stats a
+    * skipping scan consumes).
+    */
+  private[graft] def zorderStats(df: DataFrame, xc: String, yc: String): DataFrame = {
+    val b = broadcast(df.agg(
+      min(col(xc)).as("pmin"), max(col(xc)).as("pmax"),
+      min(col(yc)).as("smin"), max(col(yc)).as("smax")))
+    def scale(c: String, lo: String, hi: String) =
+      floor(((col(c) - col(lo)) * 65535).cast("double") /
+        nullif((col(hi) - col(lo)).cast("double"), lit(0.0))).cast("long")
+    val z = (0 until ZBits).map { i =>
+      shiftleft(shiftright(col("sx"), i).bitwiseAND(lit(1L)), 2 * i + 1) +
+        shiftleft(shiftright(col("sy"), i).bitwiseAND(lit(1L)), 2 * i)
+    }.reduce(_ + _)
+    df.crossJoin(b)
+      .select(col(xc), col(yc),
+        scale(xc, "pmin", "pmax").as("sx"), scale(yc, "smin", "smax").as("sy"))
+      .select(col(xc), col(yc), z.as("zval"))
+      .groupBy(shiftright(col("zval"), ZBucketShift).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col(xc)).as("pmin"), max(col(xc)).as("pmax"),
+        min(col(yc)).as("smin"), max(col(yc)).as("smax"))
+  }
+
   def all: Seq[GraftQuery] =
     Seq(pivot, cube2, correlated, saltedJoinQ, ansiSql, approxDistinct, profile,
       windowRange, approxPercentiles, stratifiedSample, funnel, ntileDeciles,
       groupingSets, incrementalRollup, skewDiagnose, bucketedJoin, setOps,
-      percentOfTotal)
+      percentOfTotal, zorderLayout)
 }
