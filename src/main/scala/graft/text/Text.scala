@@ -930,8 +930,164 @@ object Text {
       .orderBy("rnk")
   }
 
+  // ---- t_quality_probe --------------------------------------------------
+
+  /** Probe GD hyperparameters: fixed so the oracle replay is a bounded
+    * generated-CTE chain (the Lloyd-unroll convention).
+    */
+  private[graft] val ProbeIters = 10
+  private[graft] val ProbeLr = 0.5
+  private val ProbeDim = 6
+
+  /** Per-doc probe features f1..f6 + label y over any (doc_id, text)
+    * frame. Every feature is an exact integer-derived double (counts
+    * and IEEE divisions, identical in Spark and DuckDB) rounded to 6
+    * decimals, so downstream DECIMAL products/sums are bit-portable.
+    */
+  private[graft] def probeFeatures(docs: DataFrame,
+      isTarget: Column = polyHash(col("doc_id").cast("string")) % 100 < 10): DataFrame = {
+    val t = col("t")
+    val stopArr = array(stopwords.map(lit): _*)
+    val toked = docs.select(col("doc_id"), col("text"), toks(col("text")).as("t"))
+    val mx = broadcast(toked.agg(max(size(t)).as("maxn")))
+    toked.crossJoin(mx).select(
+      col("doc_id"),
+      round(size(t).cast("double") / col("maxn"), 6).as("f1"),
+      round(size(filter(t, x => array_contains(stopArr, x))).cast("double") / size(t), 6).as("f2"),
+      round(size(array_distinct(t)).cast("double") / size(t), 6).as("f3"),
+      round(aggregate(transform(t, x => length(x)), lit(0), (a, x) => a + x)
+        .cast("double") / size(t) / 10, 6).as("f4"),
+      round(size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9 ]"), lit(0)))
+        .cast("double") / length(col("text")), 6).as("f5"),
+      lit(1.0).as("f6"),
+      when(isTarget, 1.0).otherwise(0.0).as("y"))
+  }
+
+  /** Train the linear probe: ONE distributed decimal-exact pass builds
+    * the 6×6 normal-equation moments (XᵀX, Xᵀy — 43 cells, bytes),
+    * then `ProbeIters` fixed gradient steps on the driver. Every
+    * arithmetic op is in the exact order the oracle's generated
+    * iteration CTEs use (left-assoc dot products, g = acc/n − c/n,
+    * β −= lr·g), so driver β and SQL β are bit-identical doubles.
+    */
+  private[graft] def trainProbe(feat: DataFrame): Array[Double] = {
+    val dims = 1 to ProbeDim
+    def dec(c: String) = col(c).cast("decimal(12,6)")
+    val aggs =
+      dims.flatMap(i => dims.map(j =>
+        sum(dec(s"f$i") * dec(s"f$j")).cast("double").as(s"a$i$j"))) ++
+        dims.map(i => sum(dec(s"f$i") * dec("y")).cast("double").as(s"c$i")) :+
+        count(lit(1)).cast("double").as("n")
+    val row = feat.agg(aggs.head, aggs.tail: _*).head()
+    val a = Array.tabulate(ProbeDim, ProbeDim)((i, j) => row.getAs[Double](s"a${i + 1}${j + 1}"))
+    val c = Array.tabulate(ProbeDim)(i => row.getAs[Double](s"c${i + 1}"))
+    val n = row.getAs[Double]("n")
+    val b = Array.fill(ProbeDim)(0.0)
+    for (_ <- 1 to ProbeIters) {
+      val nb = Array.tabulate(ProbeDim) { i =>
+        var acc = a(i)(0) * b(0)
+        for (j <- 1 until ProbeDim) acc = acc + a(i)(j) * b(j)
+        b(i) - ProbeLr * (acc / n - c(i) / n)
+      }
+      Array.copy(nb, 0, b, 0, ProbeDim)
+    }
+    b
+  }
+
+  /** Score a feature frame against trained coefficients (map-side,
+    * left-assoc dot product, round 4).
+    */
+  private[graft] def scoreProbe(feat: DataFrame, beta: Array[Double]): DataFrame =
+    feat.select(col("doc_id"),
+      round((1 to ProbeDim).map(i => col(s"f$i") * lit(beta(i - 1))).reduce(_ + _), 4)
+        .as("score"),
+      (col("y") === 1.0).as("is_target"))
+
+  /** The oracle's replay of trainProbe: it0 casts the decimal moments
+    * to doubles and seeds β = 0; each generated iteration CTE applies
+    * one gradient step with the same left-assoc expression order.
+    */
+  private def probeIterCtes: String = {
+    val dims = 1 to ProbeDim
+    val carry = (dims.flatMap(i => dims.map(j => s"a$i$j")) ++ dims.map(i => s"c$i") :+ "n")
+      .mkString(", ")
+    val it0 =
+      s"""it0 AS (SELECT ${dims.flatMap(i => dims.map(j => s"CAST(a$i$j AS DOUBLE) AS a$i$j")).mkString(", ")},
+         |  ${dims.map(i => s"CAST(c$i AS DOUBLE) AS c$i").mkString(", ")},
+         |  CAST(n AS DOUBLE) AS n,
+         |  ${dims.map(i => s"CAST(0 AS DOUBLE) AS b$i").mkString(", ")}
+         |FROM xtx)""".stripMargin
+    val its = (1 to ProbeIters).map { k =>
+      val steps = dims.map { i =>
+        val acc = dims.map(j => s"a$i$j * b$j").reduce((l, r) => s"($l + $r)")
+        s"b$i - $ProbeLr * ($acc / n - c$i / n) AS b$i"
+      }.mkString(",\n  ")
+      s"it$k AS (SELECT $carry,\n  $steps\nFROM it${k - 1})"
+    }
+    (it0 +: its).mkString(",\n")
+  }
+
+  /** t_quality_probe: a TRAINED model-based quality scorer — the
+    * learned counterpart of the heuristic t_quality_score / t_corpus_
+    * filter gates (the fastText-classifier slot of an LLM pipeline,
+    * linearized so training is exactly distributable): a linear probe
+    * fit by fixed-step gradient descent on the least-squares objective
+    * predicting target-domain membership (the t_split 10% sample, as
+    * t_dsir) from six content features. The corpus-sized work is ONE
+    * decimal-exact moment pass; training state is 43 numbers; scoring
+    * is map-side. GD is exp-free arithmetic only, so — unlike a
+    * logistic fit — the oracle replays training bit-exactly as
+    * generated CTEs and the whole operator stays hash-checked.
+    */
+  val qualityProbe = GraftQuery(
+    "t_quality_probe",
+    Some({
+      val dims = 1 to ProbeDim
+      val xtxCells =
+        dims.flatMap(i => dims.map(j =>
+          s"SUM(CAST(f$i AS DECIMAL(12,6)) * CAST(f$j AS DECIMAL(12,6))) AS a$i$j")) ++
+          dims.map(i => s"SUM(CAST(f$i AS DECIMAL(12,6)) * CAST(y AS DECIMAL(12,6))) AS c$i")
+      val scoreExpr = dims.map(i => s"f$i * b$i").reduce((l, r) => s"$l + $r")
+      s"""
+      WITH d AS (SELECT doc_id, text, $ToksSql AS t FROM documents),
+      mx AS (SELECT MAX(len(t)) AS maxn FROM d),
+      f0 AS (SELECT doc_id,
+               ROUND(CAST(len(t) AS DOUBLE) / maxn, 6) AS f1,
+               ROUND(CAST(len(list_filter(t, x -> x IN (${stopwords.map(w => s"'$w'").mkString(", ")}))) AS DOUBLE) / len(t), 6) AS f2,
+               ROUND(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6) AS f3,
+               ROUND(CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t) / 10, 6) AS f4,
+               ROUND(CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE) / length(text), 6) AS f5,
+               1.0 AS f6,
+               CASE WHEN ${polySqlPublic("CAST(doc_id AS VARCHAR)")} % 100 < 10
+                 THEN 1.0 ELSE 0.0 END AS y
+             FROM d CROSS JOIN mx),
+      xtx AS (SELECT ${xtxCells.mkString(",\n  ")}, COUNT(*) AS n FROM f0),
+      $probeIterCtes,
+      sc AS (SELECT f0.doc_id, ROUND($scoreExpr, 4) AS score, f0.y = 1.0 AS is_target
+             FROM f0 CROSS JOIN it$ProbeIters),
+      r AS (SELECT doc_id, score, is_target,
+              ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk
+            FROM sc)
+      SELECT rnk, doc_id, score, is_target
+      FROM r WHERE rnk <= $DsirTopK
+      ORDER BY rnk"""
+    }),
+    (s, d) => {
+      val feat = probeFeatures(Tables.documents(s, d))
+        .localCheckpoint(eager = true) // one moment pass + one scoring pass
+      val beta = trainProbe(feat)
+      val w = Window.orderBy(col("score").desc, col("doc_id"))
+      val out = scoreProbe(feat, beta)
+        .orderBy(col("score").desc, col("doc_id")).limit(DsirTopK)
+        .withColumn("rnk", row_number().over(w))
+        .select(col("rnk"), col("doc_id"), col("score"), col("is_target"))
+        .orderBy("rnk")
+      graft.Caching.releaseAfter(out, feat)
+    },
+  )
+
   def all: Seq[GraftQuery] =
     Seq(tokenStats, qualityScore, langid, fingerprint, bigramFreq, repNgrams, tfidf,
       bpeTokens, bpeMerges, split80, vocab, piiScrub, contamination, sentences, packing,
-      corpusFilter, mixture, dsir)
+      corpusFilter, mixture, dsir, qualityProbe)
 }
