@@ -973,15 +973,13 @@ object Dedup {
     (s, d) => substringSpanStats(Tables.documents(s, d)).orderBy("doc_id"),
   )
 
-  /** The span pipeline over any (doc_id, text) frame — per doc with
-    * ≥ 1 duplicated L-token window: window count, tokens covered by
-    * the merged duplicated spans, covered fraction.
+  /** Every L-token window per doc, hashed map-side:
+    * (doc_id, n_tokens, pos, h).
     */
-  def substringSpanStats(docs: DataFrame, L: Int = SpanLen): DataFrame = {
-    val toked = docs
+  private[graft] def windowTable(docs: DataFrame, L: Int = SpanLen): DataFrame =
+    docs
       .select(col("doc_id"), Text.toks(col("text")).as("t"))
       .select(col("doc_id"), col("t"), size(col("t")).cast("long").as("n_tokens"))
-    val windows = toked
       .select(col("doc_id"), col("n_tokens"),
         explode(when(col("n_tokens") >= L,
           transform(sequence(lit(1), (col("n_tokens") - (L - 1)).cast("int")),
@@ -989,9 +987,13 @@ object Dedup {
               polyHash(concat_ws(" ", slice(col("t"), i, lit(L)))).as("h"))))
           .otherwise(array().cast("array<struct<pos:bigint,h:bigint>>"))).as("w"))
       .select(col("doc_id"), col("n_tokens"), col("w.pos").as("pos"), col("w.h").as("h"))
-    val dupHashes = windows.groupBy("h")
-      .agg(count(lit(1)).as("c")).filter(col("c") >= 2).select("h")
-    val per = windows.join(dupHashes, Seq("h"), "left_semi")
+
+  /** Merge a doc's duplicated windows into maximal spans: per doc,
+    * window count + covered tokens (union = L + Σ min(gap, L) over the
+    * sorted position array) + covered fraction.
+    */
+  private[graft] def spanStats(dupWindows: DataFrame, L: Int = SpanLen): DataFrame = {
+    val per = dupWindows
       .groupBy("doc_id", "n_tokens")
       .agg(sort_array(collect_list(col("pos"))).as("ps"),
         count(lit(1)).as("dup_windows"))
@@ -1004,6 +1006,17 @@ object Dedup {
     per.select(col("doc_id"), col("n_tokens"), col("dup_windows"), covered)
       .withColumn("dup_frac",
         round(col("dup_tokens").cast("double") / col("n_tokens"), 4))
+  }
+
+  /** The span pipeline over any (doc_id, text) frame — per doc with
+    * ≥ 1 duplicated L-token window: window count, tokens covered by
+    * the merged duplicated spans, covered fraction.
+    */
+  def substringSpanStats(docs: DataFrame, L: Int = SpanLen): DataFrame = {
+    val windows = windowTable(docs, L)
+    val dupHashes = windows.groupBy("h")
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 2).select("h")
+    spanStats(windows.join(dupHashes, Seq("h"), "left_semi"), L)
   }
 
   /** d_canonical: the KEEP decision after near-dup clustering — per
@@ -1070,8 +1083,114 @@ object Dedup {
     },
   )
 
+  /** Bloom sizing for d_bloom_prefilter: 2^20 bits / 3 hashes. At the
+    * harness corpus (~14k distinct window hashes) the false-positive
+    * rate is ~0.2%; m scales with the stored index's key count at
+    * deploy (it is a pruning knob only — result exactness never
+    * depends on it, see the operator scaladoc).
+    */
+  private val BloomBits = 1 << 20
+  private val BloomWords = BloomBits / 64
+  private val BloomSeeds = Seq(1, 2, 3)
+
+  /** Incremental exact-substring dedup WITHOUT a bloom — the exact
+    * semantics both the oracle and the bloom-pushdown path must
+    * produce: new-batch (doc_id ≥ thr) windows that also occur in the
+    * stored corpus (doc_id < thr), merged into per-doc spans.
+    */
+  private[graft] def incrementalSpanStats(docs: DataFrame, thr: Long,
+                                          L: Int = SpanLen): DataFrame = {
+    val wins = windowTable(docs, L)
+    val corpus = wins.filter(col("doc_id") < thr).select("h").distinct()
+    spanStats(wins.filter(col("doc_id") >= thr).join(corpus, Seq("h"), "left_semi"), L)
+  }
+
+  /** d_bloom_prefilter: incremental exact-substring dedup with a
+    * BROADCAST BLOOM pushdown — the daily-ingestion twin of
+    * d_substring_spans (as d_incremental is of d_ngram_jaccard): which
+    * spans of the NEW batch already exist in the stored corpus index?
+    *
+    * The scale device is the bloom: the corpus window-hash set is
+    * folded into a 2^20-bit filter as ~16k bit-OR'd words (one bounded
+    * aggregate — the collect is ≤ BloomWords rows whatever the corpus
+    * size), shipped to every task as a literal array, and each new
+    * window tests 3 bit probes MAP-SIDE (variable-shift bit tests,
+    * codegen'd). Only bloom-positives reach the confirm semi-join —
+    * at the harness corpus that cuts the join input ~20×; at 100 TB it
+    * is the difference between shuffling the whole day's windows and
+    * shuffling ~(true dups + ε). Exactness never depends on the
+    * filter: blooms have NO false negatives, every positive is
+    * CONFIRMED by the exact semi-join, and the oracle replays the
+    * bloom-free semantics (BloomPrefilterSpec proves the pipeline ≡
+    * incrementalSpanStats and measures the pruning).
+    */
+  val bloomPrefilter = GraftQuery(
+    "d_bloom_prefilter",
+    Some(s"""
+      WITH d AS (SELECT doc_id, ${Text.ToksSql} AS t FROM documents),
+      thr AS (SELECT CAST(floor(0.9 * (MAX(doc_id) + 1)) AS BIGINT) AS v FROM documents),
+      w AS (SELECT doc_id, len(t) AS n_tokens,
+              unnest(list_transform(range(1, greatest(len(t) - ${SpanLen - 1}, 0) + 1),
+                i -> {'pos': i,
+                      'h': ${Text.polySqlPublic(s"array_to_string(t[i:i+${SpanLen - 1}], ' ')")}})) AS pw
+            FROM d),
+      wf AS (SELECT doc_id, n_tokens, pw.pos AS pos, pw.h AS h FROM w),
+      cw AS (SELECT DISTINCT h FROM wf CROSS JOIN thr WHERE doc_id < v),
+      dup AS (SELECT doc_id, n_tokens, pos FROM wf CROSS JOIN thr
+              JOIN cw USING (h) WHERE doc_id >= v),
+      per AS (SELECT doc_id, n_tokens, list_sort(list(pos)) AS ps,
+                COUNT(*) AS dup_windows
+              FROM dup GROUP BY 1, 2),
+      cov AS (SELECT doc_id, n_tokens, dup_windows,
+                CAST($SpanLen + coalesce(list_sum(list_transform(range(2, len(ps) + 1),
+                  j -> least(ps[j] - ps[j-1], $SpanLen))), 0) AS BIGINT) AS dup_tokens
+              FROM per)
+      SELECT doc_id, n_tokens, dup_windows, dup_tokens,
+             ROUND(CAST(dup_tokens AS DOUBLE) / n_tokens, 4) AS dup_frac
+      FROM cov
+      ORDER BY doc_id"""),
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val thr = docs.agg(floor(lit(0.9) * (max("doc_id") + 1)).cast("long")).head().getLong(0)
+      bloomSpanStats(docs, thr).orderBy("doc_id")
+    },
+  )
+
+  /** The bloom-pushdown pipeline (see d_bloom_prefilter): identical
+    * output to incrementalSpanStats, with only bloom-positive windows
+    * reaching the confirm join.
+    */
+  private[graft] def bloomSpanStats(docs: DataFrame, thr: Long,
+                                    L: Int = SpanLen): DataFrame = {
+    val wins = windowTable(docs, L)
+    val corpus = wins.filter(col("doc_id") < thr).select("h").distinct()
+    // fold the corpus hash set into bloom words: ≤ BloomWords rows
+    // collected however large the corpus is
+    val positions = BloomSeeds.map(i => pmod(xxhash64(col("h"), lit(i)), lit(BloomBits.toLong)))
+    val words = corpus
+      .select(explode(array(positions: _*)).as("p"))
+      .select(shiftright(col("p"), 6).cast("int").as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").as("m"))
+      .groupBy("word").agg(expr("bit_or(m)").as("mask"))
+      .collect()
+    val bloom = Array.fill[Long](BloomWords)(0L)
+    words.foreach(r => bloom(r.getInt(0)) = r.getLong(1))
+    // probe each new window map-side: 3 bit tests against the literal
+    val probed = BloomSeeds.zipWithIndex.foldLeft(
+        wins.filter(col("doc_id") >= thr).withColumn("bloom", typedLit(bloom.toSeq))) {
+      case (df, (seed, k)) =>
+        df.withColumn(s"_p$k", pmod(xxhash64(col("h"), lit(seed)), lit(BloomBits.toLong)))
+    }
+    val hit = BloomSeeds.indices.map(k => expr(
+      s"(shiftright(element_at(bloom, CAST(shiftright(_p$k, 6) AS INT) + 1), " +
+        s"CAST(_p$k % 64 AS INT)) & 1) = 1")).reduce(_ && _)
+    val positives = probed.filter(hit)
+      .select(col("doc_id"), col("n_tokens"), col("pos"), col("h"))
+    spanStats(positives.join(corpus, Seq("h"), "left_semi"), L)
+  }
+
   def all: Seq[GraftQuery] =
     Seq(exact, ngramJaccard, minhashLsh, simhash, embedDup, cdcChunks, components,
       dupConsistency, prefixContainment, containment, dedupFunnel, splitLeakage,
-      incrementalDedup, semanticDedup, substringSpans, canonicalPick)
+      incrementalDedup, semanticDedup, substringSpans, canonicalPick, bloomPrefilter)
 }
