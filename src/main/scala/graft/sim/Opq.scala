@@ -220,7 +220,13 @@ object Opq {
         case _ =>
           val resDF = residualFrame(s, d)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          val rot = if (rotate) learnRotation(resDF) else Seq.empty
+          // rotation + codebooks learn on the bounded training sample
+          // (Sim.PqTrainCap, the Faiss convention) — the covariance
+          // pass explodes d(d+1)/2 cells per vector and Lloyd is
+          // O(n·k), so neither may scan the full corpus; the rotation
+          // APPLICATION and coding below stay full passes
+          val trainDF = resDF.filter(col("vec_id") < Sim.PqTrainCap)
+          val rot = if (rotate) learnRotation(trainDF) else Seq.empty
           // the rotated frame MUST be a materialization boundary:
           // without it CollapseProject inlines the d² rotation into
           // every centroid-distance lambda of the Lloyd loops and the
@@ -231,7 +237,8 @@ object Opq {
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           else resDF
           val books = (0 until Sim.PqM).map(j =>
-            Sim.lloyd(rotDF, slice(col("r"), j * Sim.PqSubLen + 1, Sim.PqSubLen),
+            Sim.lloyd(rotDF.filter(col("vec_id") < Sim.PqTrainCap),
+              slice(col("r"), j * Sim.PqSubLen + 1, Sim.PqSubLen),
               k, Sim.PqIters))
           val coded = graft.Caching.releaseAfter(
             rotDF.select(

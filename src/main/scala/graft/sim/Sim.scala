@@ -172,17 +172,26 @@ object Sim {
     * Emits `${p}c0..c$iters` (centroids) and `${p}a1..a${iters+1}`
     * (assignments) — no leading WITH.
     */
-  private[sim] def lloydCtes(k: Int, iters: Int, src: String, p: String): String = {
+  private[sim] def lloydCtes(k: Int, iters: Int, src: String, p: String,
+                             trainCap: Option[Int] = None): String = {
     def d2(v: String, cv: String) = d2Sql(v, cv)
     val sb = new StringBuilder
+    // bounded training sample (see PqTrainCap): iterations 1..iters
+    // train on the capped prefix; the FINAL assignment a{iters+1}
+    // (the coding pass consumers join) always covers the full src
+    val tr = trainCap.map { c =>
+      sb.append(s"${p}tr AS (SELECT * FROM $src WHERE vec_id < $c),\n")
+      s"${p}tr"
+    }.getOrElse(src)
     sb.append(s"${p}c0 AS (SELECT vec_id AS cid, v AS cv FROM $src WHERE vec_id < $k)")
     for (i <- 1 to iters + 1) {
+      val from = if (i <= iters) tr else src
       sb.append(s""",
         ${p}a$i AS (SELECT vec_id, v, cid, d2 FROM (
           SELECT e.vec_id, e.v, c.cid, ${d2("e.v", "c.cv")} AS d2,
                  ROW_NUMBER() OVER (PARTITION BY e.vec_id
                    ORDER BY ${d2("e.v", "c.cv")}, c.cid) AS rn
-          FROM $src e CROSS JOIN ${p}c${i - 1} c) WHERE rn = 1)""")
+          FROM $from e CROSS JOIN ${p}c${i - 1} c) WHERE rn = 1)""")
       if (i <= iters)
         sb.append(s""",
         ${p}c$i AS (SELECT cid, list(mx ORDER BY dim) AS cv FROM (
@@ -478,6 +487,18 @@ object Sim {
   val PqSubLen = 16
   private[sim] val PqK = 256
   private[sim] val PqIters = 2
+  /** Bounded PQ/OPQ training sample — the Faiss convention: codebooks
+    * (and the OPQ covariance) train on a deterministic prefix of the
+    * corpus (vec_id < cap), never the whole thing; only the one-pass
+    * CODING step touches every vector. Lloyd training is O(n·k·iters)
+    * — at k=256 a full-corpus train is 32× the k=8 IVF pass and grows
+    * with the data, while a capped train is CONSTANT however large the
+    * corpus (the 10× stress run exposed exactly this: training
+    * dominated the sf1 suite). The prefix is replayed by the oracle as
+    * a WHERE; at the harness gate scales (≤ 5000 vectors) the cap is a
+    * no-op, so all oracle results are unchanged.
+    */
+  private[sim] val PqTrainCap = 5000
   /** ADC shortlist size before the exact re-rank (s_ivf_adc): ADC
     * ranks are approximate, so the top-k surface is exact cosine over
     * the top-AdcShortlist ADC candidates. 50 bounds the re-rank fetch
@@ -503,6 +524,7 @@ object Sim {
         case Some((sess, books)) if (sess eq s) && !s.sparkContext.isStopped => books
         case _ =>
           val e = vecs(s, d).select(col("vec_id"), col("v"))
+            .filter(col("vec_id") < PqTrainCap) // bounded training sample
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           val books = (0 until PqM).map(j =>
             lloyd(e, slice(col("v"), j * PqSubLen + 1, PqSubLen), PqK, PqIters))
@@ -531,7 +553,7 @@ object Sim {
         val lo = j * 16 + 1
         val hi = (j + 1) * 16
         s"s${j}e AS (SELECT vec_id, v[$lo:$hi] AS v FROM eb),\n" +
-          lloydCtes(PqK, PqIters, s"s${j}e", s"s$j")
+          lloydCtes(PqK, PqIters, s"s${j}e", s"s$j", Some(PqTrainCap))
       }.mkString(",\n")
       val codes = (0 until 4).map(j => s"CAST(s$j.cid AS VARCHAR)").mkString(" || ',' || ")
       val d2sum = (0 until 4).map(j => s"s$j.d2").mkString(" + ")
@@ -582,7 +604,7 @@ object Sim {
         val lo = j * PqSubLen + 1
         val hi = (j + 1) * PqSubLen
         s"s${j}e AS (SELECT vec_id, v[$lo:$hi] AS v FROM eb),\n" +
-          lloydCtes(PqK, PqIters, s"s${j}e", s"s$j")
+          lloydCtes(PqK, PqIters, s"s${j}e", s"s$j", Some(PqTrainCap))
       }.mkString(",\n")
       val joins = (0 until PqM).map { j =>
         val link = if (j == 0) "CROSS JOIN s0a3 x0"
@@ -730,7 +752,7 @@ object Sim {
         val lo = j * PqSubLen + 1
         val hi = (j + 1) * PqSubLen
         s"s${j}e AS (SELECT vec_id, v[$lo:$hi] AS v FROM e),\n" +
-          lloydCtes(PqK, PqIters, s"s${j}e", s"s$j")
+          lloydCtes(PqK, PqIters, s"s${j}e", s"s$j", Some(PqTrainCap))
       }.mkString(",\n")
       val codeCols = (0 until PqM).map(j => s"x$j.cid AS code$j").mkString(", ")
       val codedJoins = (0 until PqM)
@@ -839,6 +861,7 @@ object Sim {
         case _ =>
           val idx = ivfIndex(s, d, k = 8, iters = 3)
           val eRes = idx.assigned
+            .filter(col("vec_id") < PqTrainCap) // bounded training sample
             .select(col("vec_id"),
               residual(col("v"), col("cid"), idx.centroids).as("r"))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -882,7 +905,7 @@ object Sim {
         val lo = j * PqSubLen + 1
         val hi = (j + 1) * PqSubLen
         s"w${j}e AS (SELECT vec_id, v[$lo:$hi] AS v FROM res),\n" +
-          lloydCtes(PqK, PqIters, s"w${j}e", s"w$j")
+          lloydCtes(PqK, PqIters, s"w${j}e", s"w$j", Some(PqTrainCap))
       }.mkString(",\n")
       val codeCols = (0 until PqM).map(j => s"x$j.cid AS rcode$j").mkString(", ")
       val codedJoins = (0 until PqM)
