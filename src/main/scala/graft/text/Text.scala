@@ -1086,8 +1086,131 @@ object Text {
     },
   )
 
+  // ---- t_ngram_lm -------------------------------------------------------
+
+  /** The t_split / t_dsir 10% doc_id-hash target slice — the "high
+    * quality domain" every trained selection operator shares.
+    */
+  private[graft] def lmIsTarget: Column =
+    polyHash(col("doc_id").cast("string")) % 100 < 10
+
+  /** Adjacent-token bigram pairs per doc (map-side; docs with < 2
+    * tokens contribute nothing).
+    */
+  private[graft] def lmBigrams(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), toks(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("t")) - 1),
+          i => struct(element_at(col("t"), i).as("w1"),
+            element_at(col("t"), i + 1).as("w2")))).as("p"))
+      .select(col("doc_id"), col("p.w1"), col("p.w2"))
+
+  /** The trained bigram LM: (pair counts c2, context counts c1, vocab
+    * frame v) over the target slice. c1 = Σ_w2 c2 exactly, so the
+    * add-1 conditionals sum to 1 over vocab+unk; V counts distinct
+    * target unigrams + 1 unk slot. All three are aggregate artifacts
+    * of the 10% slice — model-sized, not corpus-sized.
+    */
+  private[graft] def lmModel(docs: DataFrame,
+      isTarget: Column = lmIsTarget): (DataFrame, DataFrame, DataFrame) = {
+    val tgt = docs.filter(isTarget)
+    val pair = lmBigrams(tgt).groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val ctx = pair.groupBy("w1").agg(sum("c2").as("c1"))
+    val vocab = tgt.select(explode(toks(col("text"))).as("tok"))
+      .agg((countDistinct("tok") + 1).as("v"))
+    (pair, ctx, vocab)
+  }
+
+  /** Score any (doc_id, text) frame against a trained model: per-doc
+    * mean negative log-likelihood under the smoothed bigram LM
+    * (map-side bigrams ⋈ model, decimal-exact sum). The serving half.
+    */
+  private[graft] def lmScore(docs: DataFrame, pair: DataFrame, ctx: DataFrame,
+      vocab: DataFrame): DataFrame =
+    lmBigrams(docs)
+      .join(pair, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        round(log((coalesce(col("c2"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("c1"), lit(0L)) + col("v"))), 6).as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round((-sum(col("lp").cast("decimal(12,6)"))).cast("double") /
+          count(lit(1)), 4).as("avg_nll"))
+
+  /** t_ngram_lm: LM-perplexity quality filtering (the CCNet shape,
+    * Wenzek et al. 2020, arXiv:1911.00359): train a smoothed n-gram
+    * language model on the high-quality target slice, score every
+    * document by its per-token negative log-likelihood, and cut the
+    * corpus into head/middle/tail tertiles — the standard
+    * "keep the head, drop the tail" crawl-filtering pass of an LLM
+    * data pipeline. Deterministic analogue of CCNet's KenLM 5-gram:
+    * an add-1-smoothed bigram model (exact integer counts, so the
+    * oracle replays training as plain aggregates), unseen contexts
+    * fall back to the uniform 1/V floor.
+    *
+    * Scale shape: training is two groupBys over the 10% slice's
+    * bigrams (model-sized artifacts); scoring is corpus bigrams
+    * left-joined to the pair/context tables — shuffle joins on token
+    * keys (the model is vocabulary-sized, too big to assume
+    * broadcastable at 100 TB; stop-word context skew is AQE skew-join
+    * territory) — then one per-doc aggregate. The tertile cut windows
+    * over ONE ROW PER DOC (not corpus tokens); at petabyte doc counts
+    * the escape hatch is an approx-quantile cutpoint broadcast, but
+    * the exact engine-native sort is the hash-checkable form.
+    * Rounding: ln → 6 decimals (the t_tfidf log-portability
+    * convention), decimal-exact sums, final mean → 4.
+    */
+  val ngramLm = GraftQuery(
+    "t_ngram_lm",
+    Some(s"""
+      WITH d AS (SELECT doc_id, $ToksSql AS t FROM documents),
+      dd AS (SELECT doc_id, t FROM d WHERE len(t) >= 2),
+      bg AS (SELECT doc_id,
+               unnest(list_transform(range(1, len(t)),
+                 __bi -> {'w1': t[__bi], 'w2': t[__bi + 1]})) AS p
+             FROM dd),
+      b2 AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bg),
+      tgt AS (SELECT doc_id FROM documents
+              WHERE ${polySqlPublic("CAST(doc_id AS VARCHAR)")} % 100 < 10),
+      tb AS (SELECT w1, w2, COUNT(*) AS c2
+             FROM b2 JOIN tgt USING (doc_id) GROUP BY 1, 2),
+      cx AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM tb GROUP BY 1),
+      vv AS (SELECT COUNT(DISTINCT tok) + 1 AS v
+             FROM (SELECT unnest(t) AS tok FROM d JOIN tgt USING (doc_id))),
+      sc AS (SELECT b.doc_id,
+               ROUND(ln(CAST(COALESCE(tb.c2, 0) + 1 AS DOUBLE)
+                 / (COALESCE(cx.c1, 0) + vv.v)), 6) AS lp
+             FROM b2 b LEFT JOIN tb USING (w1, w2) LEFT JOIN cx USING (w1)
+             CROSS JOIN vv),
+      ag AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+               ROUND(-CAST(SUM(CAST(lp AS DECIMAL(12,6))) AS DOUBLE) / COUNT(*), 4)
+                 AS avg_nll
+             FROM sc GROUP BY doc_id),
+      bk AS (SELECT doc_id, n_bigrams, avg_nll,
+               NTILE(3) OVER (ORDER BY avg_nll, doc_id) AS tert
+             FROM ag)
+      SELECT doc_id, n_bigrams, avg_nll,
+             CASE tert WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+               AS bucket
+      FROM bk ORDER BY doc_id"""),
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val (pair, ctx, vocab) = lmModel(docs)
+      val w = Window.orderBy(col("avg_nll"), col("doc_id"))
+      lmScore(docs, pair, ctx, vocab)
+        .withColumn("tert", ntile(3).over(w))
+        .select(col("doc_id"), col("n_bigrams"), col("avg_nll"),
+          when(col("tert") === 1, "head").when(col("tert") === 2, "middle")
+            .otherwise("tail").as("bucket"))
+        .orderBy("doc_id")
+    },
+  )
+
   def all: Seq[GraftQuery] =
     Seq(tokenStats, qualityScore, langid, fingerprint, bigramFreq, repNgrams, tfidf,
       bpeTokens, bpeMerges, split80, vocab, piiScrub, contamination, sentences, packing,
-      corpusFilter, mixture, dsir, qualityProbe)
+      corpusFilter, mixture, dsir, qualityProbe, ngramLm)
 }
