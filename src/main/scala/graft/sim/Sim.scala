@@ -154,7 +154,7 @@ object Sim {
   /** Oracle-side squared euclidean distance |v−cv|² (clamped at 0 —
     * same ulp-cancellation guard as the engine's dist2).
     */
-  private def d2Sql(v: String, cv: String): String =
+  private[sim] def d2Sql(v: String, cv: String): String =
     s"greatest(${dotSql(v, v)} + ${dotSql(cv, cv)} - 2 * ${dotSql(v, cv)}, 0.0)"
 
   /** Oracle replay of buildIvf(k, iters): the Lloyd loop UNROLLED as
@@ -1055,5 +1055,6 @@ object Sim {
 
   def all: Seq[GraftQuery] =
     Seq(bruteTopk, lshAnn, labelCohesion, centroidIvf, ivfSearch, sq8Quantize,
-      pqQuantize, pqAdc, ivfAdc, ivfAdcResidual, Opq.opqAdc, recallEval)
+      pqQuantize, pqAdc, ivfAdc, ivfAdcResidual, Opq.opqAdc, recallEval,
+      Kcenter.kcenterCoreset)
 }
