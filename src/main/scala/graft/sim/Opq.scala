@@ -225,7 +225,10 @@ object Opq {
           // pass explodes d(d+1)/2 cells per vector and Lloyd is
           // O(n·k), so neither may scan the full corpus; the rotation
           // APPLICATION and coding below stay full passes
-          val trainDF = resDF.filter(col("vec_id") < Sim.PqTrainCap)
+          // spread: the sample sits in 1-2 scan partitions otherwise,
+          // running the covariance + Lloyd passes nearly serially
+          val trainDF = Sim.spread(resDF.filter(col("vec_id") < Sim.PqTrainCap))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           val rot = if (rotate) learnRotation(trainDF) else Seq.empty
           // the rotated frame MUST be a materialization boundary:
           // without it CollapseProject inlines the d² rotation into
@@ -236,10 +239,14 @@ object Opq {
             resDF.select(col("vec_id"), col("cid"), rotateExpr(rot, col("r")).as("r"))
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           else resDF
+          val rotTrain = Sim.spread(rotDF.filter(col("vec_id") < Sim.PqTrainCap))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           val books = (0 until Sim.PqM).map(j =>
-            Sim.lloyd(rotDF.filter(col("vec_id") < Sim.PqTrainCap),
+            Sim.lloyd(rotTrain,
               slice(col("r"), j * Sim.PqSubLen + 1, Sim.PqSubLen),
               k, Sim.PqIters))
+          rotTrain.unpersist(blocking = false)
+          trainDF.unpersist(blocking = false)
           val coded = graft.Caching.releaseAfter(
             rotDF.select(
               Seq(col("vec_id").as("neighbor_id"), col("cid")) ++

@@ -232,12 +232,18 @@ object Sim {
   private[sim] def distStructs(v: Column, cents: Seq[(Long, Seq[Double])]): Column = {
     val cvs = typedLit(cents.map(_._2))
     val cids = typedLit(cents.map(_._1))
+    // per-centroid squared norms are constants: fold them driver-side
+    // (same left-assoc 0.0 + x·x sequence as the oracle's list_reduce,
+    // so the d2 doubles are unchanged) and ship a k-element literal —
+    // recomputing dot(cv,cv) per ROW×CENTROID was a third of the k=256
+    // Lloyd flops for a value that never varies
+    val cn2 = typedLit(cents.map(_._2.foldLeft(0.0)((a, x) => a + x * x)))
     // field names are assigned by the cast: aliases inside a lambda
     // body are stripped by the analyzer
     transform(sequence(lit(1), lit(cents.size)), i => {
       val cv = element_at(cvs, i)
       struct(
-        greatest(dotProduct(v, v) + dotProduct(cv, cv) - lit(2.0) * dotProduct(v, cv),
+        greatest(dotProduct(v, v) + element_at(cn2, i) - lit(2.0) * dotProduct(v, cv),
           lit(0.0)),
         element_at(cids, i))
     }).cast("array<struct<d2:double,cid:bigint>>")
@@ -499,6 +505,16 @@ object Sim {
     * no-op, so all oracle results are unchanged.
     */
   private[sim] val PqTrainCap = 5000
+
+  /** Spread a bounded training sample across the full parallelism of
+    * the session: the capped sample comes out of a parquet scan as a
+    * handful of partitions (often 1-2), which would run the k=256
+    * Lloyd passes nearly serially — on a cluster, on a handful of
+    * executors. One tiny shuffle of ≤ PqTrainCap rows buys every
+    * training pass full-width execution.
+    */
+  private[sim] def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
   /** ADC shortlist size before the exact re-rank (s_ivf_adc): ADC
     * ranks are approximate, so the top-k surface is exact cosine over
     * the top-AdcShortlist ADC candidates. 50 bounds the re-rank fetch
@@ -523,8 +539,8 @@ object Sim {
       pqMemo.get(d) match {
         case Some((sess, books)) if (sess eq s) && !s.sparkContext.isStopped => books
         case _ =>
-          val e = vecs(s, d).select(col("vec_id"), col("v"))
-            .filter(col("vec_id") < PqTrainCap) // bounded training sample
+          val e = spread(vecs(s, d).select(col("vec_id"), col("v"))
+            .filter(col("vec_id") < PqTrainCap)) // bounded training sample
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           val books = (0 until PqM).map(j =>
             lloyd(e, slice(col("v"), j * PqSubLen + 1, PqSubLen), PqK, PqIters))
@@ -860,10 +876,10 @@ object Sim {
         case Some((sess, art)) if (sess eq s) && !s.sparkContext.isStopped => art
         case _ =>
           val idx = ivfIndex(s, d, k = 8, iters = 3)
-          val eRes = idx.assigned
+          val eRes = spread(idx.assigned
             .filter(col("vec_id") < PqTrainCap) // bounded training sample
             .select(col("vec_id"),
-              residual(col("v"), col("cid"), idx.centroids).as("r"))
+              residual(col("v"), col("cid"), idx.centroids).as("r")))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           val books = (0 until PqM).map(j =>
             lloyd(eRes, slice(col("r"), j * PqSubLen + 1, PqSubLen), PqK, PqIters))

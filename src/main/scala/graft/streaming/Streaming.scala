@@ -764,11 +764,54 @@ object Streaming {
     },
   )
 
+  /** st_ngram_lm: LM-perplexity filtering as a SERVING pipeline — the
+    * bigram model (pair/context count tables + vocab scalar) trains
+    * offline on the batch corpus and is published, then unbounded doc
+    * batches stream in and are scored per micro-batch against the
+    * static model (the st_dsir shape: static artifact × streaming
+    * docs). Scored docs land in per-batch overwrite directories
+    * (exactly-once); the head/middle/tail tertile cut evaluates at
+    * read time over everything scored so far — accumulate/evaluate
+    * split, since a global rank is not a streaming aggregate. In the
+    * single-micro-batch harness the result is exactly t_ngram_lm,
+    * whose oracle applies verbatim.
+    */
+  val streamNgramLm = GraftQuery(
+    "st_ngram_lm",
+    graft.text.Text.ngramLm.oracle,
+    (s, d) => {
+      import graft.text.Text
+      val (pair0, ctx0, vocab0) = Text.lmModel(graft.sources.Tables.documents(s, d))
+      // train once; micro-batches must not re-derive the model
+      val pair = pair0.localCheckpoint(eager = true)
+      val ctx = ctx0.localCheckpoint(eager = true)
+      val vocab = vocab0.localCheckpoint(eager = true)
+      val outDir = Files.createTempDirectory("graft_lm_out").toString
+      val ckpt = Files.createTempDirectory("graft_ckpt").toString
+      val sch = s.read.parquet(s"$d/documents.parquet").schema
+      val docs = s.readStream.schema(sch)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+      val q = docs.writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          Text.lmScore(b, pair, ctx, vocab)
+            .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      val scored = s.read.option("basePath", outDir).parquet(outDir)
+        .select("doc_id", "n_bigrams", "avg_nll")
+      Seq(pair, ctx, vocab).foreach(_.unpersist(blocking = false))
+      Text.lmTertiles(scored)
+    },
+  )
+
   def all: Seq[GraftQuery] =
     Seq(pipeline, statefulRate, sinkFanout, streamDedup, streamJoin, streamEnrich,
       streamHopping, streamAlerts, streamSessions, streamLatest,
       streamHistogramQuantile, streamCusum, streamEwma, streamAnn, streamMixture,
-      streamDsir)
+      streamDsir, streamNgramLm)
 }
 
 // Encoder-visible row types for the stateful stream (must not be

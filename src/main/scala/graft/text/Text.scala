@@ -341,6 +341,35 @@ object Text {
     */
   private val BpeMergeRounds = 50
 
+  /** The oracle's training replay, shared by t_bpe_merges (ships the
+    * merge table from b1..bR) and t_bpe_encode (encodes from the
+    * final vocab state vR): w0/v0 seed + per round (pair count pR,
+    * argmax bR, rewrite vR). MATERIALIZED because each v{r} is
+    * referenced twice per round — DuckDB's default inlining would
+    * re-expand the chain exponentially.
+    */
+  private lazy val bpeTrainCtes: String = (Seq(
+    """w0 AS MATERIALIZED (SELECT piece, COUNT(*) AS freq FROM (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS piece
+      FROM documents) GROUP BY piece)""",
+    """v0 AS MATERIALIZED (SELECT ' ' || array_to_string(
+        list_transform(range(1, length(piece) + 1), __ci -> piece[__ci]), '  ') || ' ' AS repr,
+        freq FROM w0)""") ++
+    (1 to BpeMergeRounds).flatMap { r =>
+      Seq(
+        s"""p$r AS (SELECT sym[__bi] AS lft, sym[__bi + 1] AS rgt,
+            CAST(SUM(freq) AS BIGINT) AS cnt
+          FROM (SELECT sym, freq, unnest(range(1, len(sym))) AS __bi
+                FROM (SELECT str_split(trim(repr), '  ') AS sym, freq FROM v${r - 1}))
+          GROUP BY 1, 2)""",
+        s"""b$r AS MATERIALIZED (SELECT lft, rgt, cnt FROM p$r
+          ORDER BY cnt DESC, lft, rgt LIMIT 1)""",
+        s"""v$r AS MATERIALIZED (SELECT
+            replace(repr, ' ' || lft || '  ' || rgt || ' ', ' ' || lft || rgt || ' ') AS repr,
+            freq
+          FROM v${r - 1} CROSS JOIN b$r)""")
+    }).mkString(",\n")
+
   /** t_bpe_merges: corpus-level BPE merge TRAINING — the actual
     * tokenizer-build step of an LLM data pipeline (t_bpe_tokens above
     * only pre-tokenizes). Classic algorithm, Spark-shaped:
@@ -372,34 +401,73 @@ object Text {
   val bpeMerges = GraftQuery(
     "t_bpe_merges",
     Some {
-      val ctes = Seq(
-        """w0 AS MATERIALIZED (SELECT piece, COUNT(*) AS freq FROM (
-          SELECT unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS piece
-          FROM documents) GROUP BY piece)""",
-        """v0 AS MATERIALIZED (SELECT ' ' || array_to_string(
-            list_transform(range(1, length(piece) + 1), __ci -> piece[__ci]), '  ') || ' ' AS repr,
-            freq FROM w0)""") ++
-        (1 to BpeMergeRounds).flatMap { r =>
-          Seq(
-            s"""p$r AS (SELECT sym[__bi] AS lft, sym[__bi + 1] AS rgt,
-                CAST(SUM(freq) AS BIGINT) AS cnt
-              FROM (SELECT sym, freq, unnest(range(1, len(sym))) AS __bi
-                    FROM (SELECT str_split(trim(repr), '  ') AS sym, freq FROM v${r - 1}))
-              GROUP BY 1, 2)""",
-            s"""b$r AS MATERIALIZED (SELECT lft, rgt, cnt FROM p$r
-              ORDER BY cnt DESC, lft, rgt LIMIT 1)""",
-            s"""v$r AS MATERIALIZED (SELECT
-                replace(repr, ' ' || lft || '  ' || rgt || ' ', ' ' || lft || rgt || ' ') AS repr,
-                freq
-              FROM v${r - 1} CROSS JOIN b$r)""")
-        }
       val union = (1 to BpeMergeRounds)
         .map(r => s"SELECT $r AS rank, lft, rgt, lft || rgt AS merged, cnt AS pair_count FROM b$r")
         .mkString("\nUNION ALL ")
-      "WITH " + ctes.mkString(",\n") + "\nSELECT * FROM (" + union + ") ORDER BY rank"
+      "WITH " + bpeTrainCtes + "\nSELECT * FROM (" + union + ") ORDER BY rank"
     },
-    (s, d) => bpeTrain(s, Tables.documents(s, d), BpeMergeRounds),
+    (s, d) => {
+      import s.implicits._
+      bpeTrained(s, d, BpeMergeRounds)._1.toDF("rank", "lft", "rgt", "pair_count")
+        .select(col("rank"), col("lft"), col("rgt"),
+          concat(col("lft"), col("rgt")).as("merged"), col("pair_count"))
+        .orderBy("rank")
+    },
   )
+
+  /** t_bpe_encode: ENCODE the corpus with the trained tokenizer — the
+    * apply half of the t_bpe_merges train/apply loop (the token-count
+    * pass that prices a pretraining run). The trick that keeps it
+    * corpus-size-independent: merges never touch documents — the
+    * trained vocabulary (every distinct pre-token piece, already in
+    * its post-50-merge symbol form from training) IS the encoder
+    * table, `piece → n_sym` recovered by stripping the symbol
+    * separators. The only corpus-sized work is the pre-token explode
+    * and one join of corpus pieces to the vocab-sized encoder
+    * (shuffle on piece; common-word skew is AQE skew-join territory)
+    * + a per-doc aggregate. Oracle: replays the training chain (same
+    * generated CTEs as t_bpe_merges) and encodes from v50 directly.
+    */
+  val bpeEncode = GraftQuery(
+    "t_bpe_encode",
+    Some {
+      // identical training replay to t_bpe_merges (bpeTrainCtes),
+      // then the encoder table from the final vocab state
+      val encode = s"""
+        enc AS (SELECT replace(repr, ' ', '') AS piece,
+                  len(str_split(trim(repr), '  ')) AS n_sym
+                FROM v$BpeMergeRounds),
+        dp AS (SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS piece
+               FROM documents)
+        SELECT doc_id, COUNT(*) AS n_pieces,
+               CAST(SUM(n_sym) AS BIGINT) AS n_tokens,
+               ROUND(CAST(SUM(n_sym) AS DOUBLE) / COUNT(*), 4) AS tokens_per_piece
+        FROM dp JOIN enc USING (piece)
+        GROUP BY doc_id ORDER BY doc_id"""
+      "WITH " + bpeTrainCtes + ",\n" + encode
+    },
+    (s, d) => bpeEncodeDocs(Tables.documents(s, d), bpeTrained(s, d, BpeMergeRounds)._2),
+  )
+
+  /** Encode any (doc_id, text) frame with a trained final-vocab frame
+    * (repr, freq): per-doc pre-token count, post-merge token count,
+    * and tokens-per-piece ratio.
+    */
+  private[graft] def bpeEncodeDocs(docs: DataFrame, vocabFinal: DataFrame): DataFrame = {
+    val enc = vocabFinal.select(
+      translate(col("repr"), " ", "").as("piece"),
+      size(split(trim(col("repr")), "  ")).as("n_sym"))
+    val pieces = expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)")
+    docs
+      .select(col("doc_id"), explode(pieces).as("piece"))
+      .join(enc, Seq("piece"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pieces"),
+        sum("n_sym").as("n_tokens"),
+        round(sum("n_sym").cast("double") / count(lit(1)), 4).as("tokens_per_piece"))
+      .orderBy("doc_id")
+  }
 
   /** The merge-training loop over any (doc_id, text) frame. Driver
     * state per round is ONE argmax row (and the final merge table,
@@ -408,6 +476,36 @@ object Text {
   private[graft] def bpeTrain(s: org.apache.spark.sql.SparkSession, docs: DataFrame,
                               rounds: Int): DataFrame = {
     import s.implicits._
+    bpeTrainState(s, docs, rounds)._1.toDF("rank", "lft", "rgt", "pair_count")
+      .select(col("rank"), col("lft"), col("rgt"),
+        concat(col("lft"), col("rgt")).as("merged"), col("pair_count"))
+      .orderBy("rank")
+  }
+
+  /** Training + the post-merge vocabulary, memoized per data dir —
+    * t_bpe_merges ships the merge table, t_bpe_encode applies the
+    * final vocab; both run in one harness session and the train must
+    * not repeat. The vocab frame is checkpointed (releaseAfter), so
+    * the memo survives consumer lifecycles until Caching.releaseAll.
+    */
+  private val bpeMemo = scala.collection.mutable.Map[
+    String, (org.apache.spark.sql.SparkSession, (Seq[(Int, String, String, Long)], DataFrame))]()
+  graft.Caching.onReleaseAll(() => bpeMemo.synchronized(bpeMemo.clear()))
+
+  private[graft] def bpeTrained(s: org.apache.spark.sql.SparkSession,
+      d: String, rounds: Int): (Seq[(Int, String, String, Long)], DataFrame) =
+    bpeMemo.synchronized {
+      bpeMemo.get(d) match {
+        case Some((sess, st)) if (sess eq s) && !s.sparkContext.isStopped => st
+        case _ =>
+          val st = bpeTrainState(s, Tables.documents(s, d), rounds)
+          bpeMemo(d) = (s, st)
+          st
+      }
+    }
+
+  private[graft] def bpeTrainState(s: org.apache.spark.sql.SparkSession, docs: DataFrame,
+                            rounds: Int): (Seq[(Int, String, String, Long)], DataFrame) = {
     val pieces = expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)")
     // the one corpus-sized pass: pre-token pieces → (piece, freq)
     var vocab = graft.Caching.releaseAfter(
@@ -450,10 +548,7 @@ object Text {
         if (r % 5 == 0) vocab = graft.Caching.releaseAfter(vocab)
       }
     }
-    merges.toSeq.toDF("rank", "lft", "rgt", "pair_count")
-      .select(col("rank"), col("lft"), col("rgt"),
-        concat(col("lft"), col("rgt")).as("merged"), col("pair_count"))
-      .orderBy("rank")
+    (merges.toSeq, graft.Caching.releaseAfter(vocab))
   }
 
   /** t_split: deterministic stratified train/val/test split — the
@@ -1140,6 +1235,19 @@ object Text {
         round((-sum(col("lp").cast("decimal(12,6)"))).cast("double") /
           count(lit(1)), 4).as("avg_nll"))
 
+  /** Head/middle/tail tertile cut over a scored (doc_id, n_bigrams,
+    * avg_nll) frame — one row per doc, engine-native distributed sort.
+    */
+  private[graft] def lmTertiles(scored: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("avg_nll"), col("doc_id"))
+    scored
+      .withColumn("tert", ntile(3).over(w))
+      .select(col("doc_id"), col("n_bigrams"), col("avg_nll"),
+        when(col("tert") === 1, "head").when(col("tert") === 2, "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy("doc_id")
+  }
+
   /** t_ngram_lm: LM-perplexity quality filtering (the CCNet shape,
     * Wenzek et al. 2020, arXiv:1911.00359): train a smoothed n-gram
     * language model on the high-quality target slice, score every
@@ -1199,18 +1307,12 @@ object Text {
     (s, d) => {
       val docs = Tables.documents(s, d)
       val (pair, ctx, vocab) = lmModel(docs)
-      val w = Window.orderBy(col("avg_nll"), col("doc_id"))
-      lmScore(docs, pair, ctx, vocab)
-        .withColumn("tert", ntile(3).over(w))
-        .select(col("doc_id"), col("n_bigrams"), col("avg_nll"),
-          when(col("tert") === 1, "head").when(col("tert") === 2, "middle")
-            .otherwise("tail").as("bucket"))
-        .orderBy("doc_id")
+      lmTertiles(lmScore(docs, pair, ctx, vocab))
     },
   )
 
   def all: Seq[GraftQuery] =
     Seq(tokenStats, qualityScore, langid, fingerprint, bigramFreq, repNgrams, tfidf,
-      bpeTokens, bpeMerges, split80, vocab, piiScrub, contamination, sentences, packing,
-      corpusFilter, mixture, dsir, qualityProbe, ngramLm)
+      bpeTokens, bpeMerges, bpeEncode, split80, vocab, piiScrub, contamination,
+      sentences, packing, corpusFilter, mixture, dsir, qualityProbe, ngramLm)
 }

@@ -38,6 +38,33 @@ class BpeMergeSpec extends SparkSpec {
     assert(got.map(m => (m._1, m._2, m._3)) === Seq((1, "a", "b"), (2, "c", "d")))
   }
 
+  test("encode: hand-checkable token counts after merges") {
+    import spark.implicits._
+    // corpus: 'aaaa aaaa ab' — after the 3 learned merges, vocab is
+    // aaaa → [aaaa] (1 symbol), ab → [ab] (1 symbol).
+    // doc 0 = 'aaaa aaaa ab': 3 pieces, 3 tokens.
+    // doc 1 = 'aaaa b': 'aaaa' → 1 token; 'b' alone is its own piece
+    //   — but 'b' never appeared as a standalone piece in TRAINING,
+    //   so encode with the train corpus's own docs only (the
+    //   registered op encodes the corpus it trained on).
+    val docs = Seq((0L, "aaaa aaaa ab")).toDF("doc_id", "text")
+    val (_, vocabF) = graft.text.Text.bpeTrainState(spark, docs, 5)
+    val out = graft.text.Text.bpeEncodeDocs(docs, vocabF).collect()
+    assert(out.length === 1)
+    assert(out(0).getLong(1) === 3L) // n_pieces
+    assert(out(0).getLong(2) === 3L) // n_tokens: aaaa, aaaa, ab fully merged
+    assert(out(0).getDouble(3) === 1.0)
+  }
+
+  test("encode: zero merges means one token per character") {
+    import spark.implicits._
+    val docs = Seq((0L, "abc de")).toDF("doc_id", "text")
+    val (_, vocabF) = graft.text.Text.bpeTrainState(spark, docs, 0)
+    val out = graft.text.Text.bpeEncodeDocs(docs, vocabF).collect()
+    assert(out(0).getLong(1) === 2L) // pieces: abc, de
+    assert(out(0).getLong(2) === 5L) // tokens = characters
+  }
+
   test("registered query trains the full 50 merges on the documents table") {
     val out = graft.text.Text.bpeMerges.run(spark, sfDir).collect()
     assert(out.length === 50)

@@ -40,6 +40,12 @@ class StreamingParitySpec extends SparkSpec {
     assert(rows(streamed) === rows(batch))
   }
 
+  test("st_ngram_lm == t_ngram_lm batch LM-perplexity cut") {
+    val streamed = graft.streaming.Streaming.streamNgramLm.run(spark, sfDir)
+    val batch = graft.text.Text.ngramLm.run(spark, sfDir)
+    assert(rows(streamed) === rows(batch))
+  }
+
   test("st_stateful_rate == m3 batch lag-rate (nulls dropped)") {
     import org.apache.spark.sql.functions._
     val streamed = graft.streaming.Streaming.statefulRate.run(spark, sfDir)
