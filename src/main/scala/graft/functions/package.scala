@@ -50,6 +50,17 @@ package object gfunctions {
       Shim.expression(a.cast("array<double>")), Shim.expression(b.cast("array<double>"))))
   }
 
+  /** Nearest centroid of `v` against a constant codebook as
+    * struct(d2, cid) — ≡ array_min over the per-centroid distance
+    * structs (see ArgminCentroid for the bit-exactness contract).
+    */
+  def argminCentroid(v: Column, cents: Seq[(Long, Seq[Double])]): Column = {
+    import org.apache.spark.sql.graftshim.Shim
+    Shim.column(graft.functions.ArgminCentroid(
+      Shim.expression(v.cast("array<double>")),
+      cents.map(_._1).toArray, cents.map(_._2.toArray).toArray))
+  }
+
   /** Null-safe division: NULL when the divisor is 0, matching DuckDB
     * (and pre-ANSI Spark). Spark 4 runs ANSI mode by default, where a
     * plain `/` THROWS on a zero divisor — any division by a

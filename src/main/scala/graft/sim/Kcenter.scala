@@ -45,7 +45,7 @@ object Kcenter {
     for (r <- 2 to k) {
       val far = e
         .select(col("vec_id"), col("v"),
-          array_min(Sim.distStructs(col("v"), sel)).getField("d2").as("dmin"))
+          graft.gfunctions.argminCentroid(col("v"), sel).getField("d2").as("dmin"))
         .orderBy(col("dmin").desc, col("vec_id"))
         .head()
       sel = sel :+ (far.getLong(0), far.getSeq[Double](1))

@@ -252,7 +252,7 @@ object Opq {
               Seq(col("vec_id").as("neighbor_id"), col("cid")) ++
                 (0 until Sim.PqM).map { j =>
                   val rsub = slice(col("r"), j * Sim.PqSubLen + 1, Sim.PqSubLen)
-                  array_min(Sim.distStructs(rsub, books(j))).getField("cid").as(s"rcode$j")
+                  argminCentroid(rsub, books(j)).getField("cid").as(s"rcode$j")
                 }: _*),
             (if (rotate) Seq(rotDF, resDF) else Seq(resDF)): _*)
           val art = OpqIndex(rot, books, coded)

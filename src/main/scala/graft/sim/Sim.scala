@@ -257,7 +257,7 @@ object Sim {
     */
   private[sim] def assignTo(e: DataFrame, cents: Seq[(Long, Seq[Double])]): DataFrame =
     e.select(col("vec_id"), col("v"),
-        array_min(distStructs(col("v"), cents)).as("_best"))
+        argminCentroid(col("v"), cents).as("_best"))
       .select(col("vec_id"), col("v"),
         col("_best.cid").as("cid"), col("_best.d2").as("d2"))
 
@@ -287,7 +287,7 @@ object Sim {
       .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
     for (_ <- 1 to iters) {
       val rows = e
-        .select(array_min(distStructs(vExpr, cents)).getField("cid").as("cid"),
+        .select(argminCentroid(vExpr, cents).getField("cid").as("cid"),
           posexplode(vExpr).as(Seq("dim", "x")))
         .groupBy("cid", "dim")
         .agg((sum(col("x").cast(org.apache.spark.sql.types.DecimalType(28, 14)))
@@ -585,7 +585,7 @@ object Sim {
     (s, d) => {
       val books = pqBooks(s, d)
       val bests = (0 until PqM).map(j =>
-        array_min(distStructs(slice(col("v"), j * PqSubLen + 1, PqSubLen), books(j)))
+        argminCentroid(slice(col("v"), j * PqSubLen + 1, PqSubLen), books(j))
           .as(s"_b$j"))
       vecs(s, d).select(col("vec_id") +: bests: _*)
         .select(col("vec_id"),
@@ -662,7 +662,7 @@ object Sim {
             val c = graft.Caching.releaseAfter(
               e.select(col("vec_id").as("neighbor_id") +:
                 (0 until PqM).map(j =>
-                  array_min(distStructs(sub(col("v"), j), books(j)))
+                  argminCentroid(sub(col("v"), j), books(j))
                     .getField("cid").as(s"code$j")): _*))
             pqCodedMemo(d) = (s, c)
             c
@@ -730,7 +730,7 @@ object Sim {
             idx.assigned.select(
               Seq(col("vec_id").as("neighbor_id"), col("cid")) ++
                 (0 until PqM).map(j =>
-                  array_min(distStructs(sub(col("v"), j), books(j)))
+                  argminCentroid(sub(col("v"), j), books(j))
                     .getField("cid").as(s"code$j")): _*))
           ivfCodedMemo(d) = (s, c)
           c
@@ -889,7 +889,7 @@ object Sim {
                 (0 until PqM).map { j =>
                   val rsub = slice(residual(col("v"), col("cid"), idx.centroids),
                     j * PqSubLen + 1, PqSubLen)
-                  array_min(distStructs(rsub, books(j))).getField("cid").as(s"rcode$j")
+                  argminCentroid(rsub, books(j)).getField("cid").as(s"rcode$j")
                 }: _*),
             eRes)
           ivfResMemo(d) = (s, (books, coded))
