@@ -1162,8 +1162,14 @@ object Dedup {
     */
   private[graft] def bloomSpanStats(docs: DataFrame, thr: Long,
                                     L: Int = SpanLen): DataFrame = {
+    // the window table feeds three consumers (bloom fold, confirm-join
+    // corpus side, increment probe) and the distinct corpus index two
+    // — materialize each once instead of re-tokenizing the corpus per
+    // consumer (at deploy these ARE the stored index artifacts)
     val wins = windowTable(docs, L)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val corpus = wins.filter(col("doc_id") < thr).select("h").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // fold the corpus hash set into bloom words: ≤ BloomWords rows
     // collected however large the corpus is
     val positions = BloomSeeds.map(i => pmod(xxhash64(col("h"), lit(i)), lit(BloomBits.toLong)))
@@ -1186,7 +1192,8 @@ object Dedup {
         s"CAST(_p$k % 64 AS INT)) & 1) = 1")).reduce(_ && _)
     val positives = probed.filter(hit)
       .select(col("doc_id"), col("n_tokens"), col("pos"), col("h"))
-    spanStats(positives.join(corpus, Seq("h"), "left_semi"), L)
+    graft.Caching.releaseAfter(
+      spanStats(positives.join(corpus, Seq("h"), "left_semi"), L), wins, corpus)
   }
 
   def all: Seq[GraftQuery] =

@@ -25,14 +25,30 @@ object Streaming {
 
   private val runSeq = new AtomicInteger(0)
 
+  /** `<table>.parquet` as a micro-batched stream, for BOTH table
+    * layouts: the driver's testdata is one parquet FILE per table
+    * (stream the parent dir filtered to that file name — a glob filter
+    * on the dir, since the file source wants a listing root), while
+    * Spark-written data (e.g. the stress generator's) is a DIRECTORY
+    * per table (point the source at it directly). The pathGlobFilter
+    * form silently matches ZERO files against a directory layout,
+    * which surfaced at sf1 as empty sinks and schema-inference errors
+    * downstream.
+    */
+  private def streamTable(s: SparkSession, d: String, table: String): DataFrame = {
+    val path = s"$d/$table.parquet"
+    val sch = s.read.parquet(path).schema
+    val rs = s.readStream.schema(sch)
+    if (new java.io.File(path).isDirectory) rs.parquet(path)
+    else rs.option("pathGlobFilter", s"$table.parquet").parquet(d)
+  }
+
   /** Events parquet as a micro-batched stream (ns ts → µs, same as the
     * batch loader).
     */
   private def streamEvents(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val path = s"$d/events.parquet"
-    val sch = s.read.parquet(path).schema
-    s.readStream.schema(sch).option("pathGlobFilter", "events.parquet").parquet(d)
+    streamTable(s, d, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
@@ -679,9 +695,7 @@ object Streaming {
     "st_mixture",
     graft.text.Text.mixture.oracle,
     (s, d) => {
-      val sch = s.read.parquet(s"$d/documents.parquet").schema
-      val docs = s.readStream.schema(sch)
-        .option("pathGlobFilter", "documents.parquet").parquet(d)
+      val docs = streamTable(s, d, "documents")
       graft.text.Text.mixtureShares(
         runToTable(s, graft.text.Text.mixtureCounts(docs), OutputMode.Complete()))
     },
@@ -703,9 +717,7 @@ object Streaming {
       val idx = graft.sim.Sim.ivfIndex(s, d, k = 8, iters = 3)
       val outDir = Files.createTempDirectory("graft_ann_out").toString
       val ckpt = Files.createTempDirectory("graft_ckpt").toString
-      val sch = s.read.parquet(s"$d/embeddings.parquet").schema
-      val probes = s.readStream.schema(sch)
-        .option("pathGlobFilter", "embeddings.parquet").parquet(d)
+      val probes = streamTable(s, d, "embeddings")
         .filter(col("vec_id") < 10)
         .select(col("vec_id").as("probe_id"),
           col("embedding").cast("array<double>").as("pv"))
@@ -745,9 +757,7 @@ object Streaming {
         .localCheckpoint(eager = true) // train once; batches must not re-derive it
       val outDir = Files.createTempDirectory("graft_dsir_out").toString
       val ckpt = Files.createTempDirectory("graft_ckpt").toString
-      val sch = s.read.parquet(s"$d/documents.parquet").schema
-      val docs = s.readStream.schema(sch)
-        .option("pathGlobFilter", "documents.parquet").parquet(d)
+      val docs = streamTable(s, d, "documents")
       val q = docs.writeStream
         .option("checkpointLocation", ckpt)
         .foreachBatch { (b: DataFrame, id: Long) =>
@@ -788,9 +798,7 @@ object Streaming {
       val vocab = vocab0.localCheckpoint(eager = true)
       val outDir = Files.createTempDirectory("graft_lm_out").toString
       val ckpt = Files.createTempDirectory("graft_ckpt").toString
-      val sch = s.read.parquet(s"$d/documents.parquet").schema
-      val docs = s.readStream.schema(sch)
-        .option("pathGlobFilter", "documents.parquet").parquet(d)
+      val docs = streamTable(s, d, "documents")
       val q = docs.writeStream
         .option("checkpointLocation", ckpt)
         .foreachBatch { (b: DataFrame, id: Long) =>
