@@ -124,3 +124,38 @@ object Profile {
     spark.stop()
   }
 }
+
+/** Dev-only sub-stage profile of d_semantic_dedup at a given sfDir. */
+object ProfileSem {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = GraftSession.local(32)
+    import graft.gfunctions.{dotProduct, safeDiv}
+    def time(name: String)(body: => Any): Unit = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"[profile] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($r)")
+    }
+    time("ivfIndex build")(graft.sim.Sim.ivfIndex(spark, dir, k = 8, iters = 3)
+      .assigned.count())
+    val a = graft.sim.Sim.ivfIndex(spark, dir, k = 8, iters = 3).assigned
+      .select(col("cid"), col("vec_id"), col("v"),
+        sqrt(dotProduct(col("v"), col("v"))).as("nrm"))
+    time("assigned reuse")(a.count())
+    time("cell histogram")(a.groupBy("cid").count().collect().toSeq.sortBy(_.getLong(1)))
+    val T = 8
+    val x = a.select(col("cid"), col("vec_id"), col("v"), col("nrm"),
+      pmod(col("vec_id"), lit(T)).as("tile"))
+    val y = a.withColumn("tile", explode(sequence(lit(0), lit(T - 1)).cast("array<bigint>")))
+    val pairs = x.as("x").join(y.as("y"),
+        col("x.cid") === col("y.cid") && col("x.tile") === col("y.tile") &&
+          col("x.vec_id") < col("y.vec_id"))
+    time("pair count")(pairs.count())
+    time("pair cosine + filter")(pairs
+      .select(round(safeDiv(dotProduct(col("x.v"), col("y.v")),
+        col("x.nrm") * col("y.nrm")), 4).as("cs"))
+      .filter(col("cs") >= 0.45).count())
+    time("full query")(graft.dedup.Dedup.semanticDedup.run(spark, dir).count())
+    spark.stop()
+  }
+}

@@ -895,15 +895,20 @@ object Dedup {
       FROM q WHERE rn = 1
       ORDER BY vec_id"""),
     (s, d) => {
+      // within-cell pairs via the SAME block-tile kernel as
+      // d_embed_dup (Embed.cosinePairsGrouped, group = cid): the naive
+      // cid self-join planned as a broadcast join over the corpus
+      // scan's partitioning — at local test scale ONE task computed
+      // every pair (50 s at sf1), and at deploy the replicated side
+      // is corpus-sized, not broadcastable. The grouped tiles spread
+      // Σ n_c² work over nb²/2 tasks per cell with primitive-array
+      // loops; same float contract, hashes unchanged (12× at sf1).
       val a = graft.sim.Sim.ivfIndex(s, d, k = 8, iters = 3).assigned
         .select(col("cid"), col("vec_id"), col("v"))
       val w = Window.partitionBy("vec_id").orderBy(col("partner"))
-      a.as("x").join(a.as("y"),
-          col("x.cid") === col("y.cid") && col("x.vec_id") < col("y.vec_id"))
-        .select(col("y.vec_id").as("vec_id"), col("y.cid").as("cid"),
-          col("x.vec_id").as("partner"),
-          round(graft.gfunctions.cosine(col("x.v"), col("y.v")), 4).as("cs"))
-        .filter(col("cs") >= 0.45)
+      graft.sim.Embed.cosinePairsGrouped(a, "vec_id", "v", "cid", 0.45)
+        .select(col("id_b").as("vec_id"), col("grp").as("cid"),
+          col("id_a").as("partner"), col("cos_sim").as("cs"))
         .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select(col("vec_id"), col("cid"), col("partner").as("kept_by"),
           col("cs").as("cos_sim"))
