@@ -22,6 +22,25 @@ final case class GraftQuery(
   * session, and each leaked MEMORY_AND_DISK frame lives until session
   * end.
   */
+/** Parallelism helpers shared by compute-heavy operators. */
+object Par {
+
+  /** Repartition a scan-shaped frame to the session's default
+    * parallelism before a compute-heavy map stage (tokenize, window
+    * explode, hash). A local parquet table is often ONE file with ONE
+    * row group, and parquet cannot split below row-group boundaries —
+    * so heavy per-row work runs as a single task however many cores
+    * exist. At deploy, inputs carry at least cluster-width splits and
+    * this is a same-width rebalance; the shuffle moves the RAW rows,
+    * which for these builders are far smaller than their exploded
+    * outputs. Row placement does not affect results: every consumer
+    * aggregates order-independently (the DuckDB hash gate re-proves it
+    * under the new partitioning).
+    */
+  def spread(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+}
+
 object Caching {
 
   // checkpoint blocks registered by releaseAfter: reclaimable only on

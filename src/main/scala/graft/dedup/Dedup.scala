@@ -24,7 +24,7 @@ object Dedup {
     */
   def shingleSets(docs: DataFrame): DataFrame = {
     val t = col("t")
-    docs.withColumn("t", Text.toks(col("text")))
+    graft.Par.spread(docs).withColumn("t", Text.toks(col("text")))
       .select(col("doc_id"), array_distinct(when(size(t) >= 3,
         transform(sequence(lit(1), size(t) - 2),
           i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
@@ -296,7 +296,7 @@ object Dedup {
     * pairwise join ever runs.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-      val tc = docs
+      val tc = graft.Par.spread(docs)
         .withColumn("t", Text.toks(col("text")))
         .select(col("doc_id"), explode(col("t")).as("token"))
         .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
@@ -982,7 +982,7 @@ object Dedup {
     * (doc_id, n_tokens, pos, h).
     */
   private[graft] def windowTable(docs: DataFrame, L: Int = SpanLen): DataFrame =
-    docs
+    graft.Par.spread(docs)
       .select(col("doc_id"), Text.toks(col("text")).as("t"))
       .select(col("doc_id"), col("t"), size(col("t")).cast("long").as("n_tokens"))
       .select(col("doc_id"), col("n_tokens"),
