@@ -969,7 +969,7 @@ object Text {
       transform(sequence(lit(1), size(col("t")) - 1),
         i => concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1))))
       .otherwise(array().cast("array<string>"))
-    docs
+    graft.Par.spread(docs)
       .select(col("doc_id"), toks(col("text")).as("t"))
       .select(col("doc_id"), explode(concat(col("t"), bigrams)).as("gram"))
       .select(col("doc_id"), (polyHash(col("gram")) % DsirBuckets).as("bucket"))
@@ -1043,7 +1043,8 @@ object Text {
       isTarget: Column = polyHash(col("doc_id").cast("string")) % 100 < 10): DataFrame = {
     val t = col("t")
     val stopArr = array(stopwords.map(lit): _*)
-    val toked = docs.select(col("doc_id"), col("text"), toks(col("text")).as("t"))
+    val toked = graft.Par.spread(docs)
+      .select(col("doc_id"), col("text"), toks(col("text")).as("t"))
     val mx = broadcast(toked.agg(max(size(t)).as("maxn")))
     toked.crossJoin(mx).select(
       col("doc_id"),
