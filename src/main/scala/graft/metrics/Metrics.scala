@@ -279,7 +279,9 @@ object Metrics {
         lit("\",\"worker_id\":\""), worker, lit("\"}]}"))
       val schema = "STRUCT<name: STRING, connector: STRUCT<state: STRING>, " +
         "tasks: ARRAY<STRUCT<id: INT, state: STRING, worker_id: STRING>>>"
-      Tables.events(s, d)
+      // per-row JSON build + parse is the heavy map stage here — the
+      // single-row-group events scan would run it one task wide
+      graft.Par.spread(Tables.events(s, d))
         .select(col("event_id"), from_json(payload, org.apache.spark.sql.types.DataType.fromDDL(schema)).as("p"))
         .select(col("event_id"), col("p.name").as("connector_name"),
           col("p.connector.state").as("connector_state"), explode(col("p.tasks")).as("t"))
