@@ -429,6 +429,69 @@ object Sim {
       .orderBy("probe_id", "rank")
   }
 
+  /** s_filtered_ann: metadata-FILTERED vector search — the
+    * vector-database shape where a query carries a structured
+    * predicate ("same shard/category/tenant as me") and only matching
+    * vectors may surface. Strategy is PRE-filtering: the label
+    * predicate applies DURING the cell candidate scan (pushed into the
+    * equi-join's filter, evaluated before the top-k), never after it —
+    * post-filtering a top-k under-fills k whenever the filter is
+    * selective. Same routing/cost model as s_ivf_search (nprobe=2
+    * cells per probe, exact cosine re-rank); the label rides in via a
+    * vec_id equi-join against the index (co-partitioned at scale — at
+    * deploy the label would be a stored column OF the index, same
+    * plan). Oracle replays the IVF chain + routing + the same
+    * label-constrained candidate join.
+    */
+  val filteredAnn = GraftQuery(
+    "s_filtered_ann",
+    Some(s"""
+      ${ivfSql(8, 3)},
+      lab AS (SELECT vec_id, label FROM embeddings),
+      p0 AS (SELECT vec_id AS probe_id, v AS pv FROM a4 WHERE vec_id < 10),
+      ${probeCellsSql("p0", "c3", 2)},
+      cand AS (SELECT pc.probe_id, a.vec_id AS neighbor_id, ${cosSql("pc.pv", "a.v")} AS cs
+               FROM pc
+               JOIN lab pl ON pl.vec_id = pc.probe_id
+               JOIN a4 a ON a.cid = pc.cid AND a.vec_id <> pc.probe_id
+               JOIN lab nl ON nl.vec_id = a.vec_id AND nl.label = pl.label),
+      r AS (SELECT probe_id, neighbor_id, cs,
+              ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cs DESC, neighbor_id) AS rank
+            FROM cand)
+      SELECT probe_id, neighbor_id, rank, ROUND(cs, 4) AS cos_sim
+      FROM r WHERE rank <= 3
+      ORDER BY probe_id, rank"""),
+    (s, d) => {
+      val idx = ivfIndex(s, d, k = 8, iters = 3)
+      val labels = vecs(s, d).select(col("vec_id"), col("label"))
+      searchIvfProbesFiltered(idx, labels,
+        idx.assigned.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("probe_id"), col("v").as("pv")))
+    },
+  )
+
+  /** Cell-routed search where candidates must match the probe's label
+    * — the pre-filter entry point behind s_filtered_ann.
+    */
+  def searchIvfProbesFiltered(idx: IvfIndex, labels: DataFrame,
+                              probeFrame: DataFrame): DataFrame = {
+    val probes = probeCells(probeFrame, idx.centroids, nprobe = 2)
+      .join(labels.select(col("vec_id").as("probe_id"), col("label").as("plabel")),
+        Seq("probe_id"))
+    val cands = idx.assigned.select(col("vec_id").as("neighbor_id"), col("v"), col("cid"))
+      .join(labels.select(col("vec_id").as("neighbor_id"), col("label")), Seq("neighbor_id"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cs").desc, col("neighbor_id"))
+    broadcast(probes)
+      .join(cands, Seq("cid"))
+      .filter(col("neighbor_id") =!= col("probe_id") && col("label") === col("plabel"))
+      .select(col("probe_id"), col("neighbor_id"), cosine(col("pv"), col("v")).as("cs"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("probe_id"), col("neighbor_id"), col("rank"),
+        round(col("cs"), 4).as("cos_sim"))
+      .orderBy("probe_id", "rank")
+  }
+
   /** s_sq8_quantize: int8 scalar quantization of the embedding corpus —
     * the memory-side of ANN at scale (64 bytes/vector instead of 512).
     * Per-dimension min/max (exact, order-independent) broadcast as two
@@ -1070,7 +1133,7 @@ object Sim {
   )
 
   def all: Seq[GraftQuery] =
-    Seq(bruteTopk, lshAnn, labelCohesion, centroidIvf, ivfSearch, sq8Quantize,
-      pqQuantize, pqAdc, ivfAdc, ivfAdcResidual, Opq.opqAdc, recallEval,
-      Kcenter.kcenterCoreset)
+    Seq(bruteTopk, lshAnn, labelCohesion, centroidIvf, ivfSearch, filteredAnn,
+      sq8Quantize, pqQuantize, pqAdc, ivfAdc, ivfAdcResidual, Opq.opqAdc,
+      recallEval, Kcenter.kcenterCoreset)
 }
