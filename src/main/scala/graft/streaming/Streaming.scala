@@ -774,6 +774,43 @@ object Streaming {
     },
   )
 
+  /** st_filtered_ann: predicate-filtered ANN serving — st_ann's shape
+    * (static index × streaming probe batches, exactly-once per-batch
+    * dirs) with each probe's label predicate pre-filtering the cell
+    * candidate scan (searchIvfProbesFiltered, shared with the batch
+    * op). The lookup-service form of a filtered vector query. In the
+    * single-micro-batch harness the result is exactly s_filtered_ann,
+    * whose oracle applies verbatim.
+    */
+  val streamFilteredAnn = GraftQuery(
+    "st_filtered_ann",
+    graft.sim.Sim.filteredAnn.oracle,
+    (s, d) => {
+      val idx = graft.sim.Sim.ivfIndex(s, d, k = 8, iters = 3)
+      val labels = s.read.parquet(s"$d/embeddings.parquet")
+        .selectExpr("vec_id", "label").localCheckpoint(eager = true)
+      val outDir = Files.createTempDirectory("graft_fann_out").toString
+      val ckpt = Files.createTempDirectory("graft_ckpt").toString
+      val probes = streamTable(s, d, "embeddings")
+        .filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"),
+          col("embedding").cast("array<double>").as("pv"))
+      val q = probes.writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          graft.sim.Sim.searchIvfProbesFiltered(idx, labels, b)
+            .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      labels.unpersist(blocking = false)
+      s.read.option("basePath", outDir).parquet(outDir)
+        .select("probe_id", "neighbor_id", "rank", "cos_sim")
+        .orderBy("probe_id", "rank")
+    },
+  )
+
   /** st_ngram_lm: LM-perplexity filtering as a SERVING pipeline — the
     * bigram model (pair/context count tables + vocab scalar) trains
     * offline on the batch corpus and is published, then unbounded doc
@@ -819,7 +856,7 @@ object Streaming {
     Seq(pipeline, statefulRate, sinkFanout, streamDedup, streamJoin, streamEnrich,
       streamHopping, streamAlerts, streamSessions, streamLatest,
       streamHistogramQuantile, streamCusum, streamEwma, streamAnn, streamMixture,
-      streamDsir, streamNgramLm)
+      streamDsir, streamNgramLm, streamFilteredAnn)
 }
 
 // Encoder-visible row types for the stateful stream (must not be

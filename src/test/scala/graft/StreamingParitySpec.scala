@@ -40,6 +40,12 @@ class StreamingParitySpec extends SparkSpec {
     assert(rows(streamed) === rows(batch))
   }
 
+  test("st_filtered_ann == s_filtered_ann batch filtered search") {
+    val streamed = graft.streaming.Streaming.streamFilteredAnn.run(spark, sfDir)
+    val batch = graft.sim.Sim.filteredAnn.run(spark, sfDir)
+    assert(rows(streamed) === rows(batch))
+  }
+
   test("st_ngram_lm == t_ngram_lm batch LM-perplexity cut") {
     val streamed = graft.streaming.Streaming.streamNgramLm.run(spark, sfDir)
     val batch = graft.text.Text.ngramLm.run(spark, sfDir)
