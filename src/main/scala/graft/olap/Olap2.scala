@@ -185,7 +185,9 @@ object Olap2 {
         SELECT 'o_totalprice', n_rows, nn_price, nd_price, mn_price, mx_price FROM a)
       ORDER BY column_name"""),
     (s, d) => {
-      val o = Tables.orders(s, d)
+      // 3 exact count-distincts expand the input 4× before the agg —
+      // heavy enough that a single-row-group scan serializes it
+      val o = graft.Par.spread(Tables.orders(s, d))
       val a = o.agg(
         count(lit(1)).as("n_rows"),
         sum(when(col("o_custkey").isNull, 1).otherwise(0)).as("nn_custkey"),
