@@ -811,6 +811,52 @@ object Streaming {
     },
   )
 
+  /** st_quality_probe: the trained linear quality classifier as a
+    * SERVING pipeline — the probe trains offline on the batch corpus
+    * (one decimal-exact moment pass; coefficients are SIX DOUBLES, the
+    * broadcast-model extreme), then unbounded doc batches are
+    * featurized and scored map-side per micro-batch; the top-K
+    * selection evaluates at read time (accumulate/evaluate split, as
+    * st_dsir). One subtlety shared with the batch op: feature f1
+    * normalizes by the CORPUS max token count, so the featurizer ships
+    * that scalar with the model — a served model's feature scaling is
+    * always a training-time artifact. Oracle verbatim.
+    */
+  val streamQualityProbe = GraftQuery(
+    "st_quality_probe",
+    graft.text.Text.qualityProbe.oracle,
+    (s, d) => {
+      import graft.text.Text
+      val batchDocs = graft.sources.Tables.documents(s, d)
+      val feat = Text.probeFeatures(batchDocs).localCheckpoint(eager = true)
+      val beta = Text.trainProbe(feat)
+      // model artifacts = 6 coefficients + the f1 normalizer scalar
+      val maxTokens = batchDocs
+        .agg(max(size(Text.toks(col("text"))))).head().getInt(0).toLong
+      feat.unpersist(blocking = false)
+      val outDir = Files.createTempDirectory("graft_probe_out").toString
+      val ckpt = Files.createTempDirectory("graft_ckpt").toString
+      val docs = streamTable(s, d, "documents")
+      val q = docs.writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          Text.scoreProbe(Text.probeFeatures(b, maxTokens = Some(maxTokens)), beta)
+            .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      val scored = s.read.option("basePath", outDir).parquet(outDir)
+        .select("doc_id", "score", "is_target")
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("doc_id"))
+      scored.orderBy(col("score").desc, col("doc_id")).limit(Text.DsirTopK)
+        .withColumn("rnk", row_number().over(w))
+        .select(col("rnk"), col("doc_id"), col("score"), col("is_target"))
+        .orderBy("rnk")
+    },
+  )
+
   /** st_ngram_lm: LM-perplexity filtering as a SERVING pipeline — the
     * bigram model (pair/context count tables + vocab scalar) trains
     * offline on the batch corpus and is published, then unbounded doc
@@ -856,7 +902,7 @@ object Streaming {
     Seq(pipeline, statefulRate, sinkFanout, streamDedup, streamJoin, streamEnrich,
       streamHopping, streamAlerts, streamSessions, streamLatest,
       streamHistogramQuantile, streamCusum, streamEwma, streamAnn, streamMixture,
-      streamDsir, streamNgramLm, streamFilteredAnn)
+      streamDsir, streamNgramLm, streamFilteredAnn, streamQualityProbe)
 }
 
 // Encoder-visible row types for the stateful stream (must not be

@@ -1040,12 +1040,19 @@ object Text {
     * decimals, so downstream DECIMAL products/sums are bit-portable.
     */
   private[graft] def probeFeatures(docs: DataFrame,
-      isTarget: Column = polyHash(col("doc_id").cast("string")) % 100 < 10): DataFrame = {
+      isTarget: Column = polyHash(col("doc_id").cast("string")) % 100 < 10,
+      maxTokens: Option[Long] = None): DataFrame = {
     val t = col("t")
     val stopArr = array(stopwords.map(lit): _*)
     val toked = graft.Par.spread(docs)
       .select(col("doc_id"), col("text"), toks(col("text")).as("t"))
-    val mx = broadcast(toked.agg(max(size(t)).as("maxn")))
+    // f1 normalizes by the TRAINING corpus's max token count — a
+    // serving featurizer must receive it as a model artifact
+    // (maxTokens), not re-derive it from whatever batch it scores
+    val mx = maxTokens match {
+      case Some(m) => broadcast(docs.sparkSession.range(1).select(lit(m).as("maxn")))
+      case None => broadcast(toked.agg(max(size(t)).as("maxn")))
+    }
     toked.crossJoin(mx).select(
       col("doc_id"),
       round(size(t).cast("double") / col("maxn"), 6).as("f1"),

@@ -40,6 +40,12 @@ class StreamingParitySpec extends SparkSpec {
     assert(rows(streamed) === rows(batch))
   }
 
+  test("st_quality_probe == t_quality_probe batch trained scorer") {
+    val streamed = graft.streaming.Streaming.streamQualityProbe.run(spark, sfDir)
+    val batch = graft.text.Text.qualityProbe.run(spark, sfDir)
+    assert(rows(streamed) === rows(batch))
+  }
+
   test("st_filtered_ann == s_filtered_ann batch filtered search") {
     val streamed = graft.streaming.Streaming.streamFilteredAnn.run(spark, sfDir)
     val batch = graft.sim.Sim.filteredAnn.run(spark, sfDir)
