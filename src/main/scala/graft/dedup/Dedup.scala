@@ -1165,6 +1165,38 @@ object Dedup {
     * output to incrementalSpanStats, with only bloom-positive windows
     * reaching the confirm join.
     */
+  /** Fold a distinct window-hash frame into bloom words — ≤ BloomWords
+    * rows collected however large the corpus is.
+    */
+  private[graft] def bloomWords(corpus: DataFrame): Array[Long] = {
+    val positions = BloomSeeds.map(i => pmod(xxhash64(col("h"), lit(i)), lit(BloomBits.toLong)))
+    val words = corpus
+      .select(explode(array(positions: _*)).as("p"))
+      .select(shiftright(col("p"), 6).cast("int").as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").as("m"))
+      .groupBy("word").agg(expr("bit_or(m)").as("mask"))
+      .collect()
+    val bloom = Array.fill[Long](BloomWords)(0L)
+    words.foreach(r => bloom(r.getInt(0)) = r.getLong(1))
+    bloom
+  }
+
+  /** Map-side bloom probe over a window frame: 3 variable-shift bit
+    * tests against the literal word array; keeps positives only.
+    */
+  private[graft] def bloomProbe(wins: DataFrame, bloom: Array[Long]): DataFrame = {
+    val probed = BloomSeeds.zipWithIndex.foldLeft(
+        wins.withColumn("bloom", typedLit(bloom.toSeq))) {
+      case (df, (seed, k)) =>
+        df.withColumn(s"_p$k", pmod(xxhash64(col("h"), lit(seed)), lit(BloomBits.toLong)))
+    }
+    val hit = BloomSeeds.indices.map(k => expr(
+      s"(shiftright(element_at(bloom, CAST(shiftright(_p$k, 6) AS INT) + 1), " +
+        s"CAST(_p$k % 64 AS INT)) & 1) = 1")).reduce(_ && _)
+    probed.filter(hit)
+      .select(col("doc_id"), col("n_tokens"), col("pos"), col("h"))
+  }
+
   private[graft] def bloomSpanStats(docs: DataFrame, thr: Long,
                                     L: Int = SpanLen): DataFrame = {
     // the window table feeds three consumers (bloom fold, confirm-join
@@ -1175,28 +1207,8 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val corpus = wins.filter(col("doc_id") < thr).select("h").distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // fold the corpus hash set into bloom words: ≤ BloomWords rows
-    // collected however large the corpus is
-    val positions = BloomSeeds.map(i => pmod(xxhash64(col("h"), lit(i)), lit(BloomBits.toLong)))
-    val words = corpus
-      .select(explode(array(positions: _*)).as("p"))
-      .select(shiftright(col("p"), 6).cast("int").as("word"),
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").as("m"))
-      .groupBy("word").agg(expr("bit_or(m)").as("mask"))
-      .collect()
-    val bloom = Array.fill[Long](BloomWords)(0L)
-    words.foreach(r => bloom(r.getInt(0)) = r.getLong(1))
-    // probe each new window map-side: 3 bit tests against the literal
-    val probed = BloomSeeds.zipWithIndex.foldLeft(
-        wins.filter(col("doc_id") >= thr).withColumn("bloom", typedLit(bloom.toSeq))) {
-      case (df, (seed, k)) =>
-        df.withColumn(s"_p$k", pmod(xxhash64(col("h"), lit(seed)), lit(BloomBits.toLong)))
-    }
-    val hit = BloomSeeds.indices.map(k => expr(
-      s"(shiftright(element_at(bloom, CAST(shiftright(_p$k, 6) AS INT) + 1), " +
-        s"CAST(_p$k % 64 AS INT)) & 1) = 1")).reduce(_ && _)
-    val positives = probed.filter(hit)
-      .select(col("doc_id"), col("n_tokens"), col("pos"), col("h"))
+    val bloom = bloomWords(corpus)
+    val positives = bloomProbe(wins.filter(col("doc_id") >= thr), bloom)
     graft.Caching.releaseAfter(
       spanStats(positives.join(corpus, Seq("h"), "left_semi"), L), wins, corpus)
   }

@@ -811,6 +811,51 @@ object Streaming {
     },
   )
 
+  /** st_dedup_ingest: online ingestion dedup — the streaming form of
+    * d_bloom_prefilter, closing the dedup deployment triptych
+    * (d_incremental = daily batch vs stored index; d_bloom_prefilter =
+    * the same with the bloom pushdown; this = docs arriving as a
+    * STREAM). The stored-corpus artifacts build once offline (distinct
+    * window-hash index, persisted + its 2^20-bit bloom literal); each
+    * arriving micro-batch windows its docs map-side, probes the bloom,
+    * and only positives reach the exact confirm semi-join; per-doc
+    * span stats land in exactly-once per-batch dirs. Batch boundaries
+    * cannot split a doc's windows (windows derive from one text
+    * value), so spanStats per batch ≡ spanStats over the union and
+    * d_bloom_prefilter's oracle applies verbatim.
+    */
+  val streamDedupIngest = GraftQuery(
+    "st_dedup_ingest",
+    graft.dedup.Dedup.bloomPrefilter.oracle,
+    (s, d) => {
+      import graft.dedup.Dedup
+      val docs = graft.sources.Tables.documents(s, d)
+      val thr = docs.agg(floor(lit(0.9) * (max("doc_id") + 1)).cast("long")).head().getLong(0)
+      val corpus = Dedup.windowTable(docs.filter(col("doc_id") < thr))
+        .select("h").distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bloom = Dedup.bloomWords(corpus)
+      val outDir = Files.createTempDirectory("graft_ingest_out").toString
+      val ckpt = Files.createTempDirectory("graft_ckpt").toString
+      val arrivals = streamTable(s, d, "documents").filter(col("doc_id") >= thr)
+      val q = arrivals.writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          Dedup.spanStats(
+              Dedup.bloomProbe(Dedup.windowTable(b), bloom)
+                .join(corpus, Seq("h"), "left_semi"))
+            .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      corpus.unpersist(blocking = false)
+      s.read.option("basePath", outDir).parquet(outDir)
+        .select("doc_id", "n_tokens", "dup_windows", "dup_tokens", "dup_frac")
+        .orderBy("doc_id")
+    },
+  )
+
   /** st_quality_probe: the trained linear quality classifier as a
     * SERVING pipeline — the probe trains offline on the batch corpus
     * (one decimal-exact moment pass; coefficients are SIX DOUBLES, the
@@ -902,7 +947,8 @@ object Streaming {
     Seq(pipeline, statefulRate, sinkFanout, streamDedup, streamJoin, streamEnrich,
       streamHopping, streamAlerts, streamSessions, streamLatest,
       streamHistogramQuantile, streamCusum, streamEwma, streamAnn, streamMixture,
-      streamDsir, streamNgramLm, streamFilteredAnn, streamQualityProbe)
+      streamDsir, streamNgramLm, streamFilteredAnn, streamQualityProbe,
+      streamDedupIngest)
 }
 
 // Encoder-visible row types for the stateful stream (must not be

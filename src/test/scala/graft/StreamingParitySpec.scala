@@ -40,6 +40,12 @@ class StreamingParitySpec extends SparkSpec {
     assert(rows(streamed) === rows(batch))
   }
 
+  test("st_dedup_ingest == d_bloom_prefilter batch ingestion dedup") {
+    val streamed = graft.streaming.Streaming.streamDedupIngest.run(spark, sfDir)
+    val batch = graft.dedup.Dedup.bloomPrefilter.run(spark, sfDir)
+    assert(rows(streamed) === rows(batch))
+  }
+
   test("st_quality_probe == t_quality_probe batch trained scorer") {
     val streamed = graft.streaming.Streaming.streamQualityProbe.run(spark, sfDir)
     val batch = graft.text.Text.qualityProbe.run(spark, sfDir)
