@@ -42,7 +42,12 @@ object GenScale {
     def stride(df: DataFrame, c: String): Long =
       df.agg(max(col(c))).head().getLong(0) + 1
     def write(df: DataFrame, t: String): Unit = {
-      df.drop("rep").write.mode("overwrite").parquet(s"$out/$t.parquet")
+      // many files per table, not one: a single parquet file has one
+      // row group and scans SERIALLY however many cores exist — real
+      // deployments read thousands of splits, so the stress data must
+      // too (deterministic content; file assignment does not affect
+      // any hash-checked result)
+      df.drop("rep").repartition(32).write.mode("overwrite").parquet(s"$out/$t.parquet")
       println(s"[genscale] wrote $t")
     }
 
