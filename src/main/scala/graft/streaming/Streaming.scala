@@ -872,13 +872,9 @@ object Streaming {
     graft.text.Text.qualityProbe.oracle,
     (s, d) => {
       import graft.text.Text
-      val batchDocs = graft.sources.Tables.documents(s, d)
-      val feat = Text.probeFeatures(batchDocs).localCheckpoint(eager = true)
-      val beta = Text.trainProbe(feat)
       // model artifacts = 6 coefficients + the f1 normalizer scalar
-      val maxTokens = batchDocs
-        .agg(max(size(Text.toks(col("text"))))).head().getInt(0).toLong
-      feat.unpersist(blocking = false)
+      // (trained once per dir, shared with t_quality_probe)
+      val (beta, maxTokens) = Text.probeModel(s, d)
       val outDir = Files.createTempDirectory("graft_probe_out").toString
       val ckpt = Files.createTempDirectory("graft_ckpt").toString
       val docs = streamTable(s, d, "documents")

@@ -1130,6 +1130,31 @@ object Text {
     (it0 +: its).mkString(",\n")
   }
 
+  /** Trained probe model per data dir — (β, f1-normalizer scalar):
+    * t_quality_probe and st_quality_probe share one training pass per
+    * harness session (train once, serve many — the model is 7 numbers).
+    */
+  private val probeMemo = scala.collection.mutable.Map[
+    String, (org.apache.spark.sql.SparkSession, (Array[Double], Long))]()
+  graft.Caching.onReleaseAll(() => probeMemo.synchronized(probeMemo.clear()))
+
+  private[graft] def probeModel(s: org.apache.spark.sql.SparkSession,
+                                d: String): (Array[Double], Long) =
+    probeMemo.synchronized {
+      probeMemo.get(d) match {
+        case Some((sess, m)) if (sess eq s) && !s.sparkContext.isStopped => m
+        case _ =>
+          val docs = Tables.documents(s, d)
+          val feat = probeFeatures(docs).localCheckpoint(eager = true)
+          val beta = trainProbe(feat)
+          val maxTokens = docs
+            .agg(max(size(toks(col("text"))))).head().getInt(0).toLong
+          feat.unpersist(blocking = false)
+          probeMemo(d) = (s, (beta, maxTokens))
+          (beta, maxTokens)
+      }
+    }
+
   /** t_quality_probe: a TRAINED model-based quality scorer — the
     * learned counterpart of the heuristic t_quality_score / t_corpus_
     * filter gates (the fastText-classifier slot of an LLM pipeline,
@@ -1176,16 +1201,14 @@ object Text {
       ORDER BY rnk"""
     }),
     (s, d) => {
-      val feat = probeFeatures(Tables.documents(s, d))
-        .localCheckpoint(eager = true) // one moment pass + one scoring pass
-      val beta = trainProbe(feat)
+      val (beta, maxTokens) = probeModel(s, d)
+      val feat = probeFeatures(Tables.documents(s, d), maxTokens = Some(maxTokens))
       val w = Window.orderBy(col("score").desc, col("doc_id"))
-      val out = scoreProbe(feat, beta)
+      scoreProbe(feat, beta)
         .orderBy(col("score").desc, col("doc_id")).limit(DsirTopK)
         .withColumn("rnk", row_number().over(w))
         .select(col("rnk"), col("doc_id"), col("score"), col("is_target"))
         .orderBy("rnk")
-      graft.Caching.releaseAfter(out, feat)
     },
   )
 
