@@ -1213,8 +1213,83 @@ object Dedup {
       spanStats(positives.join(corpus, Seq("h"), "left_semi"), L), wins, corpus)
   }
 
+  /** Floor-to-power-of-two bucket (clamped at 1024): exact integer
+    * comparisons, so Spark and DuckDB bucket identically — no float
+    * log2 at bucket boundaries.
+    */
+  private def p2Bucket(c: Column): Column =
+    (10 to 1 by -1).foldLeft(null: Column) { (acc, k) =>
+      val lo = 1L << k
+      if (acc == null) when(c >= lo, lo) else acc.when(c >= lo, lo)
+    }.otherwise(1L)
+
+  private def p2BucketSql(e: String): String =
+    "CASE " + (10 to 1 by -1).map(k => s"WHEN $e >= ${1L << k} THEN ${1L << k}")
+      .mkString(" ") + " ELSE 1 END"
+
+  /** d_dup_profile: the corpus DUPLICATION diagnostic — which dedup
+    * regime is this corpus in, and which knob binds? Two histograms
+    * over power-of-two buckets, each with its quadratic PAIR MASS
+    * Σ s·(s−1)/2 (what a pair-enumerating pass would generate):
+    *  - exact-duplicate group sizes (normalized text): mass here is
+    *    removable by the d_exact prepass before any near-dup pass;
+    *  - shingle document frequencies: mass here is what the inverted-
+    *    index family (jaccard/containment/incremental) fans out, and
+    *    what the df cap truncates — the sf10 stress probe showed this
+    *    mass growing ∝ duplication² and exhausting local disk, which
+    *    is exactly the decision this profile lets a pipeline make
+    *    BEFORE launching the quadratic job.
+    * Cost: two groupBys + two tiny histogram aggregates — the cheap
+    * look-before-you-leap pass. Exact integer arithmetic throughout.
+    */
+  val dupProfile = GraftQuery(
+    "d_dup_profile",
+    Some(s"""
+      WITH eg AS (SELECT ${Text.NormSql} AS nt, CAST(COUNT(*) AS BIGINT) AS s
+                  FROM documents GROUP BY 1),
+      sg AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS s FROM (
+               SELECT doc_id, unnest(list_distinct(list_transform(
+                 range(1, greatest(len(t) - 2, 0) + 1),
+                 __si -> t[__si] || ' ' || t[__si + 1] || ' ' || t[__si + 2]))) AS shingle
+               FROM (SELECT doc_id, ${Text.ToksSql} AS t FROM documents))
+             GROUP BY 1),
+      h AS (SELECT 'exact_group' AS kind, ${p2BucketSql("s")} AS bucket_lo,
+              COUNT(*) AS n_keys, CAST(SUM(s) AS BIGINT) AS n_items,
+              CAST(SUM(s * (s - 1) / 2) AS BIGINT) AS pair_mass
+            FROM eg GROUP BY 2
+            UNION ALL
+            SELECT 'shingle_df', ${p2BucketSql("s")},
+              COUNT(*), CAST(SUM(s) AS BIGINT),
+              CAST(SUM(s * (s - 1) / 2) AS BIGINT)
+            FROM sg GROUP BY 2)
+      SELECT kind, bucket_lo, n_keys, n_items, pair_mass
+      FROM h ORDER BY kind, bucket_lo"""),
+    (s, d) => dupProfileOf(Tables.documents(s, d)),
+  )
+
+  /** The duplication profile over any (doc_id, text) frame — see
+    * d_dup_profile.
+    */
+  private[graft] def dupProfileOf(docs: DataFrame): DataFrame = {
+    val eg = docs.groupBy(Text.normText(col("text")).as("nt"))
+      .agg(count(lit(1)).as("s"))
+    val sg = shingleTable(docs).groupBy("shingle").agg(count(lit(1)).as("s"))
+    def hist(src: DataFrame, kind: String): DataFrame =
+      src.groupBy(p2Bucket(col("s")).as("bucket_lo"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(col("s")).as("n_items"),
+          // s·(s−1) is even and < 2^53, so the double division is
+          // exact and the per-row cast keeps the sum in longs
+          sum(((col("s") * (col("s") - 1)) / 2).cast("long")).as("pair_mass"))
+        .select(lit(kind).as("kind"), col("bucket_lo"), col("n_keys"),
+          col("n_items"), col("pair_mass"))
+    hist(eg, "exact_group").unionByName(hist(sg, "shingle_df"))
+      .orderBy("kind", "bucket_lo")
+  }
+
   def all: Seq[GraftQuery] =
     Seq(exact, ngramJaccard, minhashLsh, simhash, embedDup, cdcChunks, components,
       dupConsistency, prefixContainment, containment, dedupFunnel, splitLeakage,
-      incrementalDedup, semanticDedup, substringSpans, canonicalPick, bloomPrefilter)
+      incrementalDedup, semanticDedup, substringSpans, canonicalPick, bloomPrefilter,
+      dupProfile)
 }
