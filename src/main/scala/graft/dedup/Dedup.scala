@@ -264,14 +264,12 @@ object Dedup {
       graft.Caching.releaseAfter(out, ds)
   }
 
-  /** d_simhash: 31-bit SimHash over token counts; candidates via 4
-    * 8-bit block buckets (pigeonhole: hamming ≤ 3 ⇒ ≥1 identical
-    * block, so the blocked join loses nothing vs the oracle's full
-    * pairwise join).
+  /** The full per-doc simhash pairwise oracle — shared verbatim by
+    * d_simhash and d_simhash_compact: the two operators are two PLANS
+    * for the same function, and sharing the SQL makes the hash gate
+    * prove plan-equivalence, not just plausibility.
     */
-  val simhash = GraftQuery(
-    "d_simhash",
-    Some(s"""
+  private val SimhashPairsSql: String = s"""
       WITH d AS (SELECT doc_id, ${Text.ToksSql} AS t FROM documents),
       tok AS (SELECT doc_id, unnest(t) AS token FROM d),
       tc AS (SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY doc_id, token),
@@ -287,7 +285,16 @@ object Dedup {
              CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
       FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id
       WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-      ORDER BY doc_a, doc_b"""),
+      ORDER BY doc_a, doc_b"""
+
+  /** d_simhash: 31-bit SimHash over token counts; candidates via 4
+    * 8-bit block buckets (pigeonhole: hamming ≤ 3 ⇒ ≥1 identical
+    * block, so the blocked join loses nothing vs the oracle's full
+    * pairwise join).
+    */
+  val simhash = GraftQuery(
+    "d_simhash",
+    Some(SimhashPairsSql),
     (s, d) => simhashPairs(Tables.documents(s, d)).orderBy("doc_a", "doc_b"),
   )
 
@@ -326,6 +333,72 @@ object Dedup {
         .filter(col("hamming") <= maxHamming)
         .select(col("doc_a"), col("doc_b"), col("hamming"))
       graft.Caching.releaseAfter(out, sim)
+  }
+
+  /** d_simhash_compact: the exact-prepass COMPOSITION of d_simhash —
+    * byte-identical output (it shares d_simhash's oracle SQL, so the
+    * hash gate proves the two plans compute the same function), but
+    * signatures and the blocked candidate join run only over one
+    * REPRESENTATIVE per identical-text class, and member pairs are
+    * expanded back afterwards. On replica-heavy corpora (the sf10
+    * stress probe: pair fan-out ∝ duplication²) the candidate join
+    * shrinks quadratically in the duplication factor while the output
+    * expansion stays linear in the intrinsic result size. This is the
+    * production composition: run the cheap exact collapse BEFORE the
+    * quadratic-prone near-dup machinery (see d_dup_profile for the
+    * decision diagnostic).
+    *
+    * The collapse key is md5 of the whitespace-collapsed text — the
+    * exact invariance class of the simhash tokenizer (Text.toks does
+    * NOT lowercase, so d_exact's case-insensitive normText key would
+    * over-collapse case-variant docs with different signatures).
+    */
+  val simhashCompact = GraftQuery(
+    "d_simhash_compact",
+    Some(SimhashPairsSql),
+    (s, d) => simhashCompactPairs(Tables.documents(s, d)).orderBy("doc_a", "doc_b"),
+  )
+
+  /** d_simhash via exact-collapse prepass for any (doc_id, text)
+    * frame; ≡ simhashPairs(docs, maxHamming) (SimhashCompactSpec).
+    */
+  def simhashCompactPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val w = Window.partitionBy("tok_hash")
+    // (doc_id, rep_id) membership: rep = min doc_id of the class of
+    // docs with identical token sequences.
+    val members = docs
+      .select(col("doc_id"),
+        md5(regexp_replace(trim(col("text")), "\\s+", " ")).as("tok_hash"),
+        col("text"))
+      .withColumn("rep_id", min("doc_id").over(w))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ids = members.select(col("doc_id"), col("rep_id"))
+    // Rep-level near-dup pairs: the full simhash machinery, but over
+    // unique texts only. Hamming(rep_a, rep_b) = hamming(a, b) for any
+    // members a, b because signatures are functions of the token
+    // sequence.
+    val repPairs = simhashPairs(
+      members.filter(col("doc_id") === col("rep_id")).select(col("doc_id"), col("text")),
+      maxHamming)
+    // Same-class pairs: identical signatures, hamming 0.
+    val intra = ids.as("x")
+      .join(ids.as("y"),
+        col("x.rep_id") === col("y.rep_id") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit(0).cast("int").as("hamming"))
+    // Cross-class pairs: each rep pair expands to |A|×|B| member pairs
+    // (the intrinsic output size — d_simhash emits these rows too);
+    // member ids interleave across classes, so re-order with
+    // least/greatest.
+    val cross = repPairs
+      .join(ids.as("ma"), col("ma.rep_id") === col("doc_a"))
+      .join(ids.as("mb"), col("mb.rep_id") === col("doc_b"))
+      .select(
+        least(col("ma.doc_id"), col("mb.doc_id")).as("doc_a"),
+        greatest(col("ma.doc_id"), col("mb.doc_id")).as("doc_b"),
+        col("hamming"))
+    // Disjoint by construction: intra has rep_a = rep_b, cross rep_a ≠ rep_b.
+    graft.Caching.releaseAfter(intra.unionByName(cross), members)
   }
 
   /** d_embed_dup: embedding-cosine near-dup pairs, exact (every pair
@@ -1291,5 +1364,5 @@ object Dedup {
     Seq(exact, ngramJaccard, minhashLsh, simhash, embedDup, cdcChunks, components,
       dupConsistency, prefixContainment, containment, dedupFunnel, splitLeakage,
       incrementalDedup, semanticDedup, substringSpans, canonicalPick, bloomPrefilter,
-      dupProfile)
+      dupProfile, simhashCompact)
 }

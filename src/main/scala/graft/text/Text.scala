@@ -1342,8 +1342,114 @@ object Text {
     },
   )
 
+  /** t_domain_rank: PageRank-style domain ranking over the
+    * content-sharing graph — the corpus-curation step that scores
+    * sources (domains) by how centrally they sit in the network of
+    * shared content, the signal crawl pipelines use to pick
+    * high-value domains. Nodes are `source` values; an edge's weight
+    * is the number of distinct word-3-gram shingles the two sources
+    * share (mirrors, syndication and boilerplate reuse show up as
+    * heavy edges). Shingles present in more than `SrcDfCap` sources
+    * are dropped first — the same skew guard as the inverted-index
+    * dedup family: a ubiquitous shingle is non-discriminative AND
+    * would fan out C(df, 2) pairs.
+    *
+    * The rank iteration runs in INTEGER fixed-point (1e-12 units of
+    * total mass, damping 85/100, truncating division) — sums of longs
+    * are exact and order-independent, so 10 iterations replay
+    * hash-identically in the oracle with no float-summation-order
+    * caveats. Overflow bound: r ≤ 1e12 and r·w must stay < 2^63, so
+    * edge weights up to ~9e6 are safe; a corpus with heavier overlap
+    * lowers Scale in lockstep.
+    *
+    * Scale: the shingle self-join is the inverted-index shape (df-cap
+    * bounds per-key fan-out); per-iteration cost is one edge-keyed
+    * join + one groupBy over the EDGE table — node frames stay
+    * node-count-sized; lineage is truncated per round exactly like
+    * connectedComponents.
+    */
+  private val RankScale = 1000000000000L
+  private val SrcDfCap = 15
+  private val RankIters = 10
+
+  val domainRank = GraftQuery(
+    "t_domain_rank",
+    Some {
+      val chain = (1 to RankIters).map { i =>
+        s"""r$i AS (SELECT e.dst AS src,
+           |        CAST(bb.base + (85 * SUM((p.r * e.w) // e.wu)) // 100 AS BIGINT) AS r
+           |        FROM r${i - 1} p JOIN e ON e.src = p.src CROSS JOIN bb
+           |        GROUP BY e.dst, bb.base)""".stripMargin
+      }.mkString(",\n      ")
+      s"""
+      WITH d AS (SELECT doc_id, source, $ToksSql AS t FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                 __ri -> t[__ri] || ' ' || t[__ri+1] || ' ' || t[__ri+2])) AS shingle
+             FROM d),
+      ss AS (SELECT DISTINCT d.source, sh.shingle FROM sh JOIN d USING (doc_id)),
+      sf AS (SELECT shingle FROM ss GROUP BY shingle HAVING COUNT(*) <= $SrcDfCap),
+      sc AS (SELECT ss.source, ss.shingle FROM ss JOIN sf USING (shingle)),
+      ew AS (SELECT a.source AS sa, b.source AS sb, CAST(COUNT(*) AS BIGINT) AS w
+             FROM sc a JOIN sc b ON a.shingle = b.shingle AND a.source < b.source
+             GROUP BY 1, 2),
+      e0 AS (SELECT sa AS src, sb AS dst, w FROM ew
+             UNION ALL SELECT sb, sa, w FROM ew),
+      wu AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wu FROM e0 GROUP BY src),
+      e AS (SELECT e0.src, e0.dst, e0.w, wu.wu FROM e0 JOIN wu USING (src)),
+      nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM wu),
+      bb AS (SELECT CAST(($RankScale * 15 // 100) // n AS BIGINT) AS base FROM nn),
+      r0 AS (SELECT src, CAST($RankScale // n AS BIGINT) AS r FROM wu CROSS JOIN nn),
+      $chain
+      SELECT w.src AS source, w.wu AS out_weight, r.r AS rank_fp
+      FROM r$RankIters r JOIN wu w USING (src)
+      ORDER BY rank_fp DESC, source"""
+    },
+    (s, d) => domainRankOf(Tables.documents(s, d)),
+  )
+
+  /** The content-sharing PageRank over any (doc_id, source, text)
+    * frame — see t_domain_rank.
+    */
+  private[graft] def domainRankOf(docs: DataFrame): DataFrame = {
+    val ss = graft.dedup.Dedup.shingleTable(docs.select("doc_id", "text"))
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      .select("source", "shingle").distinct()
+    val sf = ss.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= SrcDfCap).select("shingle")
+    val sc2 = ss.join(sf, Seq("shingle"))
+    val ew = sc2.as("a")
+      .join(sc2.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("sa"), col("b.source").as("sb"))
+      .agg(count(lit(1)).as("w"))
+    val e0 = ew.select(col("sa").as("src"), col("sb").as("dst"), col("w"))
+      .unionByName(ew.select(col("sb").as("src"), col("sa").as("dst"), col("w")))
+    val wu = e0.groupBy("src").agg(sum("w").as("wu"))
+    // edge table read every iteration → materialize once
+    val e = e0.join(wu, Seq("src")).localCheckpoint(eager = true)
+    // one scalar: the node count (bounded by the domain count, never data)
+    val n = wu.count()
+    val base = (RankScale * 15L / 100L) / n
+    var ranks = e.select("src").distinct()
+      .withColumn("r", lit(RankScale / n))
+      .localCheckpoint(eager = true)
+    for (_ <- 1 to RankIters) {
+      ranks = e.join(ranks, Seq("src"))
+        .groupBy("dst").agg(sum(expr("(r * w) div wu")).as("s"))
+        .select(col("dst").as("src"),
+          (lit(base) + expr("(85 * s) div 100")).cast("long").as("r"))
+        .localCheckpoint(eager = true)
+    }
+    ranks.select(col("src").as("source"), col("r").as("rank_fp"))
+      .join(wu.select(col("src").as("source"), col("wu").as("out_weight")), Seq("source"))
+      .select("source", "out_weight", "rank_fp")
+      .orderBy(col("rank_fp").desc, col("source"))
+  }
+
   def all: Seq[GraftQuery] =
     Seq(tokenStats, qualityScore, langid, fingerprint, bigramFreq, repNgrams, tfidf,
       bpeTokens, bpeMerges, bpeEncode, split80, vocab, piiScrub, contamination,
-      sentences, packing, corpusFilter, mixture, dsir, qualityProbe, ngramLm)
+      sentences, packing, corpusFilter, mixture, dsir, qualityProbe, ngramLm,
+      domainRank)
 }
