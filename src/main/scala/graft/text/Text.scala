@@ -1428,8 +1428,30 @@ object Text {
     val wu = e0.groupBy("src").agg(sum("w").as("wu"))
     // edge table read every iteration → materialize once
     val e = e0.join(wu, Seq("src")).localCheckpoint(eager = true)
+    // derive per-source totals from the checkpointed edges (wu is
+    // functionally dependent on src there) — re-deriving from `wu`
+    // would replay the shingle self-join pipeline for every consumer
+    val wuM = e.select("src", "wu").distinct()
     // one scalar: the node count (bounded by the domain count, never data)
-    val n = wu.count()
+    val n = wuM.count()
+    if (n == 0) {
+      // empty graph (all shingles above SrcDfCap / docs too short /
+      // a single source): the oracle returns zero rows — mirror it
+      // instead of dividing RankScale by zero on the driver
+      return docs.sparkSession.emptyDataFrame
+        .withColumn("source", lit("").cast("string"))
+        .withColumn("out_weight", lit(0L))
+        .withColumn("rank_fp", lit(0L))
+        .select("source", "out_weight", "rank_fp")
+    }
+    // r ≤ RankScale (total rank mass), so r*w stays in Long iff
+    // w ≤ Long.MaxValue / RankScale (~9.2e6 shared shingles per source
+    // pair). Fail with the knob named rather than an opaque ANSI
+    // overflow mid-iteration on a heavier-overlap corpus.
+    val maxW = e.agg(max("w")).head().getLong(0)
+    require(maxW <= Long.MaxValue / RankScale,
+      s"t_domain_rank: max edge weight $maxW exceeds the fixed-point-safe " +
+        s"bound ${Long.MaxValue / RankScale}; lower RankScale to widen headroom")
     val base = (RankScale * 15L / 100L) / n
     var ranks = e.select("src").distinct()
       .withColumn("r", lit(RankScale / n))
@@ -1442,7 +1464,7 @@ object Text {
         .localCheckpoint(eager = true)
     }
     ranks.select(col("src").as("source"), col("r").as("rank_fp"))
-      .join(wu.select(col("src").as("source"), col("wu").as("out_weight")), Seq("source"))
+      .join(wuM.select(col("src").as("source"), col("wu").as("out_weight")), Seq("source"))
       .select("source", "out_weight", "rank_fp")
       .orderBy(col("rank_fp").desc, col("source"))
   }

@@ -51,6 +51,19 @@ class DomainRankSpec extends SparkSpec {
     assert(out.find(_._1 == "srcC").get._2 === 3L)
   }
 
+  test("empty edge graph returns an empty frame, matching the oracle") {
+    // a single source can never form an edge; docs shorter than 3
+    // tokens yield no shingles. Both must give zero rows (the oracle's
+    // SQL yields an empty result), not a divide-by-zero on the driver.
+    val single = graft.text.Text.domainRankOf(
+      corpus(Seq(("only", "a1 a2 a3"), ("only", "b1 b2 b3"))))
+    assert(single.count() === 0L)
+    assert(single.columns.toSeq === Seq("source", "out_weight", "rank_fp"))
+    val short = graft.text.Text.domainRankOf(
+      corpus(Seq(("s1", "one two"), ("s2", "one two"))))
+    assert(short.count() === 0L)
+  }
+
   test("a shingle above the source-df cap produces no edges at all") {
     // 16 sources > SrcDfCap = 15 share one phrase; 12 of them have
     // nothing else, so they must be isolated (absent from the output),
