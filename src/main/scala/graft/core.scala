@@ -149,7 +149,6 @@ object GraftSession {
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // bucketed-table writes (q_bucketed_join) land in the warehouse;
       // keep it out of the repo working tree. One dir per JVM (lazy):
       // getOrCreate ignores configs on an existing session anyway, so

@@ -48,9 +48,14 @@ object Streaming {
     */
   private def streamEvents(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    streamTable(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.sources.Tables.normalizeEventsTs(streamTable(s, d, "events"))
   }
+
+  /** Test hook (EventsLoaderSpec): run the events stream to a static
+    * table so the spec can diff it against the batch loader.
+    */
+  private[graft] def eventsForTest(s: SparkSession, d: String): DataFrame =
+    runToTable(s, streamEvents(s, d), OutputMode.Append)
 
   /** Streaming state parallelism is a different knob from batch
     * shuffle width: every stateful operator materializes one state

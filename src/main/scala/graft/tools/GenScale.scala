@@ -81,16 +81,23 @@ object GenScale {
       .withColumn("l_partkey", shift("l_partkey", P))
       .withColumn("l_suppkey", shift("l_suppkey", S)), "lineitem")
 
-    // events.ts is nanosecond parquet: read nanos as a long, shift one
-    // second per replica, write the long back (Tables.events divides
-    // to micros on read either way).
+    // events.ts is nanosecond parquet. Pre-4.1 readers need nanosAsLong
+    // (ts arrives as a long; shift one second = 1e9 ns per replica and
+    // write the long back); Spark 4.1+ reads it natively as a timestamp
+    // (shift via timestampadd). Tables.normalizeEventsTs handles either
+    // written form on re-read.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = read("events")
     val E = stride(ev, "event_id")
+    val shiftedTs = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        col("ts") + col("rep").cast("long") * 1000000000L
+      case _ => expr("timestampadd(SECOND, rep, ts)")
+    }
     write(ev.crossJoin(reps)
       .withColumn("event_id", shift("event_id", E))
       .withColumn("user_id", shift("user_id", C))
-      .withColumn("ts", col("ts") + col("rep").cast("long") * 1000000000L),
+      .withColumn("ts", shiftedTs),
       "events")
 
     val docs = read("documents")

@@ -33,7 +33,6 @@ class NewOpsSpec extends SparkSpec {
       (1L, "contact bob@example.com or 10.0.0.1 or 555-123-4567 now"),
       (2L, "no pii here at all"),
     ).toDF("doc_id", "text")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val tmp = java.nio.file.Files.createTempDirectory("pii")
     val stage = tmp.resolve("stage")
     df.coalesce(1).write.parquet(stage.toString)

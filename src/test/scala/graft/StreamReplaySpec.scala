@@ -15,10 +15,9 @@ class StreamReplaySpec extends SparkSpec {
     val esDir = Files.createTempDirectory("replay_es").toString
     def runOnce(): Unit = {
       val ckpt = Files.createTempDirectory("replay_ckpt").toString // fresh = full replay
-      val src = spark.readStream
+      val src = graft.sources.Tables.normalizeEventsTs(spark.readStream
         .schema(spark.read.parquet(s"$sfDir/events.parquet").schema)
-        .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .option("pathGlobFilter", "events.parquet").parquet(sfDir))
         .select("event_id", "ts", "user_id", "event_type", "value")
       val q = graft.streaming.Pipeline.start(src, "ts",
         graft.streaming.Pipeline.Config(esDir = Some(esDir)), ckpt)
