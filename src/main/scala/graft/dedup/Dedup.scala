@@ -38,12 +38,81 @@ object Dedup {
   /** All ordered pairs (a < b) of an ascending-sorted id array,
     * generated map-side — the pair fan-out of an inverted-index
     * bucket without a self-join.
+    *
+    * `minSizeRatio` > 0 adds the LOSSLESS size filter of
+    * similarity-join literature inside the bucket, before the pair
+    * struct is built or shuffled: Jaccard is bounded above by
+    * min(na,nb)/max(na,nb) (n_common ≤ min and the union ≥ max), so
+    * for a rounded threshold t no pair with min/max < t − 5e-5 can
+    * reach it. Callers pass t − 1e-4 (margin below the half-up
+    * rounding bound) so the kept set is a strict superset of every
+    * pair the threshold filter could keep — output-identical, but hot
+    * buckets of heterogeneous doc sizes fan out far fewer pairs.
+    * Containment-style thresholds bound nothing between na and nb, so
+    * those callers keep the default 0 (no filter).
     */
-  private def orderedPairs(ids: Column): Column =
+  private def orderedPairs(ids: Column, minSizeRatio: Double = 0.0): Column = {
+    def sized(seg: Column, x: Column): Column =
+      if (minSizeRatio <= 0.0) seg
+      else filter(seg, y =>
+        least(x.getField("n"), y.getField("n")).cast("double") >=
+          greatest(x.getField("n"), y.getField("n")).cast("double") * lit(minSizeRatio))
     flatten(transform(ids, (x, i) =>
-      transform(slice(ids, i + lit(2), greatest(size(ids) - i - 1, lit(0))),
+      transform(sized(slice(ids, i + lit(2), greatest(size(ids) - i - 1, lit(0))), x),
         y => struct(x.getField("doc_id").as("doc_a"), x.getField("n").as("na"),
           y.getField("doc_id").as("doc_b"), y.getField("n").as("nb")))))
+  }
+
+  /** Pair-mass budget per corpus document for [[adaptiveDfCap]]. Sized
+    * so the driver corpora never tighten (sf0.1 carries ~253
+    * pairs/doc at the full cap — 4× headroom) while a replica-heavy
+    * corpus (duplication ∝ factor ⇒ pair mass ∝ factor²) does.
+    */
+  private[graft] val PairMassPerDoc = 1000L
+
+  /** Duplication-adaptive document-frequency cap for the shingle
+    * inverted index, driven by the same pair-mass statistic
+    * d_dup_profile reports: every df-f shingle fans out f·(f−1)/2
+    * pairs, so the predicted pair-shuffle volume of a cap c is
+    * Σ_{2 ≤ df ≤ c} mass(df). Picks the LARGEST cap ≤ maxCap whose
+    * predicted mass stays within PairMassPerDoc × nDocs.
+    *
+    * On low-duplication corpora the budget is slack and the cap is
+    * maxCap — bit-identical output to the fixed cap (the DuckDB
+    * oracles keep their literal 1000). On replica-heavy corpora
+    * (the r5 100× probe: df ∝ replica factor everywhere, pair mass ∝
+    * factor², d_containment exhausting local disk) the cap tightens
+    * so the pair stage stays ∝ corpus size — the recall knob the
+    * fixed cap already was, now self-tuning. The histogram collect is
+    * bounded: ≤ maxCap−1 (df, mass) rows.
+    */
+  private[graft] def adaptiveDfCapFromDf(dfFreq: DataFrame, nDocs: Long,
+                                         maxCap: Long = 1000L): Long = {
+    val hist = dfFreq
+      .filter(col("df").between(2, maxCap))
+      .groupBy("df")
+      .agg(sum(((col("df") * (col("df") - 1)) / 2).cast("long")).as("mass"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    val budget = PairMassPerDoc * math.max(nDocs, 1L)
+    var cum = 0L
+    var cap = maxCap
+    var busted = false
+    for ((dfv, mass) <- hist if !busted) {
+      if (cum + mass <= budget) cum += mass
+      else { cap = dfv - 1; busted = true }
+    }
+    cap
+  }
+
+  /** [[adaptiveDfCapFromDf]] over raw index entries (one row per
+    * (doc, shingle)).
+    */
+  private[graft] def adaptiveDfCap(entries: DataFrame, nDocs: Long,
+                                   maxCap: Long = 1000L): Long =
+    adaptiveDfCapFromDf(
+      entries.groupBy("shingle").agg(count(lit(1)).as("df")), nDocs, maxCap)
 
   /** Same map-side pair fan-out for a plain sorted id array (shared by
     * the blocked near-dup operators across modules).
@@ -147,15 +216,17 @@ object Dedup {
     * sorted id array instead of a self-join. No caches, nothing leaks.
     */
   def ngramJaccardPairs(docs: DataFrame, maxDf: Long = 1000,
-                        threshold: Double = 0.5): DataFrame = {
+                        threshold: Double = 0.5,
+                        adaptive: Boolean = true): DataFrame = {
       val entries = shingleSets(docs)
         .select(col("doc_id"), size(col("shs")).as("n"), explode(col("shs")).as("shingle"))
+      val cap = if (adaptive) adaptiveDfCap(entries, docs.count(), maxDf) else maxDf
       val buckets = entries
         .groupBy("shingle")
         .agg(array_sort(collect_list(struct(col("doc_id"), col("n")))).as("ids"))
-        .filter(size(col("ids")).between(2, maxDf))
+        .filter(size(col("ids")).between(2, cap))
       buckets
-        .select(explode(orderedPairs(col("ids"))).as("p"))
+        .select(explode(orderedPairs(col("ids"), threshold - 1e-4)).as("p"))
         .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
           col("p.na").as("na"), col("p.nb").as("nb"))
         .agg(count(lit(1)).as("n_common"))
@@ -731,12 +802,17 @@ object Dedup {
       WHERE ROUND(CAST(n_common AS DOUBLE) / least(na, nb), 4) >= 0.8
       ORDER BY doc_small, doc_big"""),
     (s, d) => {
-      val entries = shingleSets(Tables.documents(s, d))
+      val docs = Tables.documents(s, d)
+      val entries = shingleSets(docs)
         .select(col("doc_id"), size(col("shs")).as("n"), explode(col("shs")).as("shingle"))
+      // adaptive cap only — containment bounds nothing between na and
+      // nb (a tiny doc inside a huge one is the POINT), so the size
+      // filter stays off
+      val cap = adaptiveDfCap(entries, docs.count())
       val pairs = entries
         .groupBy("shingle")
         .agg(array_sort(collect_list(struct(col("doc_id"), col("n")))).as("ids"))
-        .filter(size(col("ids")).between(2, 1000))
+        .filter(size(col("ids")).between(2, cap))
         .select(explode(orderedPairs(col("ids"))).as("p"))
         .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
           col("p.na").as("na"), col("p.nb").as("nb"))
@@ -912,8 +988,9 @@ object Dedup {
       val thr = docs.agg(floor(lit(0.9) * (max("doc_id") + 1)).cast("long")).head().getLong(0)
       val entries = shingleSets(docs)
         .select(col("doc_id"), size(col("shs")).as("n"), explode(col("shs")).as("shingle"))
-      val shf = entries.groupBy("shingle")
-        .agg(count(lit(1)).as("df")).filter(col("df") <= 1000).select("shingle")
+      val dfFreq = entries.groupBy("shingle").agg(count(lit(1)).as("df"))
+      val cap = adaptiveDfCapFromDf(dfFreq, docs.count())
+      val shf = dfFreq.filter(col("df") <= cap).select("shingle")
       val shc = entries.join(shf, Seq("shingle"))
       val newE = shc.filter(col("doc_id") >= thr)
         .select(col("shingle"), col("doc_id").as("doc_new"), col("n").as("na"))
