@@ -1130,30 +1130,47 @@ object Text {
     (it0 +: its).mkString(",\n")
   }
 
-  /** Trained probe model per data dir — (β, f1-normalizer scalar):
-    * t_quality_probe and st_quality_probe share one training pass per
-    * harness session (train once, serve many — the model is 7 numbers).
+  /** Trained probe artifacts per data dir — (β, f1-normalizer scalar,
+    * checkpointed feature frame): t_quality_probe and st_quality_probe
+    * share one training pass per harness session (train once, serve
+    * many — the model is 7 numbers; the feature frame is the served
+    * batch artifact, n_docs × 8 doubles).
+    *
+    * Pass accounting (the r5 sf10 probe measured this operator
+    * superlinear): the old shape tokenized the corpus FOUR times —
+    * training featurize + its embedded max-token broadcast agg, a
+    * separate maxTokens pass, and a serving re-featurize. Now ONE
+    * spread reduce derives the normalizer and ONE featurize pass is
+    * checkpointed and reused by both training and batch serving — two
+    * tokenize passes total, and scoring reads the checkpoint.
     */
   private val probeMemo = scala.collection.mutable.Map[
-    String, (org.apache.spark.sql.SparkSession, (Array[Double], Long))]()
+    String, (org.apache.spark.sql.SparkSession, (Array[Double], Long, DataFrame))]()
   graft.Caching.onReleaseAll(() => probeMemo.synchronized(probeMemo.clear()))
 
-  private[graft] def probeModel(s: org.apache.spark.sql.SparkSession,
-                                d: String): (Array[Double], Long) =
+  private[graft] def probeArtifacts(s: org.apache.spark.sql.SparkSession,
+                                    d: String): (Array[Double], Long, DataFrame) =
     probeMemo.synchronized {
       probeMemo.get(d) match {
         case Some((sess, m)) if (sess eq s) && !s.sparkContext.isStopped => m
         case _ =>
           val docs = Tables.documents(s, d)
-          val feat = probeFeatures(docs).localCheckpoint(eager = true)
-          val beta = trainProbe(feat)
-          val maxTokens = docs
+          val maxTokens = graft.Par.spread(docs)
             .agg(max(size(toks(col("text"))))).head().getInt(0).toLong
-          feat.unpersist(blocking = false)
-          probeMemo(d) = (s, (beta, maxTokens))
-          (beta, maxTokens)
+          val feat = graft.Caching.releaseAfter(
+            probeFeatures(docs, maxTokens = Some(maxTokens)))
+          val beta = trainProbe(feat)
+          val m = (beta, maxTokens, feat)
+          probeMemo(d) = (s, m)
+          m
       }
     }
+
+  private[graft] def probeModel(s: org.apache.spark.sql.SparkSession,
+                                d: String): (Array[Double], Long) = {
+    val (beta, maxTokens, _) = probeArtifacts(s, d)
+    (beta, maxTokens)
+  }
 
   /** t_quality_probe: a TRAINED model-based quality scorer — the
     * learned counterpart of the heuristic t_quality_score / t_corpus_
@@ -1201,8 +1218,7 @@ object Text {
       ORDER BY rnk"""
     }),
     (s, d) => {
-      val (beta, maxTokens) = probeModel(s, d)
-      val feat = probeFeatures(Tables.documents(s, d), maxTokens = Some(maxTokens))
+      val (beta, _, feat) = probeArtifacts(s, d)
       val w = Window.orderBy(col("score").desc, col("doc_id"))
       scoreProbe(feat, beta)
         .orderBy(col("score").desc, col("doc_id")).limit(DsirTopK)
