@@ -114,6 +114,25 @@ object Dedup {
     adaptiveDfCapFromDf(
       entries.groupBy("shingle").agg(count(lit(1)).as("df")), nDocs, maxCap)
 
+  /** The capped-index front half every inverted-index operator shares:
+    * materialize the shingle→df table ONCE (vocabulary-sized; it feeds
+    * both the adaptive-cap statistic and the under-cap semi-join
+    * filter, and without materialization each consumer re-tokenizes
+    * the whole corpus — measured +36% on d_containment at the 100×
+    * probe), derive the cap, return (cap, under-cap shingle set).
+    * df=1 shingles are excluded: a single-doc shingle can never form a
+    * pair (the incremental join's self-match is filtered out by its
+    * doc_other predicate).
+    */
+  private def cappedShingles(entries: DataFrame, nDocs: => Long,
+                             maxCap: Long = 1000L,
+                             adaptive: Boolean = true): (Long, DataFrame) = {
+    val dfFreq = graft.Caching.releaseAfter(
+      entries.groupBy("shingle").agg(count(lit(1)).as("df")))
+    val cap = if (adaptive) adaptiveDfCapFromDf(dfFreq, nDocs, maxCap) else maxCap
+    (cap, dfFreq.filter(col("df").between(2, cap)).select("shingle"))
+  }
+
   /** Same map-side pair fan-out for a plain sorted id array (shared by
     * the blocked near-dup operators across modules).
     */
@@ -220,11 +239,17 @@ object Dedup {
                         adaptive: Boolean = true): DataFrame = {
       val entries = shingleSets(docs)
         .select(col("doc_id"), size(col("shs")).as("n"), explode(col("shs")).as("shingle"))
-      val cap = if (adaptive) adaptiveDfCap(entries, docs.count(), maxDf) else maxDf
-      val buckets = entries
+      // df-filter BEFORE the bucket build (semi-join on the under-cap
+      // shingle set, then collect): the filter-after-grouping form
+      // materializes one array per shingle regardless of df — a
+      // stopword shingle at corpus scale is a single multi-million
+      // element collect_list in one task. Join-first bounds every
+      // bucket array by the cap, and the join's shingle partitioning
+      // is reused by the groupBy (no extra exchange).
+      val (_, shf) = cappedShingles(entries, docs.count(), maxDf, adaptive)
+      val buckets = entries.join(shf, Seq("shingle"))
         .groupBy("shingle")
         .agg(array_sort(collect_list(struct(col("doc_id"), col("n")))).as("ids"))
-        .filter(size(col("ids")).between(2, cap))
       buckets
         .select(explode(orderedPairs(col("ids"), threshold - 1e-4)).as("p"))
         .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
@@ -807,12 +832,12 @@ object Dedup {
         .select(col("doc_id"), size(col("shs")).as("n"), explode(col("shs")).as("shingle"))
       // adaptive cap only — containment bounds nothing between na and
       // nb (a tiny doc inside a huge one is the POINT), so the size
-      // filter stays off
-      val cap = adaptiveDfCap(entries, docs.count())
-      val pairs = entries
+      // filter stays off. Join-first bucket build: arrays bounded by
+      // the cap (see ngramJaccardPairs).
+      val (_, shf) = cappedShingles(entries, docs.count())
+      val pairs = entries.join(shf, Seq("shingle"))
         .groupBy("shingle")
         .agg(array_sort(collect_list(struct(col("doc_id"), col("n")))).as("ids"))
-        .filter(size(col("ids")).between(2, cap))
         .select(explode(orderedPairs(col("ids"))).as("p"))
         .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
           col("p.na").as("na"), col("p.nb").as("nb"))
@@ -988,10 +1013,13 @@ object Dedup {
       val thr = docs.agg(floor(lit(0.9) * (max("doc_id") + 1)).cast("long")).head().getLong(0)
       val entries = shingleSets(docs)
         .select(col("doc_id"), size(col("shs")).as("n"), explode(col("shs")).as("shingle"))
-      val dfFreq = entries.groupBy("shingle").agg(count(lit(1)).as("df"))
-      val cap = adaptiveDfCapFromDf(dfFreq, docs.count())
-      val shf = dfFreq.filter(col("df") <= cap).select("shingle")
-      val shc = entries.join(shf, Seq("shingle"))
+      val (_, shf) = cappedShingles(entries, docs.count())
+      // the capped index feeds BOTH sides of the increment×corpus join;
+      // without materialization each side re-tokenizes the corpus and
+      // re-derives the df filter (≈5 full entry passes). Checkpoint it
+      // once — at deploy this is the stored historical index artifact
+      // the operator's contract already names.
+      val shc = graft.Caching.releaseAfter(entries.join(shf, Seq("shingle")))
       val newE = shc.filter(col("doc_id") >= thr)
         .select(col("shingle"), col("doc_id").as("doc_new"), col("n").as("na"))
       val exE = shc.select(col("shingle"), col("doc_id").as("doc_other"), col("n").as("nb"))
