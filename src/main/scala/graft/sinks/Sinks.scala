@@ -50,6 +50,43 @@ object Sinks {
       .write.mode(mode).partitionBy("_kpart").text(outDir)
   }
 
+  /** The exact frame Spark's Kafka sink consumes — so at deploy the
+    * only change is `.write.format("kafka").option("kafka.bootstrap
+    * .servers", …)` on this frame (no Kafka jars ship in this image;
+    * the connector's input contract is public and fixed: `value`
+    * required, `key`/`topic`/`partition` optional columns).
+    *
+    * Mirrors the reference producer's delivery shape
+    * (KafkaAppender.py:20-38): records are UNKEYED (`produce(topic,
+    * value=item, …)`), so `key` is a null binary and there is NO
+    * `partition` column — unkeyed records take the producer's own
+    * round-robin partitioner, exactly like the reference. `value` is
+    * the rendered JSON bytes.
+    */
+  def kafkaWireFrame(df: DataFrame, valueCol: String,
+                     topic: String = "jmx_data_ingestion_pipeline"): DataFrame =
+    df.select(
+      lit(null).cast("binary").as("key"),
+      col(valueCol).cast("binary").as("value"),
+      lit(topic).as("topic"))
+
+  /** Kafka wire frame for the keyed-partitioned JSONL extension: the
+    * same (key, value, topic, partition) columns the connector
+    * consumes, with `partition` pinned to [[writeKafkaJsonl]]'s
+    * explicit hash placement (Kafka's murmur2 key-partitioner differs
+    * from Spark's `hash`, so carrying the partition column — not the
+    * key hash — is what keeps file output and broker placement
+    * identical) and `value` the same `to_json(struct(*))` bytes the
+    * JSONL sink writes per line.
+    */
+  def kafkaJsonlWireFrame(df: DataFrame, keyCol: String, topic: String,
+                          numPartitions: Int = 8): DataFrame =
+    df.select(
+      col(keyCol).cast("string").cast("binary").as("key"),
+      to_json(struct(df.columns.toIndexedSeq.map(col): _*)).cast("binary").as("value"),
+      lit(topic).as("topic"),
+      pmod(hash(col(keyCol)), lit(numPartitions)).cast("int").as("partition"))
+
   /** Hard ceiling for one poll cycle's frame: the global msg_index
     * window funnels all rows through one task, so a corpus-sized input
     * must fail loudly rather than silently single-thread.

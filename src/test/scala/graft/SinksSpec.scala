@@ -49,6 +49,41 @@ class SinksSpec extends SparkSpec {
     assert(out.forall(_.getAs[String]("topic") === "jmx_data_ingestion_pipeline"))
   }
 
+  test("Kafka wire frame: connector-contract columns, value bytes = producer payload") {
+    val n = 57
+    val df = (0 until n).map(i => (i.toLong, s"""{"m":$i}""")).toDF("event_id", "doc")
+    val batches = graft.sinks.Sinks.kafkaProducerBatches(df, Seq("event_id"), "doc")
+    val wire = graft.sinks.Sinks.kafkaWireFrame(batches, "value", "t1")
+    // exact connector contract: key/value binary, topic string, no partition
+    assert(wire.schema.fieldNames.toSeq === Seq("key", "value", "topic"))
+    assert(wire.schema("key").dataType.typeName === "binary")
+    assert(wire.schema("value").dataType.typeName === "binary")
+    val rows = wire.collect()
+    assert(rows.length === n)
+    assert(rows.forall(_.isNullAt(0)), "reference producer is unkeyed — key must be null")
+    assert(rows.forall(_.getAs[String]("topic") === "t1"))
+    // the wire value bytes are exactly the producer payload strings
+    val sent = rows.map(r => new String(r.getAs[Array[Byte]]("value"), "UTF-8")).sorted
+    val produced = batches.select("value").as[String].collect().sorted
+    assert(sent.sameElements(produced))
+  }
+
+  test("Kafka JSONL wire frame byte-equals the JSONL sink's lines, partition-for-partition") {
+    val out = Files.createTempDirectory("graft_kwire_spec").toString
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5)).toDF("k", "name", "v")
+    graft.sinks.Sinks.writeKafkaJsonl(df, "k", out, numPartitions = 4)
+    val wire = graft.sinks.Sinks.kafkaJsonlWireFrame(df, "k", "t2", numPartitions = 4)
+    assert(wire.schema.fieldNames.toSeq === Seq("key", "value", "topic", "partition"))
+    val fileLines = spark.read.text(out)
+      .select($"_kpart".cast("int").as("partition"), $"value".cast("string"))
+      .as[(Int, String)].collect().sorted
+    val wireLines = wire
+      .select($"partition", $"value".cast("string"))
+      .as[(Int, String)].collect().sorted
+    assert(wireLines.sameElements(fileLines),
+      "wire frame must byte-equal the JSONL sink output at the same placement")
+  }
+
   test("Kafka JSONL sink: records land key-partitioned, JSON round-trips") {
     val out = Files.createTempDirectory("graft_kafka_spec").toString
     val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("k", "name", "v")
