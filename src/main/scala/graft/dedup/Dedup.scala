@@ -126,11 +126,25 @@ object Dedup {
     */
   private def cappedShingles(entries: DataFrame, nDocs: => Long,
                              maxCap: Long = 1000L,
-                             adaptive: Boolean = true): (Long, DataFrame) = {
-    val dfFreq = graft.Caching.releaseAfter(
-      entries.groupBy("shingle").agg(count(lit(1)).as("df")))
-    val cap = if (adaptive) adaptiveDfCapFromDf(dfFreq, nDocs, maxCap) else maxCap
-    (cap, dfFreq.filter(col("df").between(2, cap)).select("shingle"))
+                             adaptive: Boolean = true): (Long, DataFrame) =
+    cappedKeys(entries, Seq("shingle"), nDocs, maxCap, adaptive)
+
+  /** [[cappedShingles]] generalized to any blocking key (LSH band
+    * buckets, prefix buckets): materialize key frequencies once,
+    * derive the budgeted cap over the bucket-size histogram, return
+    * the under-cap key set for the join-first bucket build. With
+    * `maxCap = Long.MaxValue` the fixed behavior is "no cap" (the
+    * d_minhash_lsh oracle enumerates every bucket) and the adaptive
+    * cap only engages when predicted pair mass would bust the budget —
+    * the same low-duplication-identical contract as the shingle cap.
+    */
+  private def cappedKeys(rows: DataFrame, keyCols: Seq[String], nDocs: => Long,
+                         maxCap: Long = 1000L,
+                         adaptive: Boolean = true): (Long, DataFrame) = {
+    val freq = graft.Caching.releaseAfter(
+      rows.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("df")))
+    val cap = if (adaptive) adaptiveDfCapFromDf(freq, nDocs, maxCap) else maxCap
+    (cap, freq.filter(col("df").between(2, cap)).select(keyCols.map(col): _*))
   }
 
   /** Same map-side pair fan-out for a plain sorted id array (shared by
@@ -342,10 +356,17 @@ object Dedup {
         posexplode(array((0 until 4).map(b => concat_ws(",",
           (0 until 4).map(k => col(s"mh${b * 4 + k}").cast("string")): _*)): _*))
           .as(Seq("band", "bsig")))
-      val cand = bands
+      // band buckets were previously UNCAPPED (filter ≥ 2 only): a
+      // replica-heavy bucket is one corpus-sized collect_list array
+      // whose map-side fan-out is quadratic in duplication. Same
+      // budgeted-cap + join-first treatment as the shingle index;
+      // maxCap = unbounded so low-duplication corpora keep the
+      // oracle's every-bucket semantics exactly.
+      val (_, hot) = cappedKeys(bands, Seq("band", "bsig"),
+        docs.count(), maxCap = Long.MaxValue)
+      val cand = bands.join(hot, Seq("band", "bsig"))
         .groupBy("band", "bsig")
         .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
-        .filter(size(col("ids")) >= 2)
         .select(explode(orderedIdPairs(col("ids"))).as("p"))
         .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
         .distinct()
@@ -771,9 +792,13 @@ object Dedup {
       val keyed = norm
         .filter(length(col("s")) >= 50)
         .select(col("doc_id"), substring(col("s"), 1, 50).as("p50"))
-      val cand = keyed
+      // join-first + budgeted cap (≤ the oracle's fixed 1000; identical
+      // on low-duplication data): truncation-replica corpora share the
+      // p50 prefix across every replica, so an uncapped bucket array
+      // is quadratic in duplication
+      val (_, hot) = cappedKeys(keyed, Seq("p50"), norm.count())
+      val cand = keyed.join(hot, Seq("p50"))
         .groupBy("p50").agg(array_sort(collect_list(col("doc_id"))).as("ids"))
-        .filter(size(col("ids")).between(2, 1000))
         .select(explode(orderedIdPairs(col("ids"))).as("p"))
         .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       val shorter = when(length(col("sa")) <= length(col("sb")), col("sa")).otherwise(col("sb"))

@@ -47,6 +47,20 @@ class AdaptiveBlockingSpec extends SparkSpec {
     assert(cap >= 2L, s"cap collapsed entirely (got $cap)")
   }
 
+  test("LSH band buckets: budgeted cap sheds replica-quadratic pair mass") {
+    // 3 texts × 1000 replicas: every band bucket holds 1000 ids, mass
+    // 4 bands × 3 × 999·1000/2 ≈ 6.0M against a budget of 1000 × 3000
+    // = 3M — the bucket cap must engage and shed the quadratic mass
+    // (on low-duplication corpora it resolves to no-cap: the
+    // d_minhash_lsh oracle gate proves that side).
+    val base = (0 until 3).map(k =>
+      (0 until 22).map(i => s"v${k}_$i").mkString(" "))
+    val rows = for (k <- 0 until 3; r <- 0 until 1000)
+      yield ((k * 1000 + r).toLong, base(k))
+    val pairs = Dedup.minhashLshPairs(docsOf(rows))
+    assert(pairs.count() === 0L, "over-budget replica buckets must be shed")
+  }
+
   test("mixed corpus: replica mass is shed, low-duplication near-dups survive") {
     val base = (0 until 5).map(k =>
       (0 until 22).map(i => s"w${k}_$i").mkString(" "))
