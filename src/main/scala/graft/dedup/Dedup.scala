@@ -35,33 +35,10 @@ object Dedup {
   def shingleTable(docs: DataFrame): DataFrame =
     shingleSets(docs).select(col("doc_id"), explode(col("shs")).as("shingle"))
 
-  /** All ordered pairs (a < b) of an ascending-sorted id array,
-    * generated map-side — the pair fan-out of an inverted-index
-    * bucket without a self-join.
-    *
-    * `minSizeRatio` > 0 adds the LOSSLESS size filter of
-    * similarity-join literature inside the bucket, before the pair
-    * struct is built or shuffled: Jaccard is bounded above by
-    * min(na,nb)/max(na,nb) (n_common ≤ min and the union ≥ max), so
-    * for a rounded threshold t no pair with min/max < t − 5e-5 can
-    * reach it. Callers pass t − 1e-4 (margin below the half-up
-    * rounding bound) so the kept set is a strict superset of every
-    * pair the threshold filter could keep — output-identical, but hot
-    * buckets of heterogeneous doc sizes fan out far fewer pairs.
-    * Containment-style thresholds bound nothing between na and nb, so
-    * those callers keep the default 0 (no filter).
-    */
-  private def orderedPairs(ids: Column, minSizeRatio: Double = 0.0): Column = {
-    def sized(seg: Column, x: Column): Column =
-      if (minSizeRatio <= 0.0) seg
-      else filter(seg, y =>
-        least(x.getField("n"), y.getField("n")).cast("double") >=
-          greatest(x.getField("n"), y.getField("n")).cast("double") * lit(minSizeRatio))
-    flatten(transform(ids, (x, i) =>
-      transform(sized(slice(ids, i + lit(2), greatest(size(ids) - i - 1, lit(0))), x),
-        y => struct(x.getField("doc_id").as("doc_a"), x.getField("n").as("na"),
-          y.getField("doc_id").as("doc_b"), y.getField("n").as("nb")))))
-  }
+  // Bucket pair fan-out is the native generator pair
+  // (gfunctions.orderedPairsRows / orderedIdPairsRows →
+  // functions.OrderedPairsGen): the lossless size-filter math and the
+  // laziness contract live on the expression's Scaladoc.
 
   /** Pair-mass budget per corpus document for [[adaptiveDfCap]]. Sized
     * so the driver corpora never tighten (sf0.1 carries ~253
@@ -146,14 +123,6 @@ object Dedup {
     val cap = if (adaptive) adaptiveDfCapFromDf(freq, nDocs, maxCap) else maxCap
     (cap, freq.filter(col("df").between(2, cap)).select(keyCols.map(col): _*))
   }
-
-  /** Same map-side pair fan-out for a plain sorted id array (shared by
-    * the blocked near-dup operators across modules).
-    */
-  private[graft] def orderedIdPairs(ids: Column): Column =
-    flatten(transform(ids, (x, i) =>
-      transform(slice(ids, i + lit(2), greatest(size(ids) - i - 1, lit(0))),
-        y => struct(x.as("doc_a"), y.as("doc_b")))))
 
   private val ShSql =
     s"""sh AS (SELECT DISTINCT doc_id,
@@ -265,9 +234,8 @@ object Dedup {
         .groupBy("shingle")
         .agg(array_sort(collect_list(struct(col("doc_id"), col("n")))).as("ids"))
       buckets
-        .select(explode(orderedPairs(col("ids"), threshold - 1e-4)).as("p"))
-        .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
-          col("p.na").as("na"), col("p.nb").as("nb"))
+        .select(orderedPairsRows(col("ids"), threshold - 1e-4))
+        .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(count(lit(1)).as("n_common"))
         .select(col("doc_a"), col("doc_b"),
           round(col("n_common").cast("double") /
@@ -367,8 +335,7 @@ object Dedup {
       val cand = bands.join(hot, Seq("band", "bsig"))
         .groupBy("band", "bsig")
         .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
-        .select(explode(orderedIdPairs(col("ids"))).as("p"))
-        .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+        .select(orderedIdPairsRows(col("ids")))
         .distinct()
       val out = cand
         .join(ds.select(col("doc_id").as("doc_a"), col("shs").as("sa")), Seq("doc_a"))
@@ -799,8 +766,7 @@ object Dedup {
       val (_, hot) = cappedKeys(keyed, Seq("p50"), norm.count())
       val cand = keyed.join(hot, Seq("p50"))
         .groupBy("p50").agg(array_sort(collect_list(col("doc_id"))).as("ids"))
-        .select(explode(orderedIdPairs(col("ids"))).as("p"))
-        .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+        .select(orderedIdPairsRows(col("ids")))
       val shorter = when(length(col("sa")) <= length(col("sb")), col("sa")).otherwise(col("sb"))
       val longer = when(length(col("sa")) <= length(col("sb")), col("sb")).otherwise(col("sa"))
       cand
@@ -863,9 +829,8 @@ object Dedup {
       val pairs = entries.join(shf, Seq("shingle"))
         .groupBy("shingle")
         .agg(array_sort(collect_list(struct(col("doc_id"), col("n")))).as("ids"))
-        .select(explode(orderedPairs(col("ids"))).as("p"))
-        .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
-          col("p.na").as("na"), col("p.nb").as("nb"))
+        .select(orderedPairsRows(col("ids")))
+        .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(count(lit(1)).as("n_common"))
       val cont = round(col("n_common").cast("double") / least(col("na"), col("nb")), 4)
       pairs

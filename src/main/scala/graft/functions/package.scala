@@ -61,6 +61,25 @@ package object gfunctions {
       cents.map(_._1).toArray, cents.map(_._2.toArray).toArray))
   }
 
+  /** Lazy ordered-pair fan-out of a sorted `array<struct<doc_id,n>>`
+    * bucket as generator ROWS (doc_a, na, doc_b, nb) — graft's native
+    * Generator (functions.OrderedPairsGen): no per-bucket pair-array
+    * materialization, no interpreted HOF. `minSizeRatio` replays the
+    * lossless size filter with identical float semantics.
+    */
+  def orderedPairsRows(ids: Column, minSizeRatio: Double = 0.0): Column = {
+    import org.apache.spark.sql.graftshim.Shim
+    Shim.column(graft.functions.OrderedPairsGen(Shim.expression(ids), minSizeRatio))
+  }
+
+  /** Id-only lazy pair fan-out of a sorted `array<long>` bucket as
+    * rows (doc_a, doc_b) — functions.OrderedIdPairsGen.
+    */
+  def orderedIdPairsRows(ids: Column): Column = {
+    import org.apache.spark.sql.graftshim.Shim
+    Shim.column(graft.functions.OrderedIdPairsGen(Shim.expression(ids)))
+  }
+
   /** Null-safe division: NULL when the divisor is 0, matching DuckDB
     * (and pre-ANSI Spark). Spark 4 runs ANSI mode by default, where a
     * plain `/` THROWS on a zero divisor — any division by a

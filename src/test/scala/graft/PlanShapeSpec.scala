@@ -48,6 +48,24 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("near-dup pair fan-out runs the native generator on capped buckets") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val p = plan(graft.dedup.Dedup.ngramJaccardPairs(docs))
+    assert(p.contains("Generate graft_ordered_pairs"),
+      s"pair fan-out must be the native generator:\n$p")
+    assert(!p.contains("flatten"),
+      s"the materializing HOF pair chain must be gone:\n$p")
+    // bucket arrays are built only AFTER the under-cap semi-join: the
+    // collect_list aggregate's input must be a join output, never the
+    // raw exploded entries (that ordering is what bounds every bucket
+    // array by the cap at any duplication level)
+    val lines = p.linesIterator.toVector
+    val aggIdx = lines.indexWhere(l => l.contains("partial_collect_list"))
+    val joinIdx = lines.indexWhere(_.contains("Join"))
+    assert(aggIdx >= 0 && joinIdx > aggIdx,
+      s"bucket build must consume the df-filter join:\n$p")
+  }
+
   test("no operator plans a cartesian product") {
     // includes the IVF family: since the map-side argmin rewrite their
     // centroids are literals, so no crossJoin remains anywhere.
