@@ -1,0 +1,118 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Storage lifecycle for the near-dup index artifacts — the
+  * counterpart of sim.IvfStore for the dedup family, and the piece
+  * that makes d_incremental's "stored historical index" contract
+  * literal: a production pipeline builds the index over today's
+  * corpus ONCE, saves it, and every nightly increment dedups against
+  * storage without touching historical documents again.
+  *
+  * Artifact layout under `dir`:
+  *   - `entries/` — the shingle inverted index (shingle, doc_id, n)
+  *   - `df/`      — the shingle→document-frequency table
+  *   - `meta/`    — (n_docs) one row
+  *
+  * The df table is the SUFFICIENT STATISTIC for the duplication-
+  * adaptive cap: an ingest merges stored df with the batch's df
+  * (vocabulary-sized outer join — no corpus pass) and recovers the
+  * exact cap a full recompute over history ∪ batch would derive, so
+  * `ingest` is provably ≡ d_incremental's full-recompute output
+  * restricted to pairs touching the batch (DedupStoreSpec) while its
+  * per-batch cost is ∝ batch size + vocabulary size, independent of
+  * history length.
+  */
+object DedupStore {
+
+  /** In-memory handle: corpus inverted index + df table + doc count.
+    * `entries` carries each doc's full shingle-set size n so jaccard
+    * needs no side lookup (same contract as ngramJaccardPairs).
+    */
+  final case class DedupIndex(entries: DataFrame, dfFreq: DataFrame, nDocs: Long)
+
+  def build(docs: DataFrame): DedupIndex = {
+    val entries = Dedup.shingleSets(docs)
+      .select(col("doc_id"), size(col("shs")).as("n"), explode(col("shs")).as("shingle"))
+    val dfFreq = entries.groupBy("shingle").agg(count(lit(1)).as("df"))
+    DedupIndex(entries, dfFreq, docs.count())
+  }
+
+  def save(idx: DedupIndex, dir: String): Unit = {
+    val s = idx.entries.sparkSession
+    import s.implicits._
+    idx.entries.write.mode("overwrite").parquet(s"$dir/entries")
+    idx.dfFreq.write.mode("overwrite").parquet(s"$dir/df")
+    Seq(idx.nDocs).toDF("n_docs").write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  def load(s: SparkSession, dir: String): DedupIndex =
+    DedupIndex(
+      s.read.parquet(s"$dir/entries"),
+      s.read.parquet(s"$dir/df"),
+      s.read.parquet(s"$dir/meta").head().getLong(0))
+
+  /** Dedup a new batch against the stored history WITHOUT recomputing
+    * old×old: returns (doc_new, doc_other, cross_batch, jaccard) for
+    * every near-dup pair touching the batch — d_incremental's exact
+    * output contract, derived from the stored artifacts.
+    *
+    * The combined df table (stored ⊕ batch, outer-summed) restores
+    * the full-recompute adaptive cap bit-exactly; the under-cap
+    * filter is additionally restricted to shingles the batch touches
+    * (a pair's common shingles all live in the batch doc, so nothing
+    * a batch pair counts is lost). History and batch doc_id spaces
+    * must be disjoint — that is the ingest boundary's contract, same
+    * as the reference pipeline's monotone crawl ids.
+    */
+  def ingest(idx: DedupIndex, batch: DataFrame,
+             threshold: Double = 0.5): DataFrame = {
+    val bEntries = Dedup.shingleSets(batch)
+      .select(col("doc_id"), size(col("shs")).as("n"), explode(col("shs")).as("shingle"))
+    val bDf = graft.Caching.releaseAfter(
+      bEntries.groupBy("shingle").agg(count(lit(1)).as("bdf")))
+    val dfFull = graft.Caching.releaseAfter(
+      idx.dfFreq.join(bDf, Seq("shingle"), "full")
+        .select(col("shingle"),
+          (coalesce(col("df"), lit(0L)) + coalesce(col("bdf"), lit(0L))).as("df"),
+          col("bdf")))
+    val cap = Dedup.adaptiveDfCapFromDf(dfFull, idx.nDocs + batch.count())
+    val shf = dfFull
+      .filter(col("df").between(2, cap) && col("bdf").isNotNull)
+      .select("shingle")
+    val newE = bEntries.join(shf, Seq("shingle"))
+      .select(col("shingle"), col("doc_id").as("doc_new"), col("n").as("na"))
+    val exE = idx.entries.join(shf, Seq("shingle"))
+      .select(col("shingle"), col("doc_id").as("doc_other"),
+        col("n").as("nb"), lit(true).as("cross_batch"))
+      .unionByName(bEntries.join(shf, Seq("shingle"))
+        .select(col("shingle"), col("doc_id").as("doc_other"),
+          col("n").as("nb"), lit(false).as("cross_batch")))
+    newE.join(exE, Seq("shingle"))
+      .filter(col("cross_batch") || col("doc_other") > col("doc_new"))
+      .groupBy("doc_new", "na", "doc_other", "nb", "cross_batch")
+      .agg(count(lit(1)).as("n_common"))
+      .select(col("doc_new"), col("doc_other"), col("cross_batch"),
+        round(col("n_common").cast("double") /
+          (col("na") + col("nb") - col("n_common")), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Fold an ingested batch into the index (in-memory plan union —
+    * the entries/df plans deepen per batch exactly like IvfStore.add;
+    * `save` + `load` is the periodic compaction that collapses them
+    * back to parquet scans).
+    */
+  def append(idx: DedupIndex, batch: DataFrame): DedupIndex = {
+    val bEntries = Dedup.shingleSets(batch)
+      .select(col("doc_id"), size(col("shs")).as("n"), explode(col("shs")).as("shingle"))
+    val bDf = bEntries.groupBy("shingle").agg(count(lit(1)).as("df"))
+    DedupIndex(
+      idx.entries.unionByName(bEntries),
+      idx.dfFreq.join(bDf.withColumnRenamed("df", "bdf"), Seq("shingle"), "full")
+        .select(col("shingle"),
+          (coalesce(col("df"), lit(0L)) + coalesce(col("bdf"), lit(0L))).as("df")),
+      idx.nDocs + batch.count())
+  }
+}
