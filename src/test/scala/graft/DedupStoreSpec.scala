@@ -44,6 +44,36 @@ class DedupStoreSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("ingest ≡ full recompute even when the batch TIGHTENS the adaptive cap") {
+    // The corpus busts the pair-mass budget, so the merged df table
+    // must reproduce the TIGHTENED full-corpus cap — the sufficiency
+    // claim under cap movement, not just the slack-budget identity —
+    // while a moderate-duplication group under the tightened cap
+    // still yields both cross-batch and in-batch pairs to compare.
+    // 331 docs, budget 331k: group A (201 replicas, shingle df 201,
+    // mass ≈ 402k) busts → cap 200, its pairs shed; group B (30
+    // replicas split across the 90% batch boundary, df 30 ≤ cap)
+    // survives on both sides. Written as a documents.parquet dir so
+    // the registered d_incremental runs on it unmodified.
+    val repA = (0 until 22).map(i => s"r_$i").mkString(" ")
+    val repB = (0 until 22).map(i => s"b_$i").mkString(" ")
+    val rows =
+      (0 until 201).map(r => (r.toLong, repA)) ++
+        (0 until 100).map(k => (300L + k, (0 until 25).map(i => s"u${k}_$i").mkString(" "))) ++
+        (0 until 15).map(r => (420L + r, repB)) ++  // history side of B
+        (0 until 15).map(r => (900L + r, repB))     // batch side of B (thr = 823)
+    val tmp = Files.createTempDirectory("dedup_store_hot")
+    val stage = tmp.resolve("stage")
+    rows.toDF("doc_id", "text").coalesce(1).write.parquet(stage.toString)
+    val part = Files.list(stage)
+      .filter(_.toString.endsWith(".parquet")).findFirst().get()
+    Files.copy(part, tmp.resolve("documents.parquet"))
+    val (hist, batch) = split(tmp.toString)
+    val got = sortedRows(DedupStore.ingest(DedupStore.build(hist), batch))
+    val want = sortedRows(Dedup.incrementalDedup.run(spark, tmp.toString))
+    assert(got === want)
+  }
+
   test("append folds a batch: appended index equals an index built on the union") {
     val (hist, batch) = split(sfDir)
     val appended = DedupStore.append(DedupStore.build(hist), batch)
