@@ -13,7 +13,8 @@ object Bench {
   final case class Result(
       timings: Seq[(String, Double)],
       spreads: Map[String, Double],
-      errors: Map[String, String])
+      errors: Map[String, String],
+      gcPerQuery: Map[String, Long] = Map.empty)
 
   /** Time each query (min of `runs` full-result counts). Separated
     * from main() so a spec can feed a deliberately-broken query and
@@ -25,9 +26,11 @@ object Bench {
     val timings = Vector.newBuilder[(String, Double)]
     val spreads = Map.newBuilder[String, Double]
     val errors = Map.newBuilder[String, String]
+    val gcPer = Map.newBuilder[String, Long]
     for ((name, fn) <- queries) {
       val ok = Vector.newBuilder[Double]
       var err: Option[String] = None
+      val gcBefore = gcMillis()
       for (_ <- 1 to runs if err.isEmpty) {
         val t0 = System.nanoTime()
         try {
@@ -44,9 +47,14 @@ object Bench {
         case None =>
           timings += name -> times.min
           if (times.size >= 2 && times.min > 0) spreads += name -> times.max / times.min
+          // GC attribution across ALL this query's runs: heap pressure
+          // a query induces is visible even when min-of-runs hides it
+          // (the r7 sf1 artifact needed exactly this to separate one
+          // query's GC storm from suite-wide regression).
+          gcPer += name -> (gcMillis() - gcBefore)
       }
     }
-    Result(timings.result(), spreads.result(), errors.result())
+    Result(timings.result(), spreads.result(), errors.result(), gcPer.result())
   }
 
   private def jsonStr(s: String): String =
@@ -100,6 +108,8 @@ object Bench {
       .map { case (k, v) => jsonStr(k) + ":" + f"$v%.3f" }.mkString("{", ",", "}")
     val errorsJson = res.errors.toSeq.sortBy(_._1)
       .map { case (k, v) => jsonStr(k) + ":" + jsonStr(v) }.mkString("{", ",", "}")
+    val gcPerJson = res.gcPerQuery.toSeq.sortBy(_._1)
+      .map { case (k, v) => jsonStr(k) + ":" + v }.mkString("{", ",", "}")
     val total = res.timings.map(_._2).sum
     // a leaked SPARK_GRAFT_ONLY must never masquerade as a full run:
     // mark subset output explicitly so partial totals are recognizable.
@@ -108,7 +118,7 @@ object Bench {
       .getOrElse("")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs""" +
-        s""","errors":$errorsJson,"spreads":$spreadsJson""" +
+        s""","errors":$errorsJson,"spreads":$spreadsJson,"gc_per_query":$gcPerJson""" +
         s""","gc_ms":$gcMs,"load_avg":$loadAvg,"sf":"$sfDir"$subsetTag}"""
     // the stdout line is the driver contract, but its captured tail has
     // truncated in past rounds — also write the full JSON as a file

@@ -387,6 +387,18 @@ object Dedup {
     * pairwise join ever runs.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val (out, sim) = simhashPairsRaw(docs, maxHamming)
+    graft.Caching.releaseAfter(out, sim)
+  }
+
+  /** simhashPairs WITHOUT the final materialization: returns the lazy
+    * pair plan plus the persisted signature frame the caller must
+    * release. Lets simhashCompactPairs overlay its expansion joins and
+    * checkpoint the pair set ONCE — checkpointing both the rep-level
+    * pairs and the expanded union doubles block storage and GC for an
+    * output that can reach ~50M rows (the r7 sf1 signature).
+    */
+  private def simhashPairsRaw(docs: DataFrame, maxHamming: Int): (DataFrame, DataFrame) = {
       val tc = graft.Par.spread(docs)
         .withColumn("t", Text.toks(col("text")))
         .select(col("doc_id"), explode(col("t")).as("token"))
@@ -416,7 +428,7 @@ object Dedup {
         .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
         .filter(col("hamming") <= maxHamming)
         .select(col("doc_a"), col("doc_b"), col("hamming"))
-      graft.Caching.releaseAfter(out, sim)
+      (out, sim)
   }
 
   /** d_simhash_compact: the exact-prepass COMPOSITION of d_simhash —
@@ -449,21 +461,31 @@ object Dedup {
   def simhashCompactPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val w = Window.partitionBy("tok_hash")
     // (doc_id, rep_id) membership: rep = min doc_id of the class of
-    // docs with identical token sequences.
-    val members = docs
+    // docs with identical token sequences. The collapse window moves
+    // TWO NARROW COLUMNS through its exchange — corpus text never
+    // enters a shuffle or a persist here (the r7 version carried
+    // `text` through the window and persisted it, which cost 3.6× the
+    // direct d_simhash at sf1 from heap/GC pressure alone).
+    val ids = docs
       .select(col("doc_id"),
-        md5(regexp_replace(trim(col("text")), "\\s+", " ")).as("tok_hash"),
-        col("text"))
+        md5(regexp_replace(trim(col("text")), "\\s+", " ")).as("tok_hash"))
       .withColumn("rep_id", min("doc_id").over(w))
+      .select(col("doc_id"), col("rep_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ids = members.select(col("doc_id"), col("rep_id"))
+    // Text rejoined for REPRESENTATIVES only — class-count-sized. The
+    // probe side is (doc_id) alone, so AQE broadcasts it whenever the
+    // class count is modest (always true in the replica-heavy regime
+    // this composition exists for) and the docs scan is filtered
+    // map-side with zero text movement; the fallback shuffle still
+    // moves each rep text once, unpersisted.
+    val repDocs = docs.select(col("doc_id"), col("text"))
+      .join(ids.filter(col("doc_id") === col("rep_id")).select("doc_id"), Seq("doc_id"))
     // Rep-level near-dup pairs: the full simhash machinery, but over
     // unique texts only. Hamming(rep_a, rep_b) = hamming(a, b) for any
     // members a, b because signatures are functions of the token
-    // sequence.
-    val repPairs = simhashPairs(
-      members.filter(col("doc_id") === col("rep_id")).select(col("doc_id"), col("text")),
-      maxHamming)
+    // sequence. Raw (uncheckpointed) plan: the expansion joins overlay
+    // it and the whole pair set materializes exactly once, at the end.
+    val (repPairs, sim) = simhashPairsRaw(repDocs, maxHamming)
     // Same-class pairs: identical signatures, hamming 0.
     val intra = ids.as("x")
       .join(ids.as("y"),
@@ -482,7 +504,7 @@ object Dedup {
         greatest(col("ma.doc_id"), col("mb.doc_id")).as("doc_b"),
         col("hamming"))
     // Disjoint by construction: intra has rep_a = rep_b, cross rep_a ≠ rep_b.
-    graft.Caching.releaseAfter(intra.unionByName(cross), members)
+    graft.Caching.releaseAfter(intra.unionByName(cross), sim, ids)
   }
 
   /** d_embed_dup: embedding-cosine near-dup pairs, exact (every pair
