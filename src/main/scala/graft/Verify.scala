@@ -6,6 +6,11 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // Oracle-gated run: the DuckDB SQL hard-codes the fixed df cap, so
+    // a duplication-adaptive cap that tightens on this corpus must
+    // fail loudly at derivation (Dedup.adaptiveDfCapFromDf), not as an
+    // opaque hash mismatch in the driver's compare.
+    sys.props("graft.assertFixedCap") = "true"
     val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
       .getOrElse(Runtime.getRuntime.availableProcessors())
     val spark = GraftSession.local(cpus)

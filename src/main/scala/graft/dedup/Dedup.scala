@@ -80,8 +80,32 @@ object Dedup {
       if (cum + mass <= budget) cum += mass
       else { cap = dfv - 1; busted = true }
     }
-    cap
+    // Floor at 2: df=2 keys ARE the exact-duplicate signal — a corpus
+    // of few-but-long documents can bust the per-doc budget on the
+    // df=2 bucket alone (budget ignores shingles-per-doc), and a cap
+    // of 1 silently returns ZERO pairs where the fixed cap had full
+    // recall. df=2 pair mass is ≤ vocabulary/2, linear — always safe.
+    val floored = math.max(cap, 2L)
+    if (floored < maxCap) {
+      // Recall loss must be observable, never silent: every key with
+      // frequency > cap drops out of the pair stage.
+      log.warn(s"adaptive df cap tightened to $floored (maxCap $maxCap, " +
+        s"nDocs $nDocs): predicted pair mass busts the ${budget}-pair budget; " +
+        s"keys with frequency > $floored are excluded from pairing")
+      // Oracle-gated runs (Verify sets graft.assertFixedCap) compare
+      // against DuckDB SQL that hard-codes the fixed cap; a tightened
+      // cap there must fail HERE, self-identified, not as an opaque
+      // hash mismatch three layers up.
+      if (sys.props.get("graft.assertFixedCap").contains("true"))
+        throw new IllegalStateException(
+          s"adaptive df cap tightened to $floored < maxCap $maxCap during an " +
+            "oracle-gated run; the DuckDB oracle assumes the fixed cap — " +
+            "regenerate the oracle or run this corpus without the assertion")
+    }
+    floored
   }
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.dedup")
 
   /** [[adaptiveDfCapFromDf]] over raw index entries (one row per
     * (doc, shingle)).

@@ -26,17 +26,23 @@ import org.apache.spark.sql.functions._
   */
 object DedupStore {
 
-  /** In-memory handle: corpus inverted index + df table + doc count.
-    * `entries` carries each doc's full shingle-set size n so jaccard
-    * needs no side lookup (same contract as ngramJaccardPairs).
+  /** In-memory handle: corpus inverted index + df table + doc count +
+    * max indexed doc id. `entries` carries each doc's full shingle-set
+    * size n so jaccard needs no side lookup (same contract as
+    * ngramJaccardPairs). `maxDocId` makes the history/batch id
+    * disjointness that ingest's cross_batch labels and pair-dedup
+    * filter depend on CHECKABLE without scanning history.
     */
-  final case class DedupIndex(entries: DataFrame, dfFreq: DataFrame, nDocs: Long)
+  final case class DedupIndex(entries: DataFrame, dfFreq: DataFrame,
+                              nDocs: Long, maxDocId: Long)
 
   def build(docs: DataFrame): DedupIndex = {
     val entries = Dedup.shingleSets(docs)
       .select(col("doc_id"), size(col("shs")).as("n"), explode(col("shs")).as("shingle"))
     val dfFreq = entries.groupBy("shingle").agg(count(lit(1)).as("df"))
-    DedupIndex(entries, dfFreq, docs.count())
+    val stats = docs.agg(count(lit(1)), max("doc_id")).head()
+    DedupIndex(entries, dfFreq, stats.getLong(0),
+      if (stats.isNullAt(1)) Long.MinValue else stats.getLong(1))
   }
 
   def save(idx: DedupIndex, dir: String): Unit = {
@@ -44,14 +50,17 @@ object DedupStore {
     import s.implicits._
     idx.entries.write.mode("overwrite").parquet(s"$dir/entries")
     idx.dfFreq.write.mode("overwrite").parquet(s"$dir/df")
-    Seq(idx.nDocs).toDF("n_docs").write.mode("overwrite").parquet(s"$dir/meta")
+    Seq((idx.nDocs, idx.maxDocId)).toDF("n_docs", "max_doc_id")
+      .write.mode("overwrite").parquet(s"$dir/meta")
   }
 
-  def load(s: SparkSession, dir: String): DedupIndex =
+  def load(s: SparkSession, dir: String): DedupIndex = {
+    val meta = s.read.parquet(s"$dir/meta").head()
     DedupIndex(
       s.read.parquet(s"$dir/entries"),
       s.read.parquet(s"$dir/df"),
-      s.read.parquet(s"$dir/meta").head().getLong(0))
+      meta.getLong(0), meta.getLong(1))
+  }
 
   /** Dedup a new batch against the stored history WITHOUT recomputing
     * old×old: returns (doc_new, doc_other, cross_batch, jaccard) for
@@ -68,8 +77,23 @@ object DedupStore {
     */
   def ingest(idx: DedupIndex, batch: DataFrame,
              threshold: Double = 0.5): DataFrame = {
-    val bEntries = Dedup.shingleSets(batch)
-      .select(col("doc_id"), size(col("shs")).as("n"), explode(col("shs")).as("shingle"))
+    val bStats = batch.agg(count(lit(1)), min("doc_id")).head()
+    val bCount = bStats.getLong(0)
+    // Fail loudly on overlapping id spaces: an overlap would silently
+    // mislabel cross_batch and duplicate/drop pairs (the `doc_other >
+    // doc_new` in-batch filter assumes every history id < batch id).
+    if (bCount > 0) {
+      val bMin = bStats.getLong(1)
+      require(bMin > idx.maxDocId,
+        s"DedupStore.ingest: batch min doc_id $bMin overlaps stored history " +
+          s"(max doc_id ${idx.maxDocId}); ingest batches must use fresh, " +
+          "monotonically increasing doc ids")
+    }
+    // One shingle pass for the whole ingest: bEntries feeds bDf, newE,
+    // and the in-batch exE branch.
+    val bEntries = graft.Caching.releaseAfter(
+      Dedup.shingleSets(batch)
+        .select(col("doc_id"), size(col("shs")).as("n"), explode(col("shs")).as("shingle")))
     val bDf = graft.Caching.releaseAfter(
       bEntries.groupBy("shingle").agg(count(lit(1)).as("bdf")))
     val dfFull = graft.Caching.releaseAfter(
@@ -77,7 +101,7 @@ object DedupStore {
         .select(col("shingle"),
           (coalesce(col("df"), lit(0L)) + coalesce(col("bdf"), lit(0L))).as("df"),
           col("bdf")))
-    val cap = Dedup.adaptiveDfCapFromDf(dfFull, idx.nDocs + batch.count())
+    val cap = Dedup.adaptiveDfCapFromDf(dfFull, idx.nDocs + bCount)
     val shf = dfFull
       .filter(col("df").between(2, cap) && col("bdf").isNotNull)
       .select("shingle")
@@ -108,11 +132,13 @@ object DedupStore {
     val bEntries = Dedup.shingleSets(batch)
       .select(col("doc_id"), size(col("shs")).as("n"), explode(col("shs")).as("shingle"))
     val bDf = bEntries.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val bStats = batch.agg(count(lit(1)), max("doc_id")).head()
     DedupIndex(
       idx.entries.unionByName(bEntries),
       idx.dfFreq.join(bDf.withColumnRenamed("df", "bdf"), Seq("shingle"), "full")
         .select(col("shingle"),
           (coalesce(col("df"), lit(0L)) + coalesce(col("bdf"), lit(0L))).as("df")),
-      idx.nDocs + batch.count())
+      idx.nDocs + bStats.getLong(0),
+      if (bStats.isNullAt(1)) idx.maxDocId else math.max(idx.maxDocId, bStats.getLong(1)))
   }
 }

@@ -77,6 +77,7 @@ case class OrderedPairsGen(child: Expression, minSizeRatio: Double)
 
           override def next(): InternalRow = {
             advance()
+            if (!ready) throw new NoSuchElementException("OrderedPairsGen exhausted")
             val r = InternalRow(ids(i), szs(i), ids(j), szs(j))
             ready = false
             j += 1
@@ -118,6 +119,7 @@ case class OrderedIdPairsGen(child: Expression)
           private var j = 1
           override def hasNext: Boolean = i < n - 1 && j < n
           override def next(): InternalRow = {
+            if (!hasNext) throw new NoSuchElementException("OrderedIdPairsGen exhausted")
             val r = InternalRow(ids(i), ids(j))
             j += 1
             if (j >= n) { i += 1; j = i + 1 }

@@ -1145,32 +1145,64 @@ object Text {
     * tokenize passes total, and scoring reads the checkpoint.
     */
   private val probeMemo = scala.collection.mutable.Map[
-    String, (org.apache.spark.sql.SparkSession, (Array[Double], Long, DataFrame))]()
+    String, (org.apache.spark.sql.SparkSession, Array[Double], Long, Option[DataFrame])]()
   graft.Caching.onReleaseAll(() => probeMemo.synchronized(probeMemo.clear()))
+
+  /** Drop every OTHER dir's checkpointed feature frame (corpus-row ×
+    * 8-double blocks): a multi-dir harness session keeps at most ONE
+    * corpus-sized artifact pinned; the 7-number (β, maxTokens) models
+    * stay memoized for every dir.
+    */
+  private def evictOtherFeatures(keep: String): Unit =
+    probeMemo.mapValuesInPlace { case (k, (sess, beta, mt, feat)) =>
+      if (k == keep) (sess, beta, mt, feat)
+      else {
+        feat.foreach(f => org.apache.spark.sql.graftshim.Shim.checkpointedRdd(f)
+          .foreach(r => try r.unpersist(blocking = false) catch { case _: Throwable => () }))
+        (sess, beta, mt, None)
+      }
+    }
 
   private[graft] def probeArtifacts(s: org.apache.spark.sql.SparkSession,
                                     d: String): (Array[Double], Long, DataFrame) =
     probeMemo.synchronized {
+      def featurize(mt: Long) = graft.Caching.releaseAfter(
+        probeFeatures(Tables.documents(s, d), maxTokens = Some(mt)))
       probeMemo.get(d) match {
-        case Some((sess, m)) if (sess eq s) && !s.sparkContext.isStopped => m
+        case Some((sess, beta, mt, Some(feat))) if (sess eq s) && !s.sparkContext.isStopped =>
+          (beta, mt, feat)
+        case Some((sess, beta, mt, None)) if (sess eq s) && !s.sparkContext.isStopped =>
+          // model survives eviction; only the served frame re-derives
+          val feat = featurize(mt)
+          probeMemo(d) = (s, beta, mt, Some(feat))
+          evictOtherFeatures(d)
+          (beta, mt, feat)
         case _ =>
           val docs = Tables.documents(s, d)
           val maxTokens = graft.Par.spread(docs)
             .agg(max(size(toks(col("text"))))).head().getInt(0).toLong
-          val feat = graft.Caching.releaseAfter(
-            probeFeatures(docs, maxTokens = Some(maxTokens)))
+          val feat = featurize(maxTokens)
           val beta = trainProbe(feat)
-          val m = (beta, maxTokens, feat)
-          probeMemo(d) = (s, m)
-          m
+          probeMemo(d) = (s, beta, maxTokens, Some(feat))
+          evictOtherFeatures(d)
+          (beta, maxTokens, feat)
       }
     }
 
+  /** (β, maxTokens) only — serves streaming twins without forcing a
+    * (re)build of the batch feature frame when it has been evicted.
+    */
   private[graft] def probeModel(s: org.apache.spark.sql.SparkSession,
-                                d: String): (Array[Double], Long) = {
-    val (beta, maxTokens, _) = probeArtifacts(s, d)
-    (beta, maxTokens)
-  }
+                                d: String): (Array[Double], Long) =
+    probeMemo.synchronized {
+      probeMemo.get(d) match {
+        case Some((sess, beta, mt, _)) if (sess eq s) && !s.sparkContext.isStopped =>
+          (beta, mt)
+        case _ =>
+          val (beta, mt, _) = probeArtifacts(s, d)
+          (beta, mt)
+      }
+    }
 
   /** t_quality_probe: a TRAINED model-based quality scorer — the
     * learned counterpart of the heuristic t_quality_score / t_corpus_

@@ -74,6 +74,27 @@ class DedupStoreSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("ingest rejects a batch whose doc ids overlap stored history") {
+    val (hist, batch) = split(sfDir)
+    val idx = DedupStore.build(hist)
+    // re-ingesting history itself is the canonical overlap
+    val e = intercept[IllegalArgumentException] {
+      DedupStore.ingest(idx, hist.limit(5)).collect()
+    }
+    assert(e.getMessage.contains("overlaps stored history"))
+    // the valid batch still ingests (guard is not over-strict)
+    DedupStore.ingest(idx, batch).count()
+  }
+
+  test("save/load round-trips maxDocId") {
+    val (hist, _) = split(sfDir)
+    val dir = Files.createTempDirectory("graft_dedup_store_meta").toString
+    val built = DedupStore.build(hist)
+    DedupStore.save(built, dir)
+    assert(DedupStore.load(spark, dir).maxDocId === built.maxDocId)
+    assert(built.maxDocId === hist.agg(max("doc_id")).head().getLong(0))
+  }
+
   test("append folds a batch: appended index equals an index built on the union") {
     val (hist, batch) = split(sfDir)
     val appended = DedupStore.append(DedupStore.build(hist), batch)
