@@ -91,6 +91,27 @@ class OpqSpec extends SparkSpec {
     res.unpersist(blocking = false)
   }
 
+  test("training artifacts match committed goldens (regression pin)") {
+    // The training is deterministic by construction (cyclic Jacobi +
+    // Lloyd in StrictMath, fixed sweeps, bounded sorted sample), so
+    // exact Double bits are stable — this pin is the numeric
+    // regression gate the missing SQL oracle can't provide. If an
+    // INTENTIONAL training change moves these, re-pin from the
+    // printed values.
+    def mix(h: Long, v: Long): Long = (h ^ v) * 0x9e3779b97f4a7c15L
+    def fp(doubles: Iterator[Double]): Long =
+      doubles.foldLeft(0xcbf29ce484222325L)((h, d) =>
+        mix(h, java.lang.Double.doubleToLongBits(d)))
+    val art = graft.sim.Opq.opqArtifacts(spark, sfDir, 256)
+    val rotFp = fp(art.rot.iterator.flatten)
+    val bookFp = fp(art.books.iterator.flatMap(b =>
+      b.sortBy(_._1).iterator.flatMap { case (code, c) => Iterator(code.toDouble) ++ c }))
+    info(f"rotation fp = 0x$rotFp%016x, codebook fp = 0x$bookFp%016x")
+    assert(art.rot.size === art.rot.head.size, "rotation not square")
+    assert(rotFp === 0x5d698708dec2d4fbL, f"rotation fingerprint moved: 0x$rotFp%016x")
+    assert(bookFp === 0x92658b60f2d02a8dL, f"codebook fingerprint moved: 0x$bookFp%016x")
+  }
+
   test("s_opq_adc returns well-formed top-3 per probe") {
     val out = graft.sim.Opq.opqAdc.run(spark, sfDir).collect()
     val byProbe = out.groupBy(_.getLong(0))
