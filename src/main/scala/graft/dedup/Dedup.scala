@@ -1309,7 +1309,7 @@ object Dedup {
     * depends on it, see the operator scaladoc).
     */
   private val BloomBits = 1 << 20
-  private val BloomWords = BloomBits / 64
+  private[graft] val BloomWords = BloomBits / 64
   private val BloomSeeds = Seq(1, 2, 3)
 
   /** Incremental exact-substring dedup WITHOUT a bloom — the exact

@@ -128,6 +128,34 @@ object DedupStore {
     * `save` + `load` is the periodic compaction that collapses them
     * back to parquet scans).
     */
+  /** Stored form of the d_bloom_prefilter / st_dedup_ingest window
+    * index: the distinct window-hash set plus its pre-folded bloom
+    * words. Shipping the 2^14-word bloom as an artifact means a
+    * stream-ingest job boots its map-side prefilter WITHOUT scanning
+    * the hash index — only confirmed positives ever touch `hashes`.
+    */
+  final case class WindowIndex(hashes: DataFrame, bloom: Array[Long])
+
+  /** Build + persist the window index for `docs` under `dir`
+    * (`windows/` = distinct h, `bloom/` = (word, mask) rows).
+    */
+  def saveWindowIndex(docs: DataFrame, dir: String): Unit = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val corpus = Dedup.windowTable(docs).select("h").distinct()
+    corpus.write.mode("overwrite").parquet(s"$dir/windows")
+    Dedup.bloomWords(s.read.parquet(s"$dir/windows")).zipWithIndex
+      .map { case (m, w) => (w, m) }.toSeq.toDF("word", "mask")
+      .write.mode("overwrite").parquet(s"$dir/bloom")
+  }
+
+  def loadWindowIndex(s: SparkSession, dir: String): WindowIndex = {
+    val bloom = Array.fill[Long](Dedup.BloomWords)(0L)
+    s.read.parquet(s"$dir/bloom").collect()
+      .foreach(r => bloom(r.getInt(0)) = r.getLong(1))
+    WindowIndex(s.read.parquet(s"$dir/windows"), bloom)
+  }
+
   def append(idx: DedupIndex, batch: DataFrame): DedupIndex = {
     val bEntries = Dedup.shingleSets(batch)
       .select(col("doc_id"), size(col("shs")).as("n"), explode(col("shs")).as("shingle"))

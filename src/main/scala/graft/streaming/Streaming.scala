@@ -833,13 +833,20 @@ object Streaming {
     "st_dedup_ingest",
     graft.dedup.Dedup.bloomPrefilter.oracle,
     (s, d) => {
-      import graft.dedup.Dedup
+      import graft.dedup.{Dedup, DedupStore}
       val docs = graft.sources.Tables.documents(s, d)
       val thr = docs.agg(floor(lit(0.9) * (max("doc_id") + 1)).cast("long")).head().getLong(0)
-      val corpus = Dedup.windowTable(docs.filter(col("doc_id") < thr))
-        .select("h").distinct()
+      // the stored-index lifecycle IS the pipeline: the corpus window
+      // index + bloom build offline ONCE and land in storage
+      // (DedupStore.saveWindowIndex); the streaming job then boots
+      // from the artifact dir — bloom from its 16 KB table without
+      // touching the hash index, hashes as a parquet scan.
+      val idxDir = Files.createTempDirectory("graft_ingest_idx").toString
+      DedupStore.saveWindowIndex(docs.filter(col("doc_id") < thr), idxDir)
+      val widx = DedupStore.loadWindowIndex(s, idxDir)
+      val corpus = widx.hashes
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val bloom = Dedup.bloomWords(corpus)
+      val bloom = widx.bloom
       val outDir = Files.createTempDirectory("graft_ingest_out").toString
       val ckpt = Files.createTempDirectory("graft_ckpt").toString
       val arrivals = streamTable(s, d, "documents").filter(col("doc_id") >= thr)

@@ -95,6 +95,18 @@ class DedupStoreSpec extends SparkSpec {
     assert(built.maxDocId === hist.agg(max("doc_id")).head().getLong(0))
   }
 
+  test("window index save/load round-trips: hashes and bloom match the in-memory build") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val dir = Files.createTempDirectory("graft_window_idx").toString
+    DedupStore.saveWindowIndex(docs, dir)
+    val widx = DedupStore.loadWindowIndex(spark, dir)
+    val mem = Dedup.windowTable(docs).select("h").distinct()
+    assert(widx.hashes.exceptAll(mem).unionByName(mem.exceptAll(widx.hashes)).isEmpty,
+      "stored window-hash set differs from in-memory build")
+    assert(widx.bloom.toSeq === Dedup.bloomWords(mem).toSeq,
+      "stored bloom words differ from in-memory fold")
+  }
+
   test("append folds a batch: appended index equals an index built on the union") {
     val (hist, batch) = split(sfDir)
     val appended = DedupStore.append(DedupStore.build(hist), batch)
