@@ -4,7 +4,22 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** One-off ~N× scale-up of a driver testdata dir (default 10×) for
-  * stress benching — `GenScale <srcDir> <outDir> [factor]`.
+  * stress benching — `GenScale <srcDir> <outDir> [factor] [docmode]`.
+  *
+  * `docmode` selects the DUPLICATION REGIME of the scaled documents
+  * table (all other tables are identical between modes):
+  *   - `replica` (default): token-perturbed copies — every replica is
+  *     a near-dup of its original sitting BELOW the pair gates, but
+  *     the surviving shared shingles give df ∝ factor and pair mass ∝
+  *     factor². This is the duplication-adversarial regime where the
+  *     adaptive df cap MUST tighten to keep pair shuffles linear.
+  *   - `fresh`: every token of replicas 1..N-1 carries a rep-unique
+  *     suffix, so shingle vocabularies are DISJOINT across replicas —
+  *     each replica reproduces the source corpus' own duplication
+  *     structure at shifted ids and nothing more. Pair mass grows ∝
+  *     corpus size, the budget is slack at any factor, and the
+  *     adaptive cap must resolve to maxCap (bit-identical output to
+  *     the fixed cap). This is the regime the cap must NOT touch.
   *
   * Replica 0 is the source data verbatim; replicas 1..N-1:
   *   - shift every key domain by rep·(max+1), so joins (orders ⋈
@@ -30,6 +45,9 @@ object GenScale {
   def main(args: Array[String]): Unit = {
     val Array(src, out) = args.take(2)
     val factor = if (args.length > 2) args(2).toInt else 10
+    val docMode = if (args.length > 3) args(3) else "replica"
+    require(docMode == "replica" || docMode == "fresh",
+      s"docmode must be replica|fresh, got $docMode")
     val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
       .getOrElse(Runtime.getRuntime.availableProcessors())
     val spark = graft.GraftSession.local(cpus)
@@ -107,13 +125,21 @@ object GenScale {
     // tokens additionally get one rep-unique token appended — without
     // it short docs replicate verbatim (Jaccard 1.0) and the dedup
     // stress gates' near-dup-pairs-scale-linearly property breaks
-    val perturbedText = when(col("rep") === 0, col("text")).otherwise(
-      when(size(split(col("text"), " ")) < 4,
-        concat(col("text"), lit(" z"), col("rep"), lit("qshort")))
-        .otherwise(concat_ws(" ", transform(split(col("text"), " "), (t, i) =>
-          when(i % 4 === 3,
-            concat(t, lit(" z"), col("rep"), lit("q"), pmod(i, lit(89))))
-            .otherwise(t)))))
+    val perturbedText =
+      if (docMode == "fresh")
+        // rep-unique suffix on EVERY token: replica vocabularies are
+        // disjoint, so cross-replica shingle sharing is zero and the
+        // corpus' duplication-per-doc stays constant as it scales
+        when(col("rep") === 0, col("text")).otherwise(
+          concat_ws(" ", transform(split(col("text"), " "), t =>
+            concat(t, lit("~"), col("rep")))))
+      else when(col("rep") === 0, col("text")).otherwise(
+        when(size(split(col("text"), " ")) < 4,
+          concat(col("text"), lit(" z"), col("rep"), lit("qshort")))
+          .otherwise(concat_ws(" ", transform(split(col("text"), " "), (t, i) =>
+            when(i % 4 === 3,
+              concat(t, lit(" z"), col("rep"), lit("q"), pmod(i, lit(89))))
+              .otherwise(t)))))
     write(docs.crossJoin(reps)
       .withColumn("text", perturbedText)
       .withColumn("doc_id", shift("doc_id", D))
