@@ -40,6 +40,13 @@ object Bench {
           case e: Throwable =>
             err = Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
         }
+        // Per-run isolation boundary, OUTSIDE the timed window: free
+        // this run's transient checkpoint blocks (memoized artifacts
+        // stay — Caching.retain). Without it the 140-query suite
+        // accumulates every prior operator's index blocks in the one
+        // heap and later queries pay their GC bill: d_incremental
+        // measured 52.3 s mid-suite vs 10.6 s isolated at sf1.
+        graft.Caching.releaseTransient()
       }
       val times = ok.result()
       err match {

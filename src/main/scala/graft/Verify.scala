@@ -25,6 +25,9 @@ object Verify {
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
+        // per-query isolation: free transient checkpoint blocks
+        // (memoized artifacts stay retained — see Bench.measure)
+        graft.Caching.releaseTransient()
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -47,6 +47,10 @@ object Caching {
   // driver GC otherwise, so the harness frees them deterministically
   // via releaseAll() at teardown.
   private val tracked = scala.collection.mutable.Buffer[org.apache.spark.rdd.RDD[_]]()
+  // session-lifetime artifacts (memoized models/indexes shared across
+  // queries): releaseTransient() skips these; only releaseAll() frees
+  // them (after running the memo-invalidation hooks).
+  private val retained = scala.collection.mutable.Buffer[org.apache.spark.rdd.RDD[_]]()
   private val hooks = scala.collection.mutable.Buffer[() => Unit]()
 
   /** Eagerly materialize `result` (localCheckpoint: computed once,
@@ -65,6 +69,41 @@ object Caching {
     out
   }
 
+  /** Mark a checkpointed frame as a session-lifetime artifact: a memo
+    * that hands the frame to LATER queries (the near-dup pair table,
+    * the IVF/PQ coded corpora, the BPE vocab, the quality-probe
+    * features) must retain it, or releaseTransient() would free blocks
+    * the memo still references — a localCheckpoint has no lineage to
+    * recompute from, so the next consumer would crash, not recompute.
+    * Moves the frame's checkpoint RDD out of the transient registry;
+    * returns the frame for inline use at the memo-store site.
+    */
+  def retain(df: DataFrame): DataFrame = {
+    org.apache.spark.sql.graftshim.Shim.checkpointedRdd(df).foreach { r =>
+      tracked.synchronized {
+        val i = tracked.indexWhere(_ eq r)
+        if (i >= 0) tracked.remove(i)
+      }
+      retained.synchronized { retained += r }
+    }
+    df
+  }
+
+  /** Free every TRANSIENT checkpoint block — everything releaseAfter
+    * registered that no memo retained. This is the per-query isolation
+    * boundary for the 140-query single-JVM harness: without it each
+    * operator's index blocks outlive their query and later queries pay
+    * the accumulated GC bill (measured at sf1: d_incremental 10.6 s
+    * isolated vs 52.3 s mid-suite, 16.6 s of it GC). Blocking
+    * unpersist so the next query starts from a deterministic heap. On
+    * a cluster this boundary is the job boundary — each operator runs
+    * in its own application and its blocks die with it.
+    */
+  def releaseTransient(): Unit = tracked.synchronized {
+    tracked.foreach(r => try r.unpersist(blocking = true) catch { case _: Throwable => () })
+    tracked.clear()
+  }
+
   /** Register a callback run by releaseAll() — for holders of
     * memoized checkpointed frames (e.g. the IVF index), whose entries
     * become unusable once their blocks are freed.
@@ -79,9 +118,10 @@ object Caching {
     */
   def releaseAll(): Unit = {
     hooks.synchronized { hooks.foreach(h => try h() catch { case _: Throwable => () }) }
-    tracked.synchronized {
-      tracked.foreach(r => try r.unpersist(blocking = false) catch { case _: Throwable => () })
-      tracked.clear()
+    releaseTransient()
+    retained.synchronized {
+      retained.foreach(r => try r.unpersist(blocking = false) catch { case _: Throwable => () })
+      retained.clear()
     }
   }
 }

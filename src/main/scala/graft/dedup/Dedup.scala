@@ -225,7 +225,8 @@ object Dedup {
     pairsMemo.get(d) match {
       case Some((sess, p)) if (sess eq s) && !s.sparkContext.isStopped => p
       case _ =>
-        val p = graft.Caching.releaseAfter(ngramJaccardPairs(Tables.documents(s, d)))
+        val p = graft.Caching.retain(
+          graft.Caching.releaseAfter(ngramJaccardPairs(Tables.documents(s, d))))
         pairsMemo(d) = (s, p)
         p
     }
@@ -642,12 +643,12 @@ object Dedup {
     // goes super-linear; with it each round's plan is O(1) and no
     // DataFrame cache outlives the call (superseded generations'
     // blocks are reclaimed by the ContextCleaner once unreferenced).
-    val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint(eager = true) // read every round
-    var labels = sym.select(col("src").as("doc_id")).distinct()
-      .withColumn("component", col("doc_id"))
-      .localCheckpoint(eager = true)
+    val sym = graft.Caching.releaseAfter( // read every round; tracked
+      edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionByName(edges.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+    var labels = graft.Caching.releaseAfter(
+      sym.select(col("src").as("doc_id")).distinct()
+        .withColumn("component", col("doc_id")))
     // Convergence: a node's label only ever DECREASES (min-label), so
     // the labeling is a fixpoint iff Σcomponent is unchanged — one
     // scalar aggregate per round instead of a next⋈previous diff join.
@@ -663,9 +664,9 @@ object Dedup {
     while (!converged && i < maxIters) {
       val msgs = sym.join(labels, sym("src") === labels("doc_id"))
         .select(col("dst").as("doc_id"), col("component"))
-      val next = labels.select("doc_id", "component").unionByName(msgs)
-        .groupBy("doc_id").agg(min("component").as("component"))
-        .localCheckpoint(eager = true)
+      val next = graft.Caching.releaseAfter(
+        labels.select("doc_id", "component").unionByName(msgs)
+          .groupBy("doc_id").agg(min("component").as("component")))
       val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s

@@ -255,7 +255,7 @@ object Opq {
                   argminCentroid(rsub, books(j)).getField("cid").as(s"rcode$j")
                 }: _*),
             (if (rotate) Seq(rotDF, resDF) else Seq(resDF)): _*)
-          val art = OpqIndex(rot, books, coded)
+          val art = OpqIndex(rot, books, graft.Caching.retain(coded))
           opqMemo((d, k, rotate)) = (s, art)
           art
       }

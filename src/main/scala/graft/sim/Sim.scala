@@ -323,6 +323,7 @@ object Sim {
         case Some((sess, idx)) if (sess eq s) && !s.sparkContext.isStopped => idx
         case _ =>
           val idx = buildIvf(vecs(s, d), k, iters)
+          graft.Caching.retain(idx.assigned)
           ivfMemo((d, k, iters)) = (s, idx)
           idx
       }
@@ -727,7 +728,7 @@ object Sim {
                 (0 until PqM).map(j =>
                   argminCentroid(sub(col("v"), j), books(j))
                     .getField("cid").as(s"code$j")): _*))
-            pqCodedMemo(d) = (s, c)
+            pqCodedMemo(d) = (s, graft.Caching.retain(c))
             c
         }
       }
@@ -795,7 +796,7 @@ object Sim {
                 (0 until PqM).map(j =>
                   argminCentroid(sub(col("v"), j), books(j))
                     .getField("cid").as(s"code$j")): _*))
-          ivfCodedMemo(d) = (s, c)
+          ivfCodedMemo(d) = (s, graft.Caching.retain(c))
           c
       }
     }
@@ -955,7 +956,7 @@ object Sim {
                   argminCentroid(rsub, books(j)).getField("cid").as(s"rcode$j")
                 }: _*),
             eRes)
-          ivfResMemo(d) = (s, (books, coded))
+          ivfResMemo(d) = (s, (books, graft.Caching.retain(coded)))
           (books, coded)
       }
     }

@@ -758,8 +758,11 @@ object Streaming {
     graft.text.Text.dsir.oracle,
     (s, d) => {
       import graft.text.Text
-      val lr = Text.dsirModel(graft.sources.Tables.documents(s, d))
-        .localCheckpoint(eager = true) // train once; batches must not re-derive it
+      // train once; batches must not re-derive it. releaseAfter (not a
+      // raw localCheckpoint): Dataset.unpersist cannot see checkpoint
+      // blocks, so only the tracked registry frees them per-query.
+      val lr = graft.Caching.releaseAfter(
+        Text.dsirModel(graft.sources.Tables.documents(s, d)))
       val outDir = Files.createTempDirectory("graft_dsir_out").toString
       val ckpt = Files.createTempDirectory("graft_ckpt").toString
       val docs = streamTable(s, d, "documents")
@@ -774,7 +777,6 @@ object Streaming {
       q.stop()
       val scored = s.read.option("basePath", outDir).parquet(outDir)
         .select("doc_id", "dsir_weight")
-      lr.unpersist(blocking = false)
       Text.dsirSelect(scored)
     },
   )
@@ -792,8 +794,8 @@ object Streaming {
     graft.sim.Sim.filteredAnn.oracle,
     (s, d) => {
       val idx = graft.sim.Sim.ivfIndex(s, d, k = 8, iters = 3)
-      val labels = s.read.parquet(s"$d/embeddings.parquet")
-        .selectExpr("vec_id", "label").localCheckpoint(eager = true)
+      val labels = graft.Caching.releaseAfter(s.read.parquet(s"$d/embeddings.parquet")
+        .selectExpr("vec_id", "label"))
       val outDir = Files.createTempDirectory("graft_fann_out").toString
       val ckpt = Files.createTempDirectory("graft_ckpt").toString
       val probes = streamTable(s, d, "embeddings")
@@ -809,7 +811,6 @@ object Streaming {
         .start()
       q.processAllAvailable()
       q.stop()
-      labels.unpersist(blocking = false)
       s.read.option("basePath", outDir).parquet(outDir)
         .select("probe_id", "neighbor_id", "rank", "cos_sim")
         .orderBy("probe_id", "rank")
@@ -929,9 +930,10 @@ object Streaming {
       import graft.text.Text
       val (pair0, ctx0, vocab0) = Text.lmModel(graft.sources.Tables.documents(s, d))
       // train once; micro-batches must not re-derive the model
-      val pair = pair0.localCheckpoint(eager = true)
-      val ctx = ctx0.localCheckpoint(eager = true)
-      val vocab = vocab0.localCheckpoint(eager = true)
+      // (tracked checkpoints — freed at the next releaseTransient)
+      val pair = graft.Caching.releaseAfter(pair0)
+      val ctx = graft.Caching.releaseAfter(ctx0)
+      val vocab = graft.Caching.releaseAfter(vocab0)
       val outDir = Files.createTempDirectory("graft_lm_out").toString
       val ckpt = Files.createTempDirectory("graft_ckpt").toString
       val docs = streamTable(s, d, "documents")
@@ -946,7 +948,6 @@ object Streaming {
       q.stop()
       val scored = s.read.option("basePath", outDir).parquet(outDir)
         .select("doc_id", "n_bigrams", "avg_nll")
-      Seq(pair, ctx, vocab).foreach(_.unpersist(blocking = false))
       Text.lmTertiles(scored)
     },
   )

@@ -499,6 +499,7 @@ object Text {
         case Some((sess, st)) if (sess eq s) && !s.sparkContext.isStopped => st
         case _ =>
           val st = bpeTrainState(s, Tables.documents(s, d), rounds)
+          graft.Caching.retain(st._2)
           bpeMemo(d) = (s, st)
           st
       }
@@ -1166,8 +1167,8 @@ object Text {
   private[graft] def probeArtifacts(s: org.apache.spark.sql.SparkSession,
                                     d: String): (Array[Double], Long, DataFrame) =
     probeMemo.synchronized {
-      def featurize(mt: Long) = graft.Caching.releaseAfter(
-        probeFeatures(Tables.documents(s, d), maxTokens = Some(mt)))
+      def featurize(mt: Long) = graft.Caching.retain(graft.Caching.releaseAfter(
+        probeFeatures(Tables.documents(s, d), maxTokens = Some(mt))))
       probeMemo.get(d) match {
         case Some((sess, beta, mt, Some(feat))) if (sess eq s) && !s.sparkContext.isStopped =>
           (beta, mt, feat)
@@ -1474,8 +1475,9 @@ object Text {
     val e0 = ew.select(col("sa").as("src"), col("sb").as("dst"), col("w"))
       .unionByName(ew.select(col("sb").as("src"), col("sa").as("dst"), col("w")))
     val wu = e0.groupBy("src").agg(sum("w").as("wu"))
-    // edge table read every iteration → materialize once
-    val e = e0.join(wu, Seq("src")).localCheckpoint(eager = true)
+    // edge table read every iteration → materialize once (tracked:
+    // freed at the harness' next releaseTransient, not on driver GC)
+    val e = graft.Caching.releaseAfter(e0.join(wu, Seq("src")))
     // derive per-source totals from the checkpointed edges (wu is
     // functionally dependent on src there) — re-deriving from `wu`
     // would replay the shingle self-join pipeline for every consumer
@@ -1501,15 +1503,13 @@ object Text {
       s"t_domain_rank: max edge weight $maxW exceeds the fixed-point-safe " +
         s"bound ${Long.MaxValue / RankScale}; lower RankScale to widen headroom")
     val base = (RankScale * 15L / 100L) / n
-    var ranks = e.select("src").distinct()
-      .withColumn("r", lit(RankScale / n))
-      .localCheckpoint(eager = true)
+    var ranks = graft.Caching.releaseAfter(e.select("src").distinct()
+      .withColumn("r", lit(RankScale / n)))
     for (_ <- 1 to RankIters) {
-      ranks = e.join(ranks, Seq("src"))
+      ranks = graft.Caching.releaseAfter(e.join(ranks, Seq("src"))
         .groupBy("dst").agg(sum(expr("(r * w) div wu")).as("s"))
         .select(col("dst").as("src"),
-          (lit(base) + expr("(85 * s) div 100")).cast("long").as("r"))
-        .localCheckpoint(eager = true)
+          (lit(base) + expr("(85 * s) div 100")).cast("long").as("r")))
     }
     ranks.select(col("src").as("source"), col("r").as("rank_fp"))
       .join(wuM.select(col("src").as("source"), col("wu").as("out_weight")), Seq("source"))
