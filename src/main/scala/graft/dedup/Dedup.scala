@@ -154,12 +154,14 @@ object Dedup {
        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
        |  FROM d)""".stripMargin
 
-  /** Portable polynomial hash of a string column, oracle-side. */
-  private def polySql(colName: String): String =
+  /** Portable polynomial hash of a string column, oracle-side; `mult`
+    * selects the hash-family member (mirrors functions.PolyHash).
+    */
+  private def polySql(colName: String, mult: Long = 31L): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
        |  list_transform(range(1, length($colName) + 1),
        |    i -> CAST(ascii(substr($colName, CAST(i AS INT), 1)) AS BIGINT))),
-       |  (acc, c) -> (acc * 31 + c) % 2147483647)""".stripMargin
+       |  (acc, c) -> (acc * $mult + c) % 2147483647)""".stripMargin
 
   /** d_exact: hash-groupBy exact dedup → canonical id + group size. */
   val exact = GraftQuery(
@@ -382,10 +384,13 @@ object Dedup {
       WITH d AS (SELECT doc_id, ${Text.ToksSql} AS t FROM documents),
       tok AS (SELECT doc_id, unnest(t) AS token FROM d),
       tc AS (SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY doc_id, token),
-      th AS (SELECT doc_id, c, ${polySql("token")} AS h FROM tc),
+      th AS (SELECT doc_id, c,
+               (${polySql("token")} % 1073741824)
+                 + (${polySql("token", 131L)} % 1073741824) * 1073741824 AS h
+             FROM tc),
       bits AS (SELECT doc_id, j,
                  SUM(CASE WHEN (h // CAST(pow(2, j) AS BIGINT)) % 2 = 1 THEN c ELSE -c END) AS s
-               FROM th CROSS JOIN (SELECT unnest(range(0, 31)) AS j)
+               FROM th CROSS JOIN (SELECT unnest(range(0, 60)) AS j)
                GROUP BY doc_id, j),
       sh2 AS (SELECT doc_id,
                 CAST(SUM(CASE WHEN s > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
@@ -396,10 +401,21 @@ object Dedup {
       WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
       ORDER BY doc_a, doc_b"""
 
-  /** d_simhash: 31-bit SimHash over token counts; candidates via 4
-    * 8-bit block buckets (pigeonhole: hamming ≤ 3 ⇒ ≥1 identical
-    * block, so the blocked join loses nothing vs the oracle's full
-    * pairwise join).
+  /** d_simhash: 60-bit SimHash over token counts (the low 30 bits of
+    * the 31- and 131-ary polynomial hashes concatenated); candidates
+    * via 4 15-bit block buckets (pigeonhole: hamming ≤ 3 ⇒ ≥1
+    * identical block, so the blocked join loses nothing vs the
+    * oracle's full pairwise join).
+    *
+    * Width is a SCALE property, not a tuning knob. At the previous 31
+    * bits, two failure modes grow with the corpus: (a) the hamming≤3
+    * ball covers ~5k/2³¹ ≈ 2.3e-6 of signature space, so UNRELATED
+    * pairs pass the gate at a rate that makes the output itself
+    * quadratic in corpus size (~300k junk pairs at 500k docs); (b)
+    * each 8-bit block has 256 buckets, so candidate volume per block
+    * is n²/256 — quadratic with a constant no cluster outruns. At 60
+    * bits the ball is ~3e-14 (false positives stay ~0 up to billions
+    * of docs) and 15-bit blocks cut candidates another 128×.
     */
   val simhash = GraftQuery(
     "d_simhash",
@@ -408,7 +424,7 @@ object Dedup {
   )
 
   /** Near-dup pairs by SimHash Hamming distance for any (doc_id,
-    * text) frame; blocked by the 4×8-bit pigeonhole so no full
+    * text) frame; blocked by the 4×15-bit pigeonhole so no full
     * pairwise join ever runs.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
@@ -431,17 +447,19 @@ object Dedup {
       // 31 per-bit weighted sums as agg columns in ONE groupBy (not a
       // 31× row explode): shuffle carries |doc×token| rows once, with
       // map-side partials collapsing each doc to a single 31-column row.
-      val th = tc.select(col("doc_id"), col("c"), polyHash(col("token")).as("h"))
-      val bitCols = (0 to 30).map(j =>
+      val th = tc.select(col("doc_id"), col("c"),
+        ((polyHash(col("token")) % 1073741824L)
+          + (polyHash(col("token"), 131L) % 1073741824L) * 1073741824L).as("h"))
+      val bitCols = (0 to 59).map(j =>
         sum(when(expr(s"(h >> $j) & 1") === 1, col("c")).otherwise(-col("c"))).as(s"s$j"))
       val sim = th.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
         .select(col("doc_id"),
-          (0 to 30).map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L))
+          (0 to 59).map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L))
             .reduce(_ + _).cast("long").as("simhash"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // self-joined below
       val blocks = sim
         .select(col("doc_id"), col("simhash"), explode(sequence(lit(0), lit(3))).as("blk"))
-        .withColumn("bval", expr("(simhash >> (blk * 8)) & 255"))
+        .withColumn("bval", expr("(simhash >> (blk * 15)) & 32767"))
       val cand = blocks.as("x")
         .join(blocks.as("y"),
           col("x.blk") === col("y.blk") && col("x.bval") === col("y.bval") &&

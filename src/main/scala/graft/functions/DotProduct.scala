@@ -72,13 +72,16 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Portable 31-ary polynomial string hash mod 2³¹−1 — the fingerprint
-  * primitive behind t_fingerprint / d_minhash_lsh / d_simhash. Same
-  * value as folding `ascii(char)` over the characters (what the DuckDB
-  * oracle replays), but as one codegen'd loop instead of a per-char
-  * split + interpreted lambda fold.
+/** Portable `mult`-ary polynomial string hash mod 2³¹−1 — the
+  * fingerprint primitive behind t_fingerprint / d_minhash_lsh /
+  * d_simhash. Same value as folding `ascii(char)` over the characters
+  * (what the DuckDB oracle replays), but as one codegen'd loop instead
+  * of a per-char split + interpreted lambda fold. `mult` selects an
+  * independent hash family member (31 is the default; d_simhash
+  * concatenates the 31- and 131-ary members into its 60-bit
+  * signature).
   */
-case class PolyHash(child: Expression) extends UnaryExpression {
+case class PolyHash(child: Expression, mult: Long = 31L) extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_polyhash"
@@ -87,7 +90,7 @@ case class PolyHash(child: Expression) extends UnaryExpression {
     val s = input.asInstanceOf[UTF8String].toString
     var h = 0L
     var i = 0
-    while (i < s.length) { h = (h * 31L + s.charAt(i)) % 2147483647L; i += 1 }
+    while (i < s.length) { h = (h * mult + s.charAt(i)) % 2147483647L; i += 1 }
     h
   }
 
@@ -100,7 +103,7 @@ case class PolyHash(child: Expression) extends UnaryExpression {
          |java.lang.String $s = $in.toString();
          |long $h = 0L;
          |for (int $i = 0; $i < $s.length(); $i++) {
-         |  $h = ($h * 31L + $s.charAt($i)) % 2147483647L;
+         |  $h = ($h * ${mult}L + $s.charAt($i)) % 2147483647L;
          |}
          |${ev.value} = $h;
        """.stripMargin

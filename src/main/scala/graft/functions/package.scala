@@ -34,9 +34,9 @@ package object gfunctions {
     * unlike engine-internal hashes (xxhash64 / duckdb hash()). Native
     * codegen'd expression (functions.PolyHash).
     */
-  def polyHash(s: Column): Column = {
+  def polyHash(s: Column, mult: Long = 31L): Column = {
     import org.apache.spark.sql.graftshim.Shim
-    Shim.column(graft.functions.PolyHash(Shim.expression(s.cast("string"))))
+    Shim.column(graft.functions.PolyHash(Shim.expression(s.cast("string")), mult))
   }
 
   /** Dot product of two double-array columns — graft's native Catalyst
