@@ -189,6 +189,20 @@ object GraftSession {
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
+      // State-store provider for the stateful streaming operators.
+      // Default (in-memory HDFSBackedStateStore) holds every live
+      // key's state in executor heap; SPARK_GRAFT_ROCKSDB=1 switches
+      // to the bundled RocksDB provider — state off-heap, bounded heap
+      // at ANY key cardinality. Measured at the 100x probe: RocksDB is
+      // ~1.5x slower on st_sessions (per-event state serialization),
+      // so it is the escape hatch for state-exceeds-heap deployments,
+      // not a speedup — which is why it's a knob and not the default.
+      // Output parity under both providers: StateStoreProviderSpec.
+      .config("spark.sql.streaming.stateStore.providerClass",
+        if (sys.env.get("SPARK_GRAFT_ROCKSDB").contains("1"))
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+        else
+          "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
       // bucketed-table writes (q_bucketed_join) land in the warehouse;
       // keep it out of the repo working tree. One dir per JVM (lazy):
       // getOrCreate ignores configs on an existing session anyway, so
