@@ -19,6 +19,21 @@ class ApproxAndSingleBeanSpec extends SparkSpec {
     }
   }
 
+  // Regression pin: HLL++ over deterministic input is deterministic —
+  // a sketch-implementation change inside the 10% envelope above
+  // would pass the bound silently but move these committed values.
+  test("q_approx_distinct matches committed goldens at sf0.001") {
+    val got = graft.olap.Olap2.approxDistinct.run(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = Seq(
+      ("1-URGENT", 131L, 273L),
+      ("2-HIGH", 125L, 316L),
+      ("3-MEDIUM", 131L, 320L),
+      ("4-NOT SPECIFIED", 126L, 297L),
+      ("5-LOW", 130L, 294L))
+    assert(got === want, s"sketch output moved: $got")
+  }
+
   test("single-mbean responses normalize to the wildcard record shape") {
     val single =
       """{"status":200,"timestamp":1700000500,

@@ -42,4 +42,37 @@ class BenchSpec extends SparkSpec {
     assert(r.timings.isEmpty)
     assert(r.errors.keySet === Set("flaky"))
   }
+
+  // The driver records only the last ~2000 stdout chars (BENCH_r01-r08
+  // all have parsed:null because the full 6 KB line never fit). The
+  // final printed line must parse standalone within that budget.
+  test("compactLine fits the tail budget and keeps the costliest queries") {
+    val timings = (1 to 140).map(i => (f"q_some_operator_name_$i%03d", i * 0.1))
+    val line = Bench.compactLine(timings.map(_._2).sum, timings,
+      errors = Map("q_bad" -> "SomeException: it broke"),
+      gcMs = 1234, loadAvg = 5.67, sfDir = "/root/testdata/sf0.1",
+      subsetTag = "")
+    assert(line.length <= 1700, s"line too long: ${line.length}")
+    assert(!line.contains("\n"))
+    // costliest query always survives truncation; cheapest is dropped
+    assert(line.contains("q_some_operator_name_140"))
+    assert(!line.contains("\"q_some_operator_name_001\""))
+    assert(line.contains("\"queries_omitted\":"))
+    assert(line.contains("\"n_errors\":1"))
+    assert(line.contains("\"full\":\"bench_out.json\""))
+    // structural JSON sanity without a parser dependency: balanced
+    // braces/quotes and the contract keys present
+    assert(line.count(_ == '{') === line.count(_ == '}'))
+    assert(line.count(_ == '"') % 2 === 0)
+    assert(line.startsWith("{\"metric\":\"total\",\"value\":"))
+    assert(line.endsWith("}"))
+  }
+
+  test("compactLine with few queries includes them all, no omission tag") {
+    val timings = Seq("q1" -> 1.5, "q2" -> 0.5)
+    val line = Bench.compactLine(2.0, timings, Map.empty, 10, 1.0, "/x", "")
+    assert(line.contains("\"q1\":1.500") && line.contains("\"q2\":0.500"))
+    assert(!line.contains("queries_omitted"))
+    assert(line.contains("\"n_errors\":0"))
+  }
 }
