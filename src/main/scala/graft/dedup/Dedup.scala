@@ -105,6 +105,51 @@ object Dedup {
     floored
   }
 
+  /** One-collect variant for blocking keys where each row is one
+    * DOCUMENT (prefix buckets — unlike shingle indexes, where a doc
+    * spans many keys): derives the pair-mass histogram AND the
+    * participating-doc count from a single bounded aggregation over
+    * the key-frequency frame, so the cap pre-pass costs one job and
+    * one ≤ maxCap+1-row collect — no checkpoint, no extra corpus
+    * scan for the count. The budget counts docs that PARTICIPATE in
+    * this blocking (Σ df), the quantity the pair stage actually fans
+    * out over.
+    */
+  private[graft] def adaptiveDfCapOnePass(dfFreq: DataFrame,
+                                          maxCap: Long = 1000L): Long = {
+    // df values above maxCap collapse into one bucket: those keys are
+    // excluded from pairing at ANY cap, so only their doc count
+    // matters — the collect stays ≤ maxCap+1 rows on any corpus.
+    val hist = dfFreq
+      .groupBy(least(col("df"), lit(maxCap + 1)).as("dfb"))
+      .agg(sum(col("df")).cast("long").as("docs"),
+        sum(((col("df") * (col("df") - 1)) / 2).cast("long")).as("mass"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val nDocs = hist.map(_._2).sum
+    val budget = PairMassPerDoc * math.max(nDocs, 1L)
+    var cum = 0L
+    var cap = maxCap
+    var busted = false
+    for ((dfv, _, mass) <- hist if !busted && dfv >= 2 && dfv <= maxCap) {
+      if (cum + mass <= budget) cum += mass
+      else { cap = dfv - 1; busted = true }
+    }
+    val floored = math.max(cap, 2L)
+    if (floored < maxCap) {
+      log.warn(s"adaptive df cap tightened to $floored (maxCap $maxCap, " +
+        s"participating docs $nDocs): predicted pair mass busts the " +
+        s"$budget-pair budget; keys with frequency > $floored are excluded from pairing")
+      if (sys.props.get("graft.assertFixedCap").contains("true"))
+        throw new IllegalStateException(
+          s"adaptive df cap tightened to $floored < maxCap $maxCap during an " +
+            "oracle-gated run; the DuckDB oracle assumes the fixed cap — " +
+            "regenerate the oracle or run this corpus without the assertion")
+    }
+    floored
+  }
+
   private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.dedup")
 
   /** [[adaptiveDfCapFromDf]] over raw index entries (one row per
@@ -824,13 +869,22 @@ object Dedup {
       val keyed = norm
         .filter(length(col("s")) >= 50)
         .select(col("doc_id"), substring(col("s"), 1, 50).as("p50"))
-      // join-first + budgeted cap (≤ the oracle's fixed 1000; identical
-      // on low-duplication data): truncation-replica corpora share the
+      // Budgeted cap (≤ the oracle's fixed 1000; identical on
+      // low-duplication data): truncation-replica corpora share the
       // p50 prefix across every replica, so an uncapped bucket array
-      // is quadratic in duplication
-      val (_, hot) = cappedKeys(keyed, Seq("p50"), norm.count())
-      val cand = keyed.join(hot, Seq("p50"))
+      // is quadratic in duplication. The cap pre-pass is ONE cheap
+      // groupBy-count job with a bounded collect that yields both the
+      // histogram and the participating-doc budget; the main plan then
+      // stays the r5 fully-fused single job (aggregate → size filter
+      // with the cap as a LITERAL → pair fan-out → text joins). The r7
+      // cappedKeys version instead checkpointed a df table and joined
+      // it back — two extra corpus materializations that doubled this
+      // operator's sf1 time (1.46 vs 0.65 s) on pure added job cost.
+      val cap = adaptiveDfCapOnePass(
+        keyed.groupBy("p50").agg(count(lit(1)).as("df")))
+      val cand = keyed
         .groupBy("p50").agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")).between(2, cap))
         .select(orderedIdPairsRows(col("ids")))
       val shorter = when(length(col("sa")) <= length(col("sb")), col("sa")).otherwise(col("sb"))
       val longer = when(length(col("sa")) <= length(col("sb")), col("sb")).otherwise(col("sa"))

@@ -46,7 +46,7 @@ object Streaming {
   /** Events parquet as a micro-batched stream (ns ts → µs, same as the
     * batch loader).
     */
-  private def streamEvents(s: SparkSession, d: String): DataFrame = {
+  private[graft] def streamEvents(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     graft.sources.Tables.normalizeEventsTs(streamTable(s, d, "events"))
   }

@@ -1,0 +1,58 @@
+package graft.tools
+
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Measure the session-window state store directly —
+  * `StateProbe <sfDir> [outFile]` runs st_sessions' stream over the
+  * given events table and reports the state operator's OWN metrics
+  * (rows, memory bytes) from the final StreamingQueryProgress, plus
+  * the derived bytes/session. This turns in-memory-provider
+  * deployment sizing into a formula instead of a surprise: heap
+  * needed ≈ live_sessions × bytes_per_session × provider overhead
+  * (the HDFSBacked provider keeps maintenance copies of recent
+  * versions, so budget ~2× steady state).
+  */
+object StateProbe {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val outFile = if (args.length > 1) Some(args(1)) else None
+    val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors())
+    val spark = graft.GraftSession.local(cpus)
+    val src = graft.streaming.Streaming.streamEvents(spark, sfDir)
+    val sessions = graft.streaming.Streaming.sessionStream(src)
+    val name = "graft_state_probe"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_probe_ckpt").toString
+    val t0 = System.nanoTime()
+    val q = sessions.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete()).option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    val secs = (System.nanoTime() - t0) / 1e9
+    // the LAST progress with state rows carries the final store size
+    val prog = q.recentProgress.reverse
+      .find(p => p.stateOperators.nonEmpty && p.stateOperators.head.numRowsTotal > 0)
+      .getOrElse(sys.error("no state operator progress captured"))
+    val st = prog.stateOperators.head
+    val rows = st.numRowsTotal
+    val mem = st.memoryUsedBytes
+    val custom = st.customMetrics
+    q.stop()
+    val nOut = spark.table(name).count()
+    val provider = spark.conf
+      .get("spark.sql.streaming.stateStore.providerClass").split("\\.").last
+    val line =
+      s"""{"metric":"state_probe","sf":"$sfDir","provider":"$provider",""" +
+        s""""state_rows":$rows,"state_bytes":$mem,""" +
+        f""""bytes_per_row":${if (rows > 0) mem.toDouble / rows else 0.0}%.1f,""" +
+        s""""sessions_out":$nOut,"wall_sec":$secs,""" +
+        s""""custom":{${custom.entrySet().toArray.map { e =>
+          val kv = e.asInstanceOf[java.util.Map.Entry[String, java.lang.Long]]
+          "\"" + kv.getKey + "\":" + kv.getValue
+        }.mkString(",")}}}"""
+    outFile.foreach(p =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n"))
+    println(line)
+    spark.stop()
+  }
+}
