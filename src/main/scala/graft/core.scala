@@ -194,9 +194,15 @@ object GraftSession {
       // key's state in executor heap; SPARK_GRAFT_ROCKSDB=1 switches
       // to the bundled RocksDB provider — state off-heap, bounded heap
       // at ANY key cardinality. Measured at the 100x probe: RocksDB is
-      // ~1.5x slower on st_sessions (per-event state serialization),
+      // ~1.4x slower on st_sessions (per-event state serialization),
       // so it is the escape hatch for state-exceeds-heap deployments,
       // not a speedup — which is why it's a knob and not the default.
+      // Sizing formula (tools/StateProbe at 9.55M live sessions,
+      // STATEPROBE_r9 artifacts): in-memory state is ~455 B/session
+      // steady-state — budget ~1 GB executor heap per 10^6 live
+      // sessions (2x for the provider's retained version maps);
+      // RocksDB holds ~166 B/session off-heap. Switch providers when
+      // live_keys x 455 B x 2 approaches the per-executor heap.
       // Output parity under both providers: StateStoreProviderSpec.
       .config("spark.sql.streaming.stateStore.providerClass",
         if (sys.env.get("SPARK_GRAFT_ROCKSDB").contains("1"))

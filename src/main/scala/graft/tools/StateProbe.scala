@@ -29,9 +29,15 @@ object StateProbe {
       .outputMode(OutputMode.Complete()).option("checkpointLocation", ckpt).start()
     q.processAllAvailable()
     val secs = (System.nanoTime() - t0) / 1e9
-    // the LAST progress with state rows carries the final store size
+    // the LAST progress with a state operator carries the final store
+    // size. numRowsTotal is 0 under RocksDB when trackTotalNumberOfRows
+    // is off (the graft default — the per-put read-before-write exists
+    // only to maintain that metric), so gate on presence, not rows.
     val prog = q.recentProgress.reverse
-      .find(p => p.stateOperators.nonEmpty && p.stateOperators.head.numRowsTotal > 0)
+      .find(p => p.stateOperators.nonEmpty &&
+        (p.stateOperators.head.numRowsTotal > 0 ||
+          p.stateOperators.head.memoryUsedBytes > 0 ||
+          p.stateOperators.head.numRowsUpdated > 0))
       .getOrElse(sys.error("no state operator progress captured"))
     val st = prog.stateOperators.head
     val rows = st.numRowsTotal
