@@ -132,8 +132,12 @@ object Bench {
     }
     spark.range(1000000).selectExpr("id % 7 AS k", "id AS v")
       .groupBy("k").sum("v").count()
-    // dev-only subset filter (unset in the driver run → all queries)
+    // dev-only subset filter (unset in the driver run → all queries);
+    // SKIP excludes named queries (e.g. the documented-quadratic
+    // d_embed_dup from a 100x full-suite run) — both tag the output so
+    // a partial run can't masquerade as a full one.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val skip = sys.env.get("SPARK_GRAFT_SKIP").map(_.split(",").toSet)
     // min of 2 runs per query: the host shows bursty noise (identical
     // code has measured 49s and 159s back-to-back); min-of-2 reports
     // the machine's actual capability. SPARK_GRAFT_RUNS raises it for
@@ -142,7 +146,8 @@ object Bench {
     val gc0 = gcMillis()
     val res = measure(spark, sfDir,
       SparkEntry.queries.toSeq.sortBy(_._1)
-        .filter { case (name, _) => only.forall(_.contains(name)) },
+        .filter { case (name, _) =>
+          only.forall(_.contains(name)) && !skip.exists(_.contains(name)) },
       runs = runs)
     // environment telemetry: a capture on a contended host (BENCH_r04
     // totaled 194.6 s where a clean re-run of the same binary took
@@ -163,9 +168,12 @@ object Bench {
     val total = res.timings.map(_._2).sum
     // a leaked SPARK_GRAFT_ONLY must never masquerade as a full run:
     // mark subset output explicitly so partial totals are recognizable.
-    val subsetTag = only
-      .map(o => s""","subset":true,"only":"${o.toSeq.sorted.mkString(",")}"""")
-      .getOrElse("")
+    val subsetTag = {
+      val parts =
+        only.map(o => s""""only":"${o.toSeq.sorted.mkString(",")}"""").toSeq ++
+          skip.map(sk => s""""skip":"${sk.toSeq.sorted.mkString(",")}"""").toSeq
+      if (parts.isEmpty) "" else s""","subset":true,${parts.mkString(",")}"""
+    }
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs""" +
         s""","errors":$errorsJson,"spreads":$spreadsJson,"gc_per_query":$gcPerJson""" +
