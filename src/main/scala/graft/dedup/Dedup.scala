@@ -1190,7 +1190,12 @@ object Dedup {
       // is corpus-sized, not broadcastable. The grouped tiles spread
       // Σ n_c² work over nb²/2 tasks per cell with primitive-array
       // loops; same float contract, hashes unchanged (12× at sf1).
-      val a = graft.sim.Sim.ivfIndex(s, d, k = 8, iters = 3).assigned
+      // cell count scales with the corpus (Sim.semDedupCells: k ≈
+      // √(n/50), = the oracle's 8 at every gate scale) — a fixed k
+      // left this quadratic with a 1/k constant (r9 100× sweep:
+      // exponent 1.48); with k ∝ √n the within-cell pair mass is
+      // ≈ n^1.5, the SemDeDup curve.
+      val a = graft.sim.Sim.ivfIndexAdaptive(s, d, iters = 3).assigned
         .select(col("cid"), col("vec_id"), col("v"))
       val w = Window.partitionBy("vec_id").orderBy(col("partner"))
       graft.sim.Embed.cosinePairsGrouped(a, "vec_id", "v", "cid", 0.45)

@@ -329,6 +329,61 @@ object Sim {
       }
     }
 
+  /** Corpus-adaptive cell count for within-cell pruning
+    * (d_semantic_dedup): within-cell pair cost is Σ n_c² ≈ n²/k, so a
+    * FIXED k leaves the operator quadratic with a 1/k constant — the
+    * r9 100× sweep measured exactly that (exponent 1.48 at k = 8).
+    * k ≈ √(n/50) keeps expected cell population at √(50·n), making
+    * pair cost ≈ n^1.5 — the SemDeDup scaling (11k cells for LAION's
+    * 10⁸ embeddings lands on the same curve). Resolves to the
+    * oracle-pinned 8 at every gate scale (n ≤ 3200), mirroring the
+    * adaptive df cap's contract: bit-identical where the DuckDB
+    * oracle replays the fixed constant, self-tuning beyond it.
+    */
+  def semDedupCells(n: Long): Int =
+    math.max(8, math.round(math.sqrt(n / 50.0)).toInt)
+
+  /** The IVF index at [[semDedupCells]] cells. On the dynamic path
+    * (k > 8 — never at oracle scale) Lloyd trains on a bounded prefix
+    * (≥ 50 vectors/cell) so training stays O(k·trainN), and an
+    * oracle-gated run (graft.assertFixedCap) fails loudly rather than
+    * diverging from the fixed-k SQL replay three layers up.
+    */
+  /** Oracle-gated runs (Verify sets graft.assertFixedCap) compare
+    * against SQL that unrolls Lloyd at the fixed k=8 — a cell count
+    * that diverges there must fail HERE, self-identified, not as an
+    * opaque hash mismatch in the driver's compare.
+    */
+  private[graft] def guardOracleCells(k: Int, n: Long): Unit =
+    if (k != 8 && sys.props.get("graft.assertFixedCap").contains("true"))
+      throw new IllegalStateException(
+        s"semDedupCells resolved to $k != 8 for n=$n during an oracle-gated " +
+          "run; the DuckDB oracle unrolls Lloyd at the fixed k=8")
+
+  def ivfIndexAdaptive(s: SparkSession, d: String, iters: Int): IvfIndex = {
+    val n = vecs(s, d).count()
+    val k = semDedupCells(n)
+    guardOracleCells(k, n)
+    if (k == 8) ivfIndex(s, d, 8, iters)
+    else {
+      ivfMemo.synchronized {
+        ivfMemo.get((d, k, iters)) match {
+          case Some((sess, idx)) if (sess eq s) && !s.sparkContext.isStopped => idx
+          case _ =>
+            val e = vecs(s, d)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            val trainN = math.max(5000L, 50L * k)
+            val cents = lloyd(e.filter(col("vec_id") < trainN), col("v"), k, iters)
+            val idx = IvfIndex(
+              graft.Caching.releaseAfter(assignTo(e, cents), e), cents)
+            graft.Caching.retain(idx.assigned)
+            ivfMemo((d, k, iters)) = (s, idx)
+            idx
+        }
+      }
+    }
+  }
+
   /** s_centroid_ivf: cell population stats of the built index,
     * oracle-checked against the unrolled-Lloyd SQL replay (mean
     * distance via decimal-exact sum so summation order can't diverge).

@@ -52,4 +52,31 @@ class SemanticDedupSpec extends SparkSpec {
     }
     info(s"${out.size} semantic dups verified against the brute-force rule")
   }
+
+  // Cell-count contract: the oracle unrolls Lloyd at k=8, so the
+  // adaptive count must resolve to exactly 8 at every gate scale and
+  // grow ~sqrt(n) beyond — a fixed k leaves within-cell pair cost
+  // quadratic (r9 100x sweep measured exponent 1.48 before this).
+  test("semDedupCells: pinned at 8 for gate scales, ~sqrt(n) growth beyond") {
+    import graft.sim.Sim.semDedupCells
+    // gate corpora: sf0.001=20, sf0.01=200, sf0.1=2000 embeddings
+    for (n <- Seq(20L, 200L, 2000L, 3200L)) assert(semDedupCells(n) === 8, s"n=$n")
+    assert(semDedupCells(20000L) === 20)   // 10x corpus
+    assert(semDedupCells(200000L) === 63)  // 100x corpus
+    // growth keeps expected cell population ~sqrt(50n): pair mass n^1.5
+    assert(semDedupCells(20000000L) === 632)
+  }
+
+  test("oracle-gated run fails loudly if the cell count would diverge from the SQL replay") {
+    import graft.sim.Sim.{guardOracleCells, semDedupCells}
+    sys.props("graft.assertFixedCap") = "true"
+    try {
+      guardOracleCells(8, 2000L) // gate scale: must pass
+      val k = semDedupCells(50000L)
+      assert(k !== 8)
+      val e = intercept[IllegalStateException](guardOracleCells(k, 50000L))
+      assert(e.getMessage.contains("oracle-gated"))
+    } finally sys.props.remove("graft.assertFixedCap")
+    guardOracleCells(32, 50000L) // un-gated: dynamic k is allowed
+  }
 }
