@@ -99,10 +99,41 @@ object Caching {
     * a cluster this boundary is the job boundary — each operator runs
     * in its own application and its blocks die with it.
     */
-  def releaseTransient(): Unit = tracked.synchronized {
-    tracked.foreach(r => try r.unpersist(blocking = true) catch { case _: Throwable => () })
-    tracked.clear()
+  def releaseTransient(): Unit = {
+    tracked.synchronized {
+      tracked.foreach(r => try r.unpersist(blocking = true) catch { case _: Throwable => () })
+      tracked.clear()
+    }
+    // Streaming queries leak TWO things past q.stop() in a shared JVM,
+    // both measured dominant in the r9 100× full sweep: (a) the
+    // memory-sink table stays reachable through its temp view (Complete
+    // mode at 100× = 9.5M rows per st_sessions RUN), (b) the state
+    // store keeps every stopped query's loaded version maps (4.3 GB
+    // for the session window) until provider unload. Drop the views
+    // registered by runToTable and unload all state providers — an
+    // active query would transparently reload its state from the
+    // checkpoint on its next batch, and on a cluster both die with
+    // their job, which is exactly what this boundary emulates.
+    transientViews.synchronized {
+      transientViews.foreach { case (s, v) =>
+        try s.catalog.dropTempView(v) catch { case _: Throwable => () }
+      }
+      transientViews.clear()
+    }
+    try org.apache.spark.sql.graftshim.Shim.unloadAllStateStores()
+    catch { case _: Throwable => () }
   }
+
+  private val transientViews =
+    scala.collection.mutable.ArrayBuffer[(SparkSession, String)]()
+
+  /** Register a memory-sink temp view for deferred drop at the next
+    * releaseTransient() boundary (the view must stay alive until the
+    * consumer has drained the returned frame, so the drop cannot
+    * happen at creation).
+    */
+  def registerTransientView(s: SparkSession, name: String): Unit =
+    transientViews.synchronized { transientViews += ((s, name)) }
 
   /** Register a callback run by releaseAll() — for holders of
     * memoized checkpointed frames (e.g. the IVF index), whose entries

@@ -82,6 +82,11 @@ object Streaming {
         .outputMode(mode).option("checkpointLocation", ckpt).start()
       q.processAllAvailable()
       q.stop()
+      // the memory sink's rows stay reachable through this temp view
+      // for the JVM lifetime otherwise — register it for drop at the
+      // next releaseTransient() boundary (after the consumer drains
+      // the returned frame)
+      graft.Caching.registerTransientView(s, name)
       s.table(name)
     }
 

@@ -32,4 +32,16 @@ object Shim {
       case lr: org.apache.spark.sql.execution.LogicalRDD => Some(lr.rdd)
       case _ => None
     }
+
+  /** Unload every loaded state-store provider (and close it). A
+    * STOPPED streaming query's providers otherwise keep their loaded
+    * version maps in heap for the JVM lifetime — 4.3 GB for one
+    * session-window query at the 100× corpus — because provider
+    * unload normally happens only on executor death or maintenance
+    * eviction. An ACTIVE query transparently reloads its state from
+    * the checkpoint on its next batch, so this is safe at any
+    * between-queries boundary.
+    */
+  def unloadAllStateStores(): Unit =
+    org.apache.spark.sql.execution.streaming.state.StateStore.unloadAll()
 }
