@@ -15,6 +15,24 @@ import org.apache.spark.sql.execution.ExplainMode
   */
 object PlanDump {
 
+  /** Strip the per-session volatile identifiers (expression ids
+    * `col#123`, `plan_id=456`, checkpoint RDD numbers, temp-view
+    * sequence numbers) so two dumps of the SAME plan are
+    * byte-identical and a round-over-round diff shows only real
+    * structure changes, not id churn.
+    */
+  private[tools] def normalize(plan: String): String =
+    plan
+      .replaceAll("#\\d+", "#x")
+      .replaceAll("plan_id=\\d+", "plan_id=x")
+      .replaceAll("MapPartitionsRDD\\[\\d+\\]", "MapPartitionsRDD[x]")
+      .replaceAll("graft_stream_\\d+", "graft_stream_x")
+      // NB: replacement strings treat $ as a group ref — avoid it
+      .replaceAll("Lambda\\$\\d+/0x[0-9a-f]+@[0-9a-f]+", "Lambda(x)")
+      .replaceAll("@[0-9a-f]{6,}", "@x") // JVM object identity hashes
+      // createTempDirectory suffixes under any graft_* temp artifact
+      .replaceAll("(graft_[a-z_]+)\\d{6,}", "$1x")
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outFile) = args.take(2)
     val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
@@ -28,7 +46,8 @@ object PlanDump {
       sb ++= s"\n===== $name =====\n"
       try {
         val df = fn(spark, sfDir)
-        sb ++= df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+        sb ++= normalize(
+          df.queryExecution.explainString(ExplainMode.fromString("formatted")))
       } catch {
         case e: Throwable =>
           failed += 1
