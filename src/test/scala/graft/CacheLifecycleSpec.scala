@@ -52,4 +52,25 @@ class CacheLifecycleSpec extends SparkSpec {
     val n = pairs.filter(org.apache.spark.sql.functions.col("jaccard") >= 0.5).count()
     assert(n === pairs.count())
   }
+
+  // The r9 leak finding: a stopped streaming query's memory-sink table
+  // stayed reachable through its temp view for the JVM lifetime (and
+  // the state store kept its version maps loaded). The boundary must
+  // drop the registered views — and the frame must be fully usable
+  // BETWEEN run and boundary.
+  test("releaseTransient drops memory-sink temp views registered by streaming runs") {
+    val out = graft.streaming.Streaming.pipeline.run(spark, sfDir)
+    val rows = out.count() // consume before the boundary, as Bench/Verify do
+    assert(rows > 0)
+    val viewsBefore = spark.catalog.listTables()
+      .filter("name like 'graft_stream_%'").count()
+    assert(viewsBefore > 0, "streaming run registered no memory-sink view")
+    Caching.releaseTransient()
+    val viewsAfter = spark.catalog.listTables()
+      .filter("name like 'graft_stream_%'").count()
+    assert(viewsAfter === 0, s"boundary left $viewsAfter sink views alive")
+    // the operator still reruns cleanly after the boundary
+    assert(graft.streaming.Streaming.pipeline.run(spark, sfDir).count() === rows)
+    Caching.releaseTransient()
+  }
 }
