@@ -224,10 +224,13 @@ object GraftSession {
       // Default (in-memory HDFSBackedStateStore) holds every live
       // key's state in executor heap; SPARK_GRAFT_ROCKSDB=1 switches
       // to the bundled RocksDB provider — state off-heap, bounded heap
-      // at ANY key cardinality. Measured at the 100x probe: RocksDB is
-      // ~1.4x slower on st_sessions (per-event state serialization),
-      // so it is the escape hatch for state-exceeds-heap deployments,
-      // not a speedup — which is why it's a knob and not the default.
+      // at ANY key cardinality. Measured at the 100x probe (matched
+      // A/B, post release-boundary): tuned RocksDB runs st_sessions at
+      // ~0.97x the in-memory provider — parity — so the choice is
+      // purely heap-vs-local-disk; earlier rounds' ~1.4x penalty was
+      // dominated by PRIOR queries' leaked state inflating both
+      // providers' heaps. In-memory stays the default only because it
+      // needs no local-disk provisioning.
       // Sizing formula (tools/StateProbe at 9.55M live sessions,
       // STATEPROBE_r9 artifacts): in-memory state is ~455 B/session
       // steady-state — budget ~1 GB executor heap per 10^6 live
