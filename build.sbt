@@ -27,5 +27,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // dot-decimal JSON everywhere: the f-interpolator formats with the
+  // default locale, and a comma-decimal host (de_DE) would make every
+  // probe/bench contract line invalid JSON
+  "-Duser.language=en", "-Duser.country=US",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

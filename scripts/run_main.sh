@@ -13,4 +13,5 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
 done
 exec java -Xmx"$MEM" $OPENS \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -Duser.language=en -Duser.country=US \
   -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" "$@"

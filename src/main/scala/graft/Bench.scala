@@ -75,24 +75,47 @@ object Bench {
     * n_errors is always present and the map is included before any
     * timings are.
     */
+  /** Locale-independent fixed-point format: the f-interpolator uses
+    * the JVM default locale, which on comma-decimal locales (de_DE,
+    * fr_FR) would emit `620,086` — invalid JSON in the contract line.
+    */
+  private def num(v: Double, digits: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
+
   def compactLine(total: Double, timings: Seq[(String, Double)],
                   errors: Map[String, String], gcMs: Long, loadAvg: Double,
                   sfDir: String, subsetTag: String, budget: Int = 1700): String = {
-    val errorsJson = errors.toSeq.sortBy(_._1)
-      .map { case (k, v) => jsonStr(k) + ":" + jsonStr(v.take(120)) }
-      .mkString("{", ",", "}")
+    // errors are the content a consumer most needs, but a run where
+    // MANY queries fail must not blow the tail budget either: include
+    // sorted errors until they use at most half the budget, collapse
+    // the rest into errors_omitted (n_errors always carries the total
+    // and the full map is in bench_out.json).
+    val errorsJson = {
+      val entries = errors.toSeq.sortBy(_._1)
+        .map { case (k, v) => jsonStr(k) + ":" + jsonStr(v.take(120)) }
+      val kept = Vector.newBuilder[String]
+      var used = 0
+      var nKept = 0
+      for (e <- entries if used + e.length + 1 <= budget / 2) {
+        kept += e; used += e.length + 1; nKept += 1
+      }
+      val omitTag =
+        if (nKept == entries.size) ""
+        else s""","errors_omitted":${entries.size - nKept}"""
+      kept.result().mkString("{", ",", "}") + omitTag
+    }
     def assemble(qEntries: Seq[String], omitted: Int, omittedSec: Double): String = {
       val omitTag =
         if (omitted == 0) ""
-        else f""","queries_omitted":$omitted,"omitted_sec":$omittedSec%.3f"""
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec"""" +
+        else s""","queries_omitted":$omitted,"omitted_sec":${num(omittedSec, 3)}"""
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec"""" +
         s""","queries":${qEntries.mkString("{", ",", "}")}$omitTag""" +
         s""","n_errors":${errors.size},"errors":$errorsJson""" +
-        f""","gc_ms":$gcMs,"load_avg":$loadAvg%.2f,"sf":"$sfDir"""" +
+        s""","gc_ms":$gcMs,"load_avg":${num(loadAvg, 2)},"sf":"$sfDir"""" +
         s""","full":"bench_out.json"$subsetTag}"""
     }
     val byCost = timings.sortBy(-_._2)
-      .map { case (k, v) => (jsonStr(k) + ":" + f"$v%.3f", v) }
+      .map { case (k, v) => (jsonStr(k) + ":" + num(v, 3), v) }
     // greedy by descending cost: the expensive queries are the signal
     val kept = Vector.newBuilder[String]
     var used = assemble(Nil, timings.size, total).length
@@ -179,11 +202,17 @@ object Bench {
         s""","errors":$errorsJson,"spreads":$spreadsJson,"gc_per_query":$gcPerJson""" +
         s""","gc_ms":$gcMs,"load_avg":$loadAvg,"sf":"$sfDir"$subsetTag}"""
     // the stdout line is the driver contract, but its captured tail is
-    // only ~2000 chars — write the full JSON as a file artifact (always
-    // recoverable) and print it between sentinel markers for any
-    // consumer that reads the whole log.
+    // only ~2000 chars — write the file artifact (always recoverable)
+    // and print it between sentinel markers for any consumer that
+    // reads the whole log. Line 1 of the file is the SAME compact
+    // contract line printed last on stdout, so a parser needing only
+    // `head -1 bench_out.json` reproduces the driver contract even
+    // when the stdout tail was truncated; line 2 is the full JSON.
+    val compact = compactLine(total, res.timings, res.errors, gcMs, loadAvg,
+      sfDir, subsetTag)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
+      compact + "\n" + line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $outPath: $e") }
     println("===GRAFT_BENCH_JSON_BEGIN===")
     println(line)
@@ -201,7 +230,6 @@ object Bench {
     } catch { case e: Throwable => System.err.println(s"[bench] shutdown: $e") }
     // LAST stdout content: a line sized to survive the driver's
     // 2000-char tail capture even with sbt's [success] suffix after it.
-    println(compactLine(total, res.timings, res.errors, gcMs, loadAvg,
-      sfDir, subsetTag))
+    println(compact)
   }
 }

@@ -111,9 +111,15 @@ object Dedup {
     * participating-doc count from a single bounded aggregation over
     * the key-frequency frame, so the cap pre-pass costs one job and
     * one ≤ maxCap+1-row collect — no checkpoint, no extra corpus
-    * scan for the count. The budget counts docs that PARTICIPATE in
-    * this blocking (Σ df), the quantity the pair stage actually fans
-    * out over.
+    * scan for the count. The budget base is Σ df over ALL buckets —
+    * including df=1 buckets (which can never pair) and the collapsed
+    * over-cap bucket (excluded from pairing at any cap) — i.e. total
+    * doc-key participation in the blocking, NOT just pair-capable
+    * docs. That mirrors adaptiveDfCapFromDf's per-corpus-doc budget
+    * (each doc contributes exactly one prefix key here), so the two
+    * cap functions resolve identically on the same corpus; excluding
+    * the non-pairing buckets would silently tighten the cap relative
+    * to the fixed-cap oracle contract.
     */
   private[graft] def adaptiveDfCapOnePass(dfFreq: DataFrame,
                                           maxCap: Long = 1000L): Long = {

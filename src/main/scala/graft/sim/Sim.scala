@@ -317,6 +317,27 @@ object Sim {
   // them at harness teardown the entries are unusable — drop them.
   graft.Caching.onReleaseAll(() => ivfMemo.synchronized(ivfMemo.clear()))
 
+  /** Corpus row count per (session, dir): ivfIndexAdaptive needs n to
+    * resolve the cell count BEFORE it can consult ivfMemo, and a
+    * repeated full-corpus count() job on every memo hit is exactly
+    * the kind of per-call constant the sf0.1 series pays for. The
+    * count is a property of the immutable input dir — cache it.
+    */
+  private val nMemo =
+    scala.collection.mutable.Map[String, (SparkSession, Long)]()
+  graft.Caching.onReleaseAll(() => nMemo.synchronized(nMemo.clear()))
+
+  private def corpusCount(s: SparkSession, d: String): Long =
+    nMemo.synchronized {
+      nMemo.get(d) match {
+        case Some((sess, n)) if (sess eq s) && !s.sparkContext.isStopped => n
+        case _ =>
+          val n = vecs(s, d).count()
+          nMemo(d) = (s, n)
+          n
+      }
+    }
+
   def ivfIndex(s: SparkSession, d: String, k: Int, iters: Int): IvfIndex =
     ivfMemo.synchronized {
       ivfMemo.get((d, k, iters)) match {
@@ -361,7 +382,7 @@ object Sim {
           "run; the DuckDB oracle unrolls Lloyd at the fixed k=8")
 
   def ivfIndexAdaptive(s: SparkSession, d: String, iters: Int): IvfIndex = {
-    val n = vecs(s, d).count()
+    val n = corpusCount(s, d)
     val k = semDedupCells(n)
     guardOracleCells(k, n)
     if (k == 8) ivfIndex(s, d, 8, iters)

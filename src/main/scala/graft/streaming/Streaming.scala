@@ -80,13 +80,17 @@ object Streaming {
       val ckpt = Files.createTempDirectory("graft_ckpt").toString
       val q = out.writeStream.format("memory").queryName(name)
         .outputMode(mode).option("checkpointLocation", ckpt).start()
-      q.processAllAvailable()
-      q.stop()
       // the memory sink's rows stay reachable through this temp view
       // for the JVM lifetime otherwise — register it for drop at the
       // next releaseTransient() boundary (after the consumer drains
-      // the returned frame)
+      // the returned frame). Registered immediately after start()
+      // (which creates the view), NOT after the run: a stream that
+      // throws mid-run must still have its sink table freed, or Bench
+      // records the error and keeps running the suite on the leaked
+      // heap.
       graft.Caching.registerTransientView(s, name)
+      q.processAllAvailable()
+      q.stop()
       s.table(name)
     }
 

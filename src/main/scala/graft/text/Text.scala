@@ -602,6 +602,13 @@ object Text {
       ORDER BY vocab_id
       LIMIT 500"""),
     (s, d) => {
+      // rank AFTER the top-500 cut, not before: orderBy().limit() is
+      // a distributed TakeOrderedAndProject (per-partition top-K +
+      // driver merge), so the single-partition row_number window only
+      // ever sees 500 rows — a global window over the full vocabulary
+      // would funnel ~10^8 tokens at corpus scale through ONE
+      // WindowExec task. Identical output: row_number over the same
+      // total order commutes with taking its first 500 rows.
       val w = Window.orderBy(col("cnt").desc, col("token"))
       Tables.documents(s, d)
         .withColumn("t", toks(col("text")))
@@ -609,9 +616,10 @@ object Text {
         .groupBy("token")
         .agg(count(lit(1)).as("cnt"), countDistinct(col("doc_id")).as("df"))
         .filter(col("df") >= 3)
+        .orderBy(col("cnt").desc, col("token"))
+        .limit(500)
         .withColumn("vocab_id", row_number().over(w))
         .orderBy("vocab_id")
-        .limit(500)
     },
   )
 

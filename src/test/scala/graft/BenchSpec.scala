@@ -68,6 +68,24 @@ class BenchSpec extends SparkSpec {
     assert(line.endsWith("}"))
   }
 
+  test("compactLine bounds inline errors: a many-failure run still fits the tail") {
+    // the run a consumer MOST needs to parse is one where many queries
+    // failed — unbounded inline errors would blow the tail budget and
+    // reintroduce parsed:null exactly there
+    val errors = (1 to 60).map(i =>
+      f"q_failing_operator_$i%03d" -> ("SomeLongException: " + "x" * 120)).toMap
+    val timings = (1 to 80).map(i => (f"q_ok_$i%03d", i * 0.1))
+    val line = Bench.compactLine(timings.map(_._2).sum, timings, errors,
+      gcMs = 99, loadAvg = 2.0, sfDir = "/x", subsetTag = "")
+    assert(line.length <= 1700, s"line too long: ${line.length}")
+    assert(line.contains("\"n_errors\":60"))
+    assert(line.contains("\"errors_omitted\":"))
+    // sorted order: the first error key always survives the cap
+    assert(line.contains("q_failing_operator_001"))
+    assert(line.count(_ == '{') === line.count(_ == '}'))
+    assert(line.count(_ == '"') % 2 === 0)
+  }
+
   test("compactLine with few queries includes them all, no omission tag") {
     val timings = Seq("q1" -> 1.5, "q2" -> 0.5)
     val line = Bench.compactLine(2.0, timings, Map.empty, 10, 1.0, "/x", "")
