@@ -601,15 +601,18 @@ object Dedup {
     graft.Caching.releaseAfter(intra.unionByName(cross), sim, ids)
   }
 
-  /** d_embed_dup: embedding-cosine near-dup pairs, exact (every pair
-    * with cos ≥ 0.45), executed as a **block-matrix cross product**:
+  /** d_embed_dup: embedding-cosine near-dup pairs (cos ≥ 0.45). At
+    * oracle scales: EXACT via a **block-matrix cross product** —
     * vectors hash into `nb` blocks, each of the nb·(nb+1)/2 block
     * pairs is one task computing its dense dot-product tile in a tight
-    * JVM loop. That is the scalable exact shape — tasks fan out across
-    * executors, memory per task is two blocks, no driver collect, and
-    * `nb` scales with the cluster. The per-pair HOF-expression version
-    * of this was ~40× slower: interpreted lambda per element vs a hot
-    * loop.
+    * JVM loop (the per-pair HOF-expression version was ~40× slower:
+    * interpreted lambda per element vs a hot loop). Beyond
+    * Sim.EmbedExactCutoff the same tiles run WITHIN multi-assigned
+    * IVF cells (see [[graft.sim.Sim.embedDupPairs]]) — O(n^1.5) at
+    * the adaptive cell count instead of the n² that measured 606.9 s
+    * at 200k vectors; SPARK_GRAFT_EMBED_EXACT=1 is the explicit
+    * full-pairs knob, and the recall-vs-exact delta of the blocked
+    * path is a measured artifact, not a silent cap.
     *
     * Float determinism vs the oracle: dot products accumulate in
     * ascending dim order (= DuckDB's list_reduce left fold) and
@@ -629,7 +632,7 @@ object Dedup {
       WHERE ROUND(dab / (sqrt(daa) * sqrt(dbb)), 4) >= 0.45
       ORDER BY cos_sim DESC, vec_a, vec_b"""),
     (s, d) =>
-      graft.sim.Embed.cosinePairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.45)
+      graft.sim.Sim.embedDupPairs(s, d, 0.45)
         .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"), col("cos_sim"))
         .orderBy(col("cos_sim").desc, col("vec_a"), col("vec_b")),
   )

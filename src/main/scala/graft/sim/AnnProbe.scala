@@ -1,0 +1,161 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ANN routed-scan regime probe — `AnnProbe <sfDir> [outFile]`.
+  *
+  * The r9 ANN exponents (0.07–0.29 at 20k→200k vectors) measured
+  * FIXED OVERHEAD: at those corpus sizes every phase finishes under
+  * ~2 s, so the term the 100 TB ANN claim actually rests on — the
+  * per-probe routed scan of nprobe·n/k candidates — had never been
+  * exercised. This tool drives the adaptive-k index
+  * (k = semDedupCells(n) ≈ √(n/50), the same rule d_semantic_dedup
+  * ships) over multi-million-vector `vectors`-mode corpora
+  * (tools/GenScale) with a probe BATCH large enough that the routed
+  * scan dominates: candidates examined per run ≈
+  * nProbes · nprobe · n/k ≈ nProbes · 2·√(50n).
+  *
+  * Phases measured separately (each is a different scale claim):
+  *   - build: Lloyd train (bounded at ≥50 vec/cell) + full-corpus
+  *     map-side assignment + index materialization — Θ(n·k) work.
+  *   - search: cell-routed exact-cosine top-3 for the probe batch —
+  *     the nprobe·n/k term, Θ(nProbes·√n) at the adaptive k.
+  *   - filtered: same routing with the label pre-filter join.
+  *   - encode+adc: PQ-code the corpus under the SAME index, then the
+  *     ADC-scan + shortlist re-rank composition (s_ivf_adc's shape).
+  *   - brute (on a recall subset): the exact baseline, Θ(R·n).
+  * Recall@3 for routed and ADC search is computed against brute on
+  * the same subset — the number that licenses the nprobe=2 knob at
+  * the new k.
+  *
+  * Probe vectors are vec_id < nProbes of replica 0, i.e. the SAME
+  * source vectors at every scale factor, so cross-scale wall-clock
+  * ratios measure corpus growth only.
+  */
+object AnnProbe {
+
+  private def time[T](body: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = body
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  private def minOf(runs: Int)(body: => Long): Double =
+    (1 to runs).map(_ => time(body)._2).min
+
+  private def num(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val outFile = if (args.length > 1) Some(args(1)) else None
+    val nProbes = sys.env.get("SPARK_GRAFT_ANN_PROBES").map(_.toInt).getOrElse(1000)
+    val recallProbes =
+      sys.env.get("SPARK_GRAFT_ANN_RECALL_PROBES").map(_.toInt).getOrElse(100)
+    val runs = sys.env.get("SPARK_GRAFT_ANN_RUNS").map(_.toInt).getOrElse(2)
+    val nprobeEnv = sys.env.get("SPARK_GRAFT_ANN_NPROBE").map(_.toInt)
+    // probe ids default to [2000, 2000+nProbes): replica 1 of an
+    // sf0.1-derived corpus — vectors DRAWN FROM the scaled regime
+    // (clustered in `vectors` mode), bit-identical across scale
+    // factors. Base 0 would probe the 2000 verbatim source vectors,
+    // which in clustered corpora sit outside every cluster.
+    val pBase = sys.env.get("SPARK_GRAFT_ANN_PROBE_BASE").map(_.toLong).getOrElse(2000L)
+    val shortlist = sys.env.get("SPARK_GRAFT_ANN_SHORTLIST").map(_.toInt).getOrElse(50)
+    val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors())
+    val spark = graft.GraftSession.local(cpus)
+
+    val e = Sim.vecs(spark, sfDir)
+    val n = e.count()
+    val k = Sim.semDedupCells(n)
+    // nprobe must ride with k: the fixed nprobe=2 of the k=8 gate
+    // scans 25% of the corpus, but at adaptive k a constant nprobe
+    // scans 2/k — recall on an unclustered corpus collapses with it.
+    // nprobe ≈ √k (the published FAISS sizing guidance for
+    // nprobe-vs-nlist) keeps the scanned fraction √k/k = 1/√k while
+    // candidates per probe grow only as √(n·cell) — the measured
+    // recall below is the price tag of exactly this choice.
+    val nprobe = nprobeEnv.getOrElse(math.max(2, math.round(math.sqrt(k)).toInt))
+
+    // BUILD — the one unrepeatable phase (memoized): train + assign +
+    // materialize, forced through the index row count.
+    val (idx, secBuild) = time {
+      val i = Sim.ivfIndexAdaptive(spark, sfDir, iters = 3)
+      i.assigned.count()
+      i
+    }
+    val probes = idx.assigned
+      .filter(col("vec_id") >= pBase && col("vec_id") < pBase + nProbes)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pCount = probes.count()
+
+    val secSearch = minOf(runs)(Sim.searchIvfProbes(idx, probes, nprobe).count())
+    val labels = e.select(col("vec_id"), col("label"))
+    val secFiltered =
+      minOf(runs)(Sim.searchIvfProbesFiltered(idx, labels, probes, nprobe).count())
+
+    // PQ path under the SAME adaptive-k index: code the corpus once
+    // (stored-index lifecycle), then ADC-scan the probe batch.
+    val (books, secBooks) = time(Sim.pqBooks(spark, sfDir))
+    val (coded, secEncode) = time {
+      val c = graft.Caching.releaseAfter(Sim.encodePq(idx.assigned, books))
+      c.count()
+      c
+    }
+    val ev = e.select(col("vec_id"), col("v"))
+    val secAdc =
+      minOf(runs)(
+        Sim.searchIvfAdcProbes(ev, probes, idx.centroids, books, coded, nprobe,
+          shortlist).count())
+
+    // RECALL vs brute force on the first `recallProbes` probes.
+    val probesR = probes.filter(col("probe_id") < pBase + recallProbes)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(col("cs").desc, col("neighbor_id"))
+    val (brute, secBrute) = time {
+      val b = graft.Caching.releaseAfter(
+        broadcast(probesR)
+          .join(ev.select(col("vec_id").as("neighbor_id"), col("v")),
+            col("neighbor_id") =!= col("probe_id"))
+          .select(col("probe_id"), col("neighbor_id"),
+            graft.gfunctions.cosine(col("pv"), col("v")).as("cs"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("probe_id"), col("neighbor_id")))
+      b.count()
+      b
+    }
+    def recallOf(found: DataFrame): Double = {
+      val denom = brute.count().toDouble
+      if (denom == 0) 1.0
+      else found.select(col("probe_id"), col("neighbor_id"))
+        .join(brute, Seq("probe_id", "neighbor_id")).count() / denom
+    }
+    val recallIvf = recallOf(Sim.searchIvfProbes(idx, probesR, nprobe))
+    val recallAdc =
+      recallOf(Sim.searchIvfAdcProbes(ev, probesR, idx.centroids, books, coded,
+        nprobe, shortlist))
+
+    val loadAvg = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val line =
+      s"""{"metric":"ann_probe","sf":"$sfDir","n":$n,"k":$k,""" +
+        s""""cell_avg":${n / math.max(k, 1)},"nprobe":$nprobe,"n_probes":$pCount,""" +
+        s""""cand_per_probe":${nprobe.toLong * n / math.max(k, 1)},""" +
+        s""""scan_frac":${num(nprobe.toDouble / k)},"shortlist":$shortlist,""" +
+        s""""probe_base":$pBase,"runs":$runs,""" +
+        s""""sec_build":${num(secBuild)},"sec_search":${num(secSearch)},""" +
+        s""""ms_per_probe":${num(secSearch * 1000 / math.max(pCount, 1))},""" +
+        s""""sec_filtered":${num(secFiltered)},"sec_books":${num(secBooks)},""" +
+        s""""sec_encode":${num(secEncode)},"sec_adc":${num(secAdc)},""" +
+        s""""recall_probes":$recallProbes,"sec_brute":${num(secBrute)},""" +
+        s""""recall_ivf_at3":${num(recallIvf)},"recall_adc_at3":${num(recallAdc)},""" +
+        s""""load_avg":${num(loadAvg)}}"""
+    outFile.foreach(p =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n"))
+    println(line)
+    spark.stop()
+  }
+}

@@ -405,6 +405,52 @@ object Sim {
     }
   }
 
+  /** d_embed_dup switches from exact all-pairs tiles to cell-blocked
+    * tiles above this corpus size. Every oracle-gated corpus
+    * (sf0.001/0.01/0.1 — n ≤ 2000) sits far below it, so the DuckDB
+    * all-pairs replay stays bit-exact where it runs; the cutoff only
+    * ever fires on stress corpora. 10k full-pairs is ~5·10⁷ dots —
+    * sub-second — so there is nothing to win below it either.
+    */
+  private[graft] val EmbedExactCutoff = 10000L
+
+  /** Embedding near-dup pairs (round(cos,4) ≥ threshold) with the
+    * semDedupCells contract shape: EXACT all-pairs block tiles at
+    * oracle scales (and under SPARK_GRAFT_EMBED_EXACT=1 at any
+    * scale — the explicit O(n²) knob), IVF-cell-blocked tiles beyond
+    * [[EmbedExactCutoff]]. The blocked path multi-assigns every
+    * vector to its 2 nearest cells (the same multi-probe trick the
+    * ANN search uses for boundary neighbors), computes exact tiles
+    * within each cell, and de-duplicates pairs found in both shared
+    * cells — cost drops from n² to ~Σ_c n_c² ≈ 4n²/k = O(n^1.5) at
+    * the adaptive k, which is what lets the operator ride a 100×
+    * sweep instead of being skip-tagged. Pairs whose two vectors
+    * share NO cell are missed — that recall-vs-exact delta is a
+    * measured artifact (BENCH_EMBEDDUP_*), not a silent cap, and an
+    * oracle-gated run that somehow reaches the blocked path fails
+    * loudly instead of diverging three layers up.
+    */
+  def embedDupPairs(s: SparkSession, d: String, threshold: Double): DataFrame = {
+    val n = corpusCount(s, d)
+    val forceExact = sys.env.get("SPARK_GRAFT_EMBED_EXACT").contains("1")
+    if (n <= EmbedExactCutoff || forceExact)
+      Embed.cosinePairs(Tables.embeddings(s, d), "vec_id", "embedding", threshold)
+    else {
+      if (sys.props.get("graft.assertFixedCap").contains("true"))
+        throw new IllegalStateException(
+          s"d_embed_dup reached the cell-blocked path (n=$n) during an " +
+            "oracle-gated run; the DuckDB oracle replays exact all-pairs")
+      val idx = ivfIndexAdaptive(s, d, iters = 3)
+      val multi = idx.assigned.select(col("vec_id"), col("v"),
+        explode(slice(array_sort(distStructs(col("v"), idx.centroids)), 1, 2))
+          .as("_pc"))
+        .select(col("vec_id"), col("v"), col("_pc.cid").as("cid"))
+      Embed.cosinePairsGrouped(multi, "vec_id", "v", "cid", threshold)
+        .select(col("id_a"), col("id_b"), col("cos_sim"))
+        .distinct()
+    }
+  }
+
   /** s_centroid_ivf: cell population stats of the built index,
     * oracle-checked against the unrolled-Lloyd SQL replay (mean
     * distance via decimal-exact sum so summation order can't diverge).
@@ -490,9 +536,10 @@ object Sim {
     * a stream micro-batch, an RPC batch, …) routes map-side and scans
     * only its cells. Used by st_ann per micro-batch.
     */
-  def searchIvfProbes(idx: IvfIndex, probeFrame: DataFrame): DataFrame = {
+  def searchIvfProbes(idx: IvfIndex, probeFrame: DataFrame,
+                      nprobe: Int = 2): DataFrame = {
     val assigned = idx.assigned.select(col("vec_id"), col("v"), col("cid"))
-    val probes = probeCells(probeFrame, idx.centroids, nprobe = 2)
+    val probes = probeCells(probeFrame, idx.centroids, nprobe)
     val w = Window.partitionBy("probe_id").orderBy(col("cs").desc, col("neighbor_id"))
     broadcast(probes)
       .join(assigned.select(col("vec_id").as("neighbor_id"), col("v"), col("cid")),
@@ -551,8 +598,9 @@ object Sim {
     * — the pre-filter entry point behind s_filtered_ann.
     */
   def searchIvfProbesFiltered(idx: IvfIndex, labels: DataFrame,
-                              probeFrame: DataFrame): DataFrame = {
-    val probes = probeCells(probeFrame, idx.centroids, nprobe = 2)
+                              probeFrame: DataFrame,
+                              nprobe: Int = 2): DataFrame = {
+    val probes = probeCells(probeFrame, idx.centroids, nprobe)
       .join(labels.select(col("vec_id").as("probe_id"), col("label").as("plabel")),
         Seq("probe_id"))
     val cands = idx.assigned.select(col("vec_id").as("neighbor_id"), col("v"), col("cid"))
@@ -865,17 +913,27 @@ object Sim {
         case _ =>
           val books = pqBooks(s, d)
           val idx = ivfIndex(s, d, k = 8, iters = 3)
-          def sub(c: Column, j: Int) = slice(c, j * PqSubLen + 1, PqSubLen)
-          val c = graft.Caching.releaseAfter(
-            idx.assigned.select(
-              Seq(col("vec_id").as("neighbor_id"), col("cid")) ++
-                (0 until PqM).map(j =>
-                  argminCentroid(sub(col("v"), j), books(j))
-                    .getField("cid").as(s"code$j")): _*))
+          val c = graft.Caching.releaseAfter(encodePq(idx.assigned, books))
           ivfCodedMemo(d) = (s, graft.Caching.retain(c))
           c
       }
     }
+
+  /** PQ-encode an IVF-assigned corpus against per-subspace codebooks:
+    * one map-side argmin per subspace (codebooks ride as literals),
+    * yielding (neighbor_id, cid, code0..codeM-1) — the stored form an
+    * ADC scan reads. The encode step of [[ivfCoded]], factored out so
+    * probe tooling can code a corpus under an adaptive-k index.
+    */
+  def encodePq(assigned: DataFrame,
+               books: Seq[Seq[(Long, Seq[Double])]]): DataFrame = {
+    def sub(c: Column, j: Int) = slice(c, j * PqSubLen + 1, PqSubLen)
+    assigned.select(
+      Seq(col("vec_id").as("neighbor_id"), col("cid")) ++
+        (0 until PqM).map(j =>
+          argminCentroid(sub(col("v"), j), books(j))
+            .getField("cid").as(s"code$j")): _*)
+  }
 
   /** s_ivf_adc: the production ANN composition — IVF cell routing ×
     * PQ asymmetric-distance scanning × exact re-rank. How a 100 TB ANN
@@ -956,6 +1014,23 @@ object Sim {
   def searchIvfAdc(s: SparkSession, d: String, cents: Seq[(Long, Seq[Double])],
                    books: Seq[Seq[(Long, Seq[Double])]], coded: DataFrame): DataFrame = {
     val e = vecs(s, d).select(col("vec_id"), col("v"))
+    searchIvfAdcProbes(e,
+      e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv")),
+      cents, books, coded)
+  }
+
+  /** The same IVF-ADC search over an arbitrary (probe_id, pv) probe
+    * frame — the batch-serving entry point, and what the adaptive-k
+    * ANN regime probe drives: `e` supplies true vectors for the
+    * re-rank fetch, `coded` is the PQ-coded corpus under the SAME
+    * index whose centroids are passed as `cents`.
+    */
+  def searchIvfAdcProbes(e: DataFrame, probeFrame: DataFrame,
+                         cents: Seq[(Long, Seq[Double])],
+                         books: Seq[Seq[(Long, Seq[Double])]],
+                         coded: DataFrame, nprobe: Int = 2,
+                         shortlistN: Int = AdcShortlist): DataFrame = {
     def sub(c: Column, j: Int): Column = slice(c, j * PqSubLen + 1, PqSubLen)
     // per-probe ADC tables computed ONCE (before the cell explode
     // duplicates the probe row per cell), behind the same
@@ -963,10 +1038,9 @@ object Sim {
     val dtabs = (0 until PqM).map(j =>
       adcTable(sub(col("pv"), j), books(j)).as(s"dtab$j"))
       val probes = graft.Caching.releaseAfter(
-        e.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+        probeFrame
           .select(Seq(col("probe_id"), col("pv")) ++ dtabs :+
-            explode(slice(array_sort(distStructs(col("pv"), cents)), 1, 2))
+            explode(slice(array_sort(distStructs(col("pv"), cents)), 1, nprobe))
               .as("_pc"): _*)
           .select(Seq(col("probe_id"), col("pv"), col("_pc.cid").as("cid")) ++
             (0 until PqM).map(j => col(s"dtab$j")): _*))
@@ -978,7 +1052,7 @@ object Sim {
         .filter(col("neighbor_id") =!= col("probe_id"))
         .select(col("probe_id"), col("pv"), col("neighbor_id"), adist.as("adist"))
         .withColumn("arank", row_number().over(wA))
-        .filter(col("arank") <= AdcShortlist)
+        .filter(col("arank") <= shortlistN)
         .select(col("probe_id"), col("pv"), col("neighbor_id"))
       val wX = Window.partitionBy("probe_id").orderBy(col("cs").desc, col("neighbor_id"))
       broadcast(shortlist)

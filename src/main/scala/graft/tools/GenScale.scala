@@ -13,6 +13,13 @@ import org.apache.spark.sql.functions._
   *     the surviving shared shingles give df ∝ factor and pair mass ∝
   *     factor². This is the duplication-adversarial regime where the
   *     adaptive df cap MUST tighten to keep pair shuffles linear.
+  *   - `vectors`: ONLY the embeddings table scales (everything else
+  *     is copied verbatim) — the cheap way to reach the 10⁶–10⁷
+  *     vector ANN regime without a 1000× documents/lineitem blow-up.
+  *     Replica vectors are CLUSTERED (256 hash-derived directions,
+  *     within-cluster cosine ≈ 0.75) — the regime IVF is deployed
+  *     for; `vectors_uniform` keeps the structureless redraw as the
+  *     recall worst-case control.
   *   - `fresh`: every token of replicas 1..N-1 carries a rep-unique
   *     suffix, so shingle vocabularies are DISJOINT across replicas —
   *     each replica reproduces the source corpus' own duplication
@@ -46,8 +53,8 @@ object GenScale {
     val Array(src, out) = args.take(2)
     val factor = if (args.length > 2) args(2).toInt else 10
     val docMode = if (args.length > 3) args(3) else "replica"
-    require(docMode == "replica" || docMode == "fresh",
-      s"docmode must be replica|fresh, got $docMode")
+    require(Seq("replica", "fresh", "vectors", "vectors_uniform").contains(docMode),
+      s"docmode must be replica|fresh|vectors|vectors_uniform, got $docMode")
     val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
       .getOrElse(Runtime.getRuntime.availableProcessors())
     val spark = graft.GraftSession.local(cpus)
@@ -67,6 +74,67 @@ object GenScale {
       // any hash-checked result)
       df.drop("rep").repartition(32).write.mode("overwrite").parquet(s"$out/$t.parquet")
       println(s"[genscale] wrote $t")
+    }
+
+    // embeddings, replica/fresh modes: replica 0 verbatim, reps > 0
+    // re-drawn from the corpus' own distribution (independent unit
+    // vectors sit ~0.125±σ cosine — below every near-dup gate),
+    // vec_ids shifted out of the fixed probe range.
+    def scaleEmbeddings(clustered: Boolean): Unit = {
+      val emb = read("embeddings")
+      val V = stride(emb, "vec_id")
+      val rawVec = transform(sequence(lit(0), lit(63)), i =>
+        (pmod(xxhash64(col("vec_id"), col("rep"), i), lit(2001L)).cast("double")
+          - 1000.0) / 1000.0)
+      // `vectors` (clustered) regime: replica vectors are drawn around
+      // 256 hash-derived unit cluster directions, v = √0.75·ĉ + 0.5·r̂
+      // normalized — within-cluster cosine ≈ 0.75, cross-cluster ≈ 0.
+      // This is the regime real embedding corpora live in (low
+      // intrinsic dimension, strong cluster structure) and the one IVF
+      // routing is deployed for; `vectors_uniform` keeps the
+      // structureless redraw as the worst-case control where recall
+      // can only come from scan fraction. Both are pure hash functions
+      // of (vec_id, rep, dim), so replica r's vectors are bit-identical
+      // across scale factors — cross-scale probes see nested corpora.
+      val rawCol =
+        if (!clustered) rawVec
+        else {
+          val cidC = pmod(xxhash64(col("vec_id"), col("rep"), lit("cluster")), lit(256L))
+          val centerVec = transform(sequence(lit(0), lit(63)), i =>
+            (pmod(xxhash64(cidC, i, lit("center")), lit(2001L)).cast("double")
+              - 1000.0) / 1000.0)
+          val cn = sqrt(aggregate(centerVec, lit(0.0), (a, x) => a + x * x))
+          val rn = sqrt(aggregate(rawVec, lit(0.0), (a, x) => a + x * x))
+          zip_with(centerVec, rawVec,
+            (c, r) => lit(math.sqrt(0.75)) * c / cn + lit(0.5) * r / rn)
+        }
+      write(emb.crossJoin(reps)
+        .withColumn("_raw", rawCol)
+        .withColumn("_nrm", sqrt(aggregate(col("_raw"), lit(0.0), (a, x) => a + x * x)))
+        .withColumn("embedding",
+          when(col("rep") === 0, col("embedding"))
+            .otherwise(transform(col("_raw"), x => (x / col("_nrm")).cast("float"))))
+        .withColumn("vec_id", shift("vec_id", V))
+        .drop("_raw", "_nrm"), "embeddings")
+    }
+
+    // `vectors`/`vectors_uniform` mode: an ANN-regime corpus — ONLY
+    // the embeddings table scales (factors of 1000+ reach the
+    // multi-million-vector regime where the routed-scan term
+    // nprobe·n/k dominates fixed overhead); every other table is
+    // copied verbatim so harness table-loading and probe tooling work
+    // against the dir unchanged. Scaling the full corpus to 2M
+    // vectors would mean a 1000x documents/lineitem blow-up this
+    // probe never reads.
+    if (docMode.startsWith("vectors")) {
+      for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "documents"))
+        write(read(t).withColumn("rep", lit(0)), t)
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      write(read("events").withColumn("rep", lit(0)), "events")
+      scaleEmbeddings(clustered = docMode == "vectors")
+      spark.stop()
+      return
     }
 
     // dims: copied verbatim (they are fixed-size at any scale)
@@ -145,19 +213,7 @@ object GenScale {
       .withColumn("doc_id", shift("doc_id", D))
       .withColumn("n_chars", length(col("text")).cast("long")), "documents")
 
-    val emb = read("embeddings")
-    val V = stride(emb, "vec_id")
-    val rawVec = transform(sequence(lit(0), lit(63)), i =>
-      (pmod(xxhash64(col("vec_id"), col("rep"), i), lit(2001L)).cast("double")
-        - 1000.0) / 1000.0)
-    write(emb.crossJoin(reps)
-      .withColumn("_raw", rawVec)
-      .withColumn("_nrm", sqrt(aggregate(col("_raw"), lit(0.0), (a, x) => a + x * x)))
-      .withColumn("embedding",
-        when(col("rep") === 0, col("embedding"))
-          .otherwise(transform(col("_raw"), x => (x / col("_nrm")).cast("float"))))
-      .withColumn("vec_id", shift("vec_id", V))
-      .drop("_raw", "_nrm"), "embeddings")
+    scaleEmbeddings(clustered = false)
 
     spark.stop()
   }
