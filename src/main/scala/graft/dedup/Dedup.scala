@@ -872,7 +872,18 @@ object Dedup {
       WHERE starts_with(CASE WHEN length(sa) <= length(sb) THEN sb ELSE sa END,
                         CASE WHEN length(sa) <= length(sb) THEN sa ELSE sb END)
       ORDER BY doc_short, doc_long"""),
-    (s, d) => {
+    (s, d) => prefixPairs(s, d),
+  )
+
+  /** d_prefix_containment's plan, with the cap injectable so the A/B
+    * adjudication tool (tools/PrefixAb) can run the fixed-cap and
+    * adaptive variants interleaved in ONE JVM — the only measurement
+    * that survives this host's burst noise on a sub-2 s query.
+    * `capOverride = None` (the registered query) runs the adaptive
+    * pre-pass; `Some(c)` skips it and feeds `c` as the literal.
+    */
+  private[graft] def prefixPairs(s: SparkSession, d: String,
+                                 capOverride: Option[Long] = None): DataFrame = {
       val norm = Tables.documents(s, d)
         .select(col("doc_id"), Text.normText(col("text")).as("s"))
       val keyed = norm
@@ -889,8 +900,8 @@ object Dedup {
       // cappedKeys version instead checkpointed a df table and joined
       // it back — two extra corpus materializations that doubled this
       // operator's sf1 time (1.46 vs 0.65 s) on pure added job cost.
-      val cap = adaptiveDfCapOnePass(
-        keyed.groupBy("p50").agg(count(lit(1)).as("df")))
+      val cap = capOverride.getOrElse(adaptiveDfCapOnePass(
+        keyed.groupBy("p50").agg(count(lit(1)).as("df"))))
       val cand = keyed
         .groupBy("p50").agg(array_sort(collect_list(col("doc_id"))).as("ids"))
         .filter(size(col("ids")).between(2, cap))
@@ -909,8 +920,7 @@ object Dedup {
           least(length(col("sa")), length(col("sb"))).as("len_short"),
           greatest(length(col("sa")), length(col("sb"))).as("len_long"))
         .orderBy("doc_short", "doc_long")
-    },
-  )
+  }
 
   /** Adapt any frame to the canonical (doc_id, text) shape the
     * pipeline functions above consume.

@@ -53,8 +53,9 @@ object GenScale {
     val Array(src, out) = args.take(2)
     val factor = if (args.length > 2) args(2).toInt else 10
     val docMode = if (args.length > 3) args(3) else "replica"
-    require(Seq("replica", "fresh", "vectors", "vectors_uniform").contains(docMode),
-      s"docmode must be replica|fresh|vectors|vectors_uniform, got $docMode")
+    require(
+      Seq("replica", "fresh", "vectors", "vectors_uniform", "events").contains(docMode),
+      s"docmode must be replica|fresh|vectors|vectors_uniform|events, got $docMode")
     val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
       .getOrElse(Runtime.getRuntime.availableProcessors())
     val spark = graft.GraftSession.local(cpus)
@@ -133,6 +134,34 @@ object GenScale {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       write(read("events").withColumn("rep", lit(0)), "events")
       scaleEmbeddings(clustered = docMode == "vectors")
+      spark.stop()
+      return
+    }
+
+    // `events` mode: only the events table scales (replica-style key
+    // and timestamp shifts — session cardinality rides user_id, so
+    // live-session count scales with the factor); everything else is
+    // copied verbatim. This is the cheap way to put streaming state
+    // stores at 10^7-10^8 live sessions without a 300x lineitem/
+    // documents blow-up the state probe never reads.
+    if (docMode == "events") {
+      for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "documents"))
+        write(read(t).withColumn("rep", lit(0)), t)
+      val C0 = stride(read("customer"), "c_custkey")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev0 = read("events")
+      val E0 = stride(ev0, "event_id")
+      val shifted0 = ev0.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          col("ts") + col("rep").cast("long") * 1000000000L
+        case _ => expr("timestampadd(SECOND, rep, ts)")
+      }
+      write(ev0.crossJoin(reps)
+        .withColumn("event_id", shift("event_id", E0))
+        .withColumn("user_id", shift("user_id", C0))
+        .withColumn("ts", shifted0), "events")
+      write(read("embeddings").withColumn("rep", lit(0)), "embeddings")
       spark.stop()
       return
     }
