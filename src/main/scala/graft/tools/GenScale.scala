@@ -109,7 +109,12 @@ object GenScale {
           zip_with(centerVec, rawVec,
             (c, r) => lit(math.sqrt(0.75)) * c / cn + lit(0.5) * r / rn)
         }
+      // spread BEFORE the per-row vector math: the source table is one
+      // parquet file (one partition), and crossJoin preserves that —
+      // without this the factor-1000 hash/fold work runs on ONE core
+      // and 2M vectors take ~40 min instead of ~2
       write(emb.crossJoin(reps)
+        .repartition(256)
         .withColumn("_raw", rawCol)
         .withColumn("_nrm", sqrt(aggregate(col("_raw"), lit(0.0), (a, x) => a + x * x)))
         .withColumn("embedding",
