@@ -61,7 +61,7 @@ object AnnProbe {
     // factors. Base 0 would probe the 2000 verbatim source vectors,
     // which in clustered corpora sit outside every cluster.
     val pBase = sys.env.get("SPARK_GRAFT_ANN_PROBE_BASE").map(_.toLong).getOrElse(2000L)
-    val shortlist = sys.env.get("SPARK_GRAFT_ANN_SHORTLIST").map(_.toInt).getOrElse(50)
+    val shortlistEnv = sys.env.get("SPARK_GRAFT_ANN_SHORTLIST").map(_.toInt)
     val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
       .getOrElse(Runtime.getRuntime.availableProcessors())
     val spark = graft.GraftSession.local(cpus)
@@ -77,6 +77,15 @@ object AnnProbe {
     // candidates per probe grow only as √(n·cell) — the measured
     // recall below is the price tag of exactly this choice.
     val nprobe = nprobeEnv.getOrElse(math.max(2, math.round(math.sqrt(k)).toInt))
+    // The ADC shortlist must ride the candidate volume: at the fixed
+    // product constant (50) recall@3 collapsed 0.20 -> 0.02 as
+    // candidates/probe grew 25k -> 285k — PQ distance error exceeds
+    // the gap between rank-50 and the true top-3 long before that.
+    // cand/50 (2% of candidates re-ranked exactly) restores recall at
+    // a re-rank cost of shortlist*dim flops per probe — noise next to
+    // the ADC scan itself.
+    val shortlist = shortlistEnv.getOrElse(
+      math.max(50L, nprobe.toLong * n / math.max(k, 1) / 50L).toInt)
 
     // BUILD — the one unrepeatable phase (memoized): train + assign +
     // materialize, forced through the index row count.
