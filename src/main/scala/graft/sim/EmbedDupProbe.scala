@@ -40,6 +40,20 @@ object EmbedDupProbe {
     val common = blocked.join(exact, Seq("id_a", "id_b", "cos_sim")).count()
     val recall = if (nExact == 0) 1.0 else common.toDouble / nExact
     val invented = nBlocked - common
+    // Stratify recall by cosine: the pairs a dedup pass ACTS on are
+    // the high-cosine ones; near-threshold pairs between unrelated
+    // vectors (cos barely over the gate — the bulk of a uniform
+    // corpus' pair set) carry no dedup decision and are the ones cell
+    // blocking misses.
+    def bandRecall(lo: Double): (Long, Double) = {
+      val ex = exact.filter(col("cos_sim") >= lo)
+      val nEx = ex.count()
+      val c = blocked.filter(col("cos_sim") >= lo)
+        .join(ex, Seq("id_a", "id_b", "cos_sim")).count()
+      (nEx, if (nEx == 0) 1.0 else c.toDouble / nEx)
+    }
+    val (nHi6, recall6) = bandRecall(0.6)
+    val (nHi75, recall75) = bandRecall(0.75)
 
     val loadAvg = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
@@ -49,6 +63,8 @@ object EmbedDupProbe {
         s""""speedup":${num(secExact / math.max(secBlocked, 1e-9))},""" +
         s""""pairs_blocked":$nBlocked,"pairs_exact":$nExact,""" +
         s""""recall":${num(recall)},"invented_pairs":$invented,""" +
+        s""""pairs_exact_ge06":$nHi6,"recall_ge06":${num(recall6)},""" +
+        s""""pairs_exact_ge075":$nHi75,"recall_ge075":${num(recall75)},""" +
         s""""load_avg":${num(loadAvg)}}"""
     outFile.foreach(p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n"))
