@@ -54,8 +54,9 @@ object GenScale {
     val factor = if (args.length > 2) args(2).toInt else 10
     val docMode = if (args.length > 3) args(3) else "replica"
     require(
-      Seq("replica", "fresh", "vectors", "vectors_uniform", "events").contains(docMode),
-      s"docmode must be replica|fresh|vectors|vectors_uniform|events, got $docMode")
+      Seq("replica", "fresh", "vectors", "vectors_uniform", "events", "docs")
+        .contains(docMode),
+      s"docmode must be replica|fresh|vectors|vectors_uniform|events|docs, got $docMode")
     val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
       .getOrElse(Runtime.getRuntime.availableProcessors())
     val spark = graft.GraftSession.local(cpus)
@@ -122,6 +123,57 @@ object GenScale {
             .otherwise(transform(col("_raw"), x => (x / col("_nrm")).cast("float"))))
         .withColumn("vec_id", shift("vec_id", V))
         .drop("_raw", "_nrm"), "embeddings")
+    }
+
+    // documents scaling, shared by the full replica/fresh modes and
+    // the docs-only mode. Every replica must differ from its
+    // original: token insertion only fires at every 4th position, so
+    // docs with < 4 whitespace tokens additionally get one rep-unique
+    // token appended — without it short docs replicate verbatim
+    // (Jaccard 1.0) and the dedup stress gates'
+    // near-dup-pairs-scale-linearly property breaks.
+    def scaleDocuments(fresh: Boolean): Unit = {
+      val docs = read("documents")
+      val D = stride(docs, "doc_id")
+      val perturbedText =
+        if (fresh)
+          // rep-unique suffix on EVERY token: replica vocabularies are
+          // disjoint, so cross-replica shingle sharing is zero and the
+          // corpus' duplication-per-doc stays constant as it scales
+          when(col("rep") === 0, col("text")).otherwise(
+            concat_ws(" ", transform(split(col("text"), " "), t =>
+              concat(t, lit("~"), col("rep")))))
+        else when(col("rep") === 0, col("text")).otherwise(
+          when(size(split(col("text"), " ")) < 4,
+            concat(col("text"), lit(" z"), col("rep"), lit("qshort")))
+            .otherwise(concat_ws(" ", transform(split(col("text"), " "), (t, i) =>
+              when(i % 4 === 3,
+                concat(t, lit(" z"), col("rep"), lit("q"), pmod(i, lit(89))))
+                .otherwise(t)))))
+      // spread before the per-row text transform for the same
+      // single-source-partition reason as scaleEmbeddings
+      write(docs.crossJoin(reps)
+        .repartition(256)
+        .withColumn("text", perturbedText)
+        .withColumn("doc_id", shift("doc_id", D))
+        .withColumn("n_chars", length(col("text")).cast("long")), "documents")
+    }
+
+    // `docs` mode: only the documents table scales (fresh-regime
+    // perturbation — duplication-per-doc constant as the corpus
+    // grows); everything else is copied verbatim. The cheap way to
+    // put the linear text/dedup family at 10^6-10^7 documents for a
+    // second scaling decade without scaling lineitem.
+    if (docMode == "docs") {
+      for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem"))
+        write(read(t).withColumn("rep", lit(0)), t)
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      write(read("events").withColumn("rep", lit(0)), "events")
+      write(read("embeddings").withColumn("rep", lit(0)), "embeddings")
+      scaleDocuments(fresh = true)
+      spark.stop()
+      return
     }
 
     // `vectors`/`vectors_uniform` mode: an ANN-regime corpus — ONLY
@@ -220,35 +272,11 @@ object GenScale {
       .withColumn("ts", shiftedTs),
       "events")
 
-    val docs = read("documents")
-    val D = stride(docs, "doc_id")
-    // every replica must differ from its original: token insertion
-    // only fires at every 4th position, so docs with < 4 whitespace
-    // tokens additionally get one rep-unique token appended — without
-    // it short docs replicate verbatim (Jaccard 1.0) and the dedup
-    // stress gates' near-dup-pairs-scale-linearly property breaks
-    val perturbedText =
-      if (docMode == "fresh")
-        // rep-unique suffix on EVERY token: replica vocabularies are
-        // disjoint, so cross-replica shingle sharing is zero and the
-        // corpus' duplication-per-doc stays constant as it scales
-        when(col("rep") === 0, col("text")).otherwise(
-          concat_ws(" ", transform(split(col("text"), " "), t =>
-            concat(t, lit("~"), col("rep")))))
-      else when(col("rep") === 0, col("text")).otherwise(
-        when(size(split(col("text"), " ")) < 4,
-          concat(col("text"), lit(" z"), col("rep"), lit("qshort")))
-          .otherwise(concat_ws(" ", transform(split(col("text"), " "), (t, i) =>
-            when(i % 4 === 3,
-              concat(t, lit(" z"), col("rep"), lit("q"), pmod(i, lit(89))))
-              .otherwise(t)))))
-    write(docs.crossJoin(reps)
-      .withColumn("text", perturbedText)
-      .withColumn("doc_id", shift("doc_id", D))
-      .withColumn("n_chars", length(col("text")).cast("long")), "documents")
+    scaleDocuments(fresh = docMode == "fresh")
 
     scaleEmbeddings(clustered = false)
 
     spark.stop()
   }
 }
+
