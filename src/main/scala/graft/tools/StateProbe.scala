@@ -22,10 +22,15 @@ object StateProbe {
     val spark = graft.GraftSession.local(cpus)
     val src = graft.streaming.Streaming.streamEvents(spark, sfDir)
     val sessions = graft.streaming.Streaming.sessionStream(src)
-    val name = "graft_state_probe"
     val ckpt = java.nio.file.Files.createTempDirectory("graft_probe_ckpt").toString
     val t0 = System.nanoTime()
-    val q = sessions.writeStream.format("memory").queryName(name)
+    // noop sink, NOT memory: the probe reads the state operator's own
+    // metrics, and a Complete-mode memory sink would ship the full
+    // result set to the driver every batch — at 28M live sessions
+    // that trips spark.driver.maxResultSize long before the state
+    // store itself is the limit (which is exactly what this tool
+    // exists to measure).
+    val q = sessions.writeStream.format("noop")
       .outputMode(OutputMode.Complete()).option("checkpointLocation", ckpt).start()
     q.processAllAvailable()
     val secs = (System.nanoTime() - t0) / 1e9
@@ -44,7 +49,10 @@ object StateProbe {
     val mem = st.memoryUsedBytes
     val custom = st.customMetrics
     q.stop()
-    val nOut = spark.table(name).count()
+    // sessions_out ≈ live state rows (Complete-mode session agg: one
+    // state row per open session); under RocksDB with row tracking
+    // off numRowsTotal is 0 — report -1 rather than a fake count.
+    val nOut = if (rows > 0) rows else -1L
     val provider = spark.conf
       .get("spark.sql.streaming.stateStore.providerClass").split("\\.").last
     val line =
