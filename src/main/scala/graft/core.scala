@@ -231,13 +231,16 @@ object GraftSession {
       // dominated by PRIOR queries' leaked state inflating both
       // providers' heaps. In-memory stays the default only because it
       // needs no local-disk provisioning.
-      // Sizing formula (tools/StateProbe at 9.55M live sessions,
-      // STATEPROBE_r9 artifacts): in-memory state is ~455 B/session
-      // steady-state — budget ~1 GB executor heap per 10^6 live
-      // sessions (2x for the provider's retained version maps);
-      // RocksDB holds ~166 B/session off-heap. Switch providers when
-      // live_keys x 455 B x 2 approaches the per-executor heap.
-      // Output parity under both providers: StateStoreProviderSpec.
+      // Sizing formula, now a THREE-POINT fit over 30x of cardinality
+      // (tools/StateProbe; STATEPROBE_r9 + STATEPROBE_{SF1,EV300}_r10
+      // artifacts): in-memory state measures 350 / 455 / 434 B/session
+      // at 0.95M / 9.55M / 28.6M live sessions — flat within +-15%,
+      // so budget ~1 GB executor heap per 10^6 live sessions (450 B x
+      // 2 for the provider's retained version maps); RocksDB measures
+      // 177 / 166 / 142 B/session off-heap over the same points.
+      // Switch providers when live_keys x 450 B x 2 approaches the
+      // per-executor heap. Output parity under both providers:
+      // StateStoreProviderSpec.
       .config("spark.sql.streaming.stateStore.providerClass",
         if (sys.env.get("SPARK_GRAFT_ROCKSDB").contains("1"))
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
