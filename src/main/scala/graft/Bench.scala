@@ -183,7 +183,7 @@ object Bench {
     val qs = res.timings.map { case (k, v) => jsonStr(k) + ":" + v }
       .mkString("{", ",", "}")
     val spreadsJson = res.spreads.toSeq.sortBy(_._1)
-      .map { case (k, v) => jsonStr(k) + ":" + f"$v%.3f" }.mkString("{", ",", "}")
+      .map { case (k, v) => jsonStr(k) + ":" + num(v, 3) }.mkString("{", ",", "}")
     val errorsJson = res.errors.toSeq.sortBy(_._1)
       .map { case (k, v) => jsonStr(k) + ":" + jsonStr(v) }.mkString("{", ",", "}")
     val gcPerJson = res.gcPerQuery.toSeq.sortBy(_._1)

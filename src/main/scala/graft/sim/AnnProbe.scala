@@ -65,6 +65,10 @@ object AnnProbe {
     val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
       .getOrElse(Runtime.getRuntime.availableProcessors())
     val spark = graft.GraftSession.local(cpus)
+    // sample load BEFORE any measured work: the probe's own executors
+    // drive the 1-min average — end-of-run load measures the tool, not
+    // the host contention the degraded flag exists to expose
+    val loadStart = graft.tools.Capture.loadAvg()
 
     val e = Sim.vecs(spark, sfDir)
     val n = e.count()
@@ -81,11 +85,12 @@ object AnnProbe {
     // product constant (50) recall@3 collapsed 0.20 -> 0.02 as
     // candidates/probe grew 25k -> 285k — PQ distance error exceeds
     // the gap between rank-50 and the true top-3 long before that.
-    // cand/50 (2% of candidates re-ranked exactly) restores recall at
-    // a re-rank cost of shortlist*dim flops per probe — noise next to
-    // the ADC scan itself.
+    // Since r11 the rule (cand/50, floored at 50) ships in the
+    // REGISTERED operators (Sim.adcShortlist) and the probe resolves
+    // it from there, so this artifact measures the production
+    // configuration, not a tool-local reimplementation.
     val shortlist = shortlistEnv.getOrElse(
-      math.max(50L, nprobe.toLong * n / math.max(k, 1) / 50L).toInt)
+      Sim.adcShortlist(nprobe.toLong * n / math.max(k, 1)))
 
     // BUILD — the one unrepeatable phase (memoized): train + assign +
     // materialize, forced through the index row count.
@@ -147,10 +152,10 @@ object AnnProbe {
       recallOf(Sim.searchIvfAdcProbes(ev, probesR, idx.centroids, books, coded,
         nprobe, shortlist))
 
-    val loadAvg = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage
+    val loadAvg = graft.tools.Capture.loadAvg()
     val line =
-      s"""{"metric":"ann_probe","sf":"$sfDir","n":$n,"k":$k,""" +
+      s"""{"metric":"ann_probe","degraded":${graft.tools.Capture.degraded(loadStart)},""" +
+        s""""load_avg_start":${num(loadStart)},"sf":"$sfDir","n":$n,"k":$k,""" +
         s""""cell_avg":${n / math.max(k, 1)},"nprobe":$nprobe,"n_probes":$pCount,""" +
         s""""cand_per_probe":${nprobe.toLong * n / math.max(k, 1)},""" +
         s""""scan_frac":${num(nprobe.toDouble / k)},"shortlist":$shortlist,""" +

@@ -21,6 +21,8 @@ object EmbedDupProbe {
     val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
       .getOrElse(Runtime.getRuntime.availableProcessors())
     val spark = graft.GraftSession.local(cpus)
+    // load sampled BEFORE the measured work — see Capture.degraded
+    val loadStart = graft.tools.Capture.loadAvg()
 
     def num(v: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -55,10 +57,10 @@ object EmbedDupProbe {
     val (nHi6, recall6) = bandRecall(0.6)
     val (nHi75, recall75) = bandRecall(0.75)
 
-    val loadAvg = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage
+    val loadAvg = graft.tools.Capture.loadAvg()
     val line =
-      s"""{"metric":"embed_dup_ab","sf":"$sfDir","n_vectors":$n,""" +
+      s"""{"metric":"embed_dup_ab","degraded":${graft.tools.Capture.degraded(loadStart)},""" +
+        s""""load_avg_start":${num(loadStart)},"sf":"$sfDir","n_vectors":$n,""" +
         s""""sec_blocked":${num(secBlocked)},"sec_exact":${num(secExact)},""" +
         s""""speedup":${num(secExact / math.max(secBlocked, 1e-9))},""" +
         s""""pairs_blocked":$nBlocked,"pairs_exact":$nExact,""" +

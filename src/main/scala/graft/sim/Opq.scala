@@ -295,13 +295,16 @@ object Opq {
       routedRot.select(Seq(col("probe_id"), col("pv"), col("cid")) ++ dtabs: _*))
     val adist = (0 until Sim.PqM)
       .map(j => element_at(col(s"dtab$j"), col(s"rcode$j"))).reduce(_ + _)
+    // candidate-scaled re-rank cut, same contract as searchIvfAdc
+    val cand = 2L * Sim.corpusCount(s, d) / math.max(idx.centroids.size, 1)
+    val shortlistN = Sim.adcShortlist(cand)
     val wA = Window.partitionBy("probe_id").orderBy(col("adist"), col("neighbor_id"))
     val shortlist = broadcast(probes)
       .join(art.coded, Seq("cid"))
       .filter(col("neighbor_id") =!= col("probe_id"))
       .select(col("probe_id"), col("pv"), col("neighbor_id"), adist.as("adist"))
       .withColumn("arank", row_number().over(wA))
-      .filter(col("arank") <= Sim.AdcShortlist)
+      .filter(col("arank") <= shortlistN)
       .select(col("probe_id"), col("pv"), col("neighbor_id"))
     val wX = Window.partitionBy("probe_id").orderBy(col("cs").desc, col("neighbor_id"))
     broadcast(shortlist)

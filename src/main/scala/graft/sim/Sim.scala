@@ -324,16 +324,36 @@ object Sim {
     * count is a property of the immutable input dir — cache it.
     */
   private val nMemo =
-    scala.collection.mutable.Map[String, (SparkSession, Long)]()
+    scala.collection.mutable.Map[String, (SparkSession, Long, Long)]()
   graft.Caching.onReleaseAll(() => nMemo.synchronized(nMemo.clear()))
 
-  private def corpusCount(s: SparkSession, d: String): Long =
+  /** Cheap staleness key for the memoized count: file count + total
+    * size + max mtime of the embeddings dir. A dir REGENERATED
+    * in-session (GenScale overwrite, spec fixtures) must not serve the
+    * old n — a stale count picks the wrong adaptive k / exact-vs-
+    * blocked route. Non-local or unreadable paths fingerprint as -1
+    * (session-lifetime memo, the pre-r11 behavior).
+    */
+  private def dirFingerprint(d: String): Long = {
+    try {
+      val dir = new java.io.File(d, "embeddings.parquet")
+      val fs = Option(dir.listFiles()).getOrElse(Array.empty)
+      if (fs.isEmpty) -1L
+      else fs.foldLeft(fs.length.toLong) { (acc, f) =>
+        31L * acc + f.length() + f.lastModified()
+      }
+    } catch { case _: Throwable => -1L }
+  }
+
+  private[graft] def corpusCount(s: SparkSession, d: String): Long =
     nMemo.synchronized {
+      val fp = dirFingerprint(d)
       nMemo.get(d) match {
-        case Some((sess, n)) if (sess eq s) && !s.sparkContext.isStopped => n
+        case Some((sess, mfp, n))
+          if (sess eq s) && mfp == fp && !s.sparkContext.isStopped => n
         case _ =>
           val n = vecs(s, d).count()
-          nMemo(d) = (s, n)
+          nMemo(d) = (s, fp, n)
           n
       }
     }
@@ -440,6 +460,15 @@ object Sim {
         throw new IllegalStateException(
           s"d_embed_dup reached the cell-blocked path (n=$n) during an " +
             "oracle-gated run; the DuckDB oracle replays exact all-pairs")
+      // A library caller above the cutoff gets an approximate pair
+      // SUBSET — say so at runtime instead of only in the Scaladoc
+      // (the committed A/Bs put recall at 0.95 clustered / 0.33 on a
+      // structureless uniform corpus).
+      System.err.println(
+        s"[graft] embedDupPairs: n=$n > $EmbedExactCutoff — cell-blocked " +
+          "APPROXIMATE pairs (subset of exact; recall depends on corpus " +
+          "structure, see EMBED_AB artifacts). SPARK_GRAFT_EMBED_EXACT=1 " +
+          "forces the exact O(n^2) form.")
       val idx = ivfIndexAdaptive(s, d, iters = 3)
       val multi = idx.assigned.select(col("vec_id"), col("v"),
         explode(slice(array_sort(distStructs(col("v"), idx.centroids)), 1, 2))
@@ -703,13 +732,40 @@ object Sim {
     */
   private[sim] def spread(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-  /** ADC shortlist size before the exact re-rank (s_ivf_adc): ADC
-    * ranks are approximate, so the top-k surface is exact cosine over
-    * the top-AdcShortlist ADC candidates. 50 bounds the re-rank fetch
-    * per probe while leaving ADC ranking errors ~17× slack over the
-    * final top-3.
+  /** Floor of the ADC re-rank shortlist (s_ivf_adc): ADC ranks are
+    * approximate, so the top-k surface is exact cosine over the
+    * top-shortlist ADC candidates. 50 is the oracle-pinned constant —
+    * at gate-corpus candidate volumes (~800/probe) it leaves ADC
+    * ranking errors ~17× slack over the final top-3.
     */
   private[sim] val AdcShortlist = 50
+
+  /** Candidate-scaled ADC shortlist — the semDedupCells contract for
+    * the re-rank cut. A FIXED 50 collapses at scale: ANNPROBE_VEC2M
+    * measured recall@3 = 0.077 at 140k candidates/probe (0.017 at 285k)
+    * because PQ distance error exceeds the rank-50-to-top-3 gap once
+    * the candidate pool grows. Re-ranking ~2% of candidates
+    * (candidates/50, floored at the oracle constant) restores recall
+    * to 0.73–0.88 at the same scales (ANNPROBE_*_SL artifacts) for a
+    * re-rank cost of shortlist·dim flops per probe — noise next to the
+    * ADC scan itself. Resolves to exactly 50 wherever the DuckDB
+    * oracle replays the fixed cut (gate corpora: candidates/probe
+    * ≤ 2500), self-scales beyond it.
+    */
+  private[graft] def adcShortlist(candidatesPerProbe: Long): Int =
+    math.max(AdcShortlist.toLong, candidatesPerProbe / 50L).toInt
+
+  /** Oracle-gated runs (Verify sets graft.assertFixedCap) compare
+    * against SQL with a literal `arank <= 50` cut — a shortlist that
+    * diverges there must fail HERE, self-identified, not as an opaque
+    * hash mismatch in the driver's compare.
+    */
+  private[graft] def guardOracleShortlist(sl: Int, cand: Long): Unit =
+    if (sl != AdcShortlist && sys.props.get("graft.assertFixedCap").contains("true"))
+      throw new IllegalStateException(
+        s"adcShortlist resolved to $sl != $AdcShortlist for $cand " +
+          "candidates/probe during an oracle-gated run; the DuckDB oracle " +
+          s"applies the fixed arank <= $AdcShortlist cut")
 
   /** Memoized per-subspace PQ codebooks for a data dir: built once
     * per session (same lifecycle as ivfIndex), each a k×subLen
@@ -1014,10 +1070,15 @@ object Sim {
   def searchIvfAdc(s: SparkSession, d: String, cents: Seq[(Long, Seq[Double])],
                    books: Seq[Seq[(Long, Seq[Double])]], coded: DataFrame): DataFrame = {
     val e = vecs(s, d).select(col("vec_id"), col("v"))
+    // candidates/probe ≈ nprobe·n/k for this index — the shortlist
+    // rides it (resolves to the oracle's fixed 50 at gate scales)
+    val cand = 2L * corpusCount(s, d) / math.max(cents.size, 1)
+    val sl = adcShortlist(cand)
+    guardOracleShortlist(sl, cand)
     searchIvfAdcProbes(e,
       e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("probe_id"), col("v").as("pv")),
-      cents, books, coded)
+      cents, books, coded, shortlistN = sl)
   }
 
   /** The same IVF-ADC search over an arbitrary (probe_id, pv) probe
@@ -1179,6 +1240,10 @@ object Sim {
       val idx = ivfIndex(s, d, k = 8, iters = 3)
       val (books, coded) = ivfResidualArtifacts(s, d)
       val e = vecs(s, d).select(col("vec_id"), col("v"))
+      // candidate-scaled re-rank cut, same contract as searchIvfAdc
+      val cand = 2L * corpusCount(s, d) / math.max(idx.centroids.size, 1)
+      val shortlistN = adcShortlist(cand)
+      guardOracleShortlist(shortlistN, cand)
       // route first (explode to probe-cell rows), THEN build the ADC
       // tables from the per-cell probe residual — residual tables are
       // inherently per (probe, cell)
@@ -1201,7 +1266,7 @@ object Sim {
         .filter(col("neighbor_id") =!= col("probe_id"))
         .select(col("probe_id"), col("pv"), col("neighbor_id"), adist.as("adist"))
         .withColumn("arank", row_number().over(wA))
-        .filter(col("arank") <= AdcShortlist)
+        .filter(col("arank") <= shortlistN)
         .select(col("probe_id"), col("pv"), col("neighbor_id"))
       val wX = Window.partitionBy("probe_id").orderBy(col("cs").desc, col("neighbor_id"))
       broadcast(shortlist)

@@ -46,14 +46,16 @@ object CapProbe {
         Some(timedCount(adaptive = false))
       else None
 
+    def num2(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val fixedJson = fixed match {
       case Some((n, s)) =>
-        f""""pairs_fixed":$n,"identical":${adaptivePairs == n},"sec_fixed":$s%.2f"""
+        s""""pairs_fixed":$n,"identical":${adaptivePairs == n},"sec_fixed":${num2(s)}"""
       case None => """"pairs_fixed":null,"identical":null,"sec_fixed":null"""
     }
     val line =
       s"""{"dir":"$dir","n_docs":$nDocs,"adaptive_cap":$cap,""" +
-        f""""pairs_adaptive":$adaptivePairs,"sec_adaptive":$adaptiveSec%.2f,""" +
+        s""""pairs_adaptive":$adaptivePairs,"sec_adaptive":${num2(adaptiveSec)},""" +
         fixedJson + "}"
     val outPath = sys.env.get("SPARK_GRAFT_CAPPROBE_OUT")
     outPath.foreach(p =>

@@ -20,6 +20,8 @@ object PrefixAb {
     val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
       .getOrElse(Runtime.getRuntime.availableProcessors())
     val spark = graft.GraftSession.local(cpus)
+    // load sampled BEFORE the measured work — see Capture.degraded
+    val loadStart = Capture.loadAvg()
     // warm: one run of each variant, untimed
     graft.dedup.Dedup.prefixPairs(spark, sfDir, Some(1000L)).count()
     graft.Caching.releaseTransient()
@@ -42,10 +44,10 @@ object PrefixAb {
     def num(v: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def arr(xs: Seq[Double]) = xs.map(num).mkString("[", ",", "]")
-    val loadAvg = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage
+    val loadAvg = Capture.loadAvg()
     val line =
-      s"""{"metric":"prefix_ab","sf":"$sfDir","runs":$runs,""" +
+      s"""{"metric":"prefix_ab","degraded":${Capture.degraded(loadStart)},""" +
+        s""""load_avg_start":${num(loadStart)},"sf":"$sfDir","runs":$runs,""" +
         s""""fixed_min":${num(fixed.min)},"adaptive_min":${num(adaptive.min)},""" +
         s""""premium_sec":${num(adaptive.min - fixed.min)},""" +
         s""""fixed_all":${arr(fixed.toSeq)},"adaptive_all":${arr(adaptive.toSeq)},""" +

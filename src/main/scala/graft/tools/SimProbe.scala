@@ -25,7 +25,9 @@ object SimProbe {
     val sec = (System.nanoTime() - t0) / 1e9
     val total = pairs.map(_._2).sum
     val hist = pairs.map { case (h, n) => s""""$h":$n""" }.mkString("{", ",", "}")
-    println(f"""{"dir":"$dir","pairs":$total,"sec":$sec%.2f,"by_hamming":$hist}""")
+    println(s"""{"dir":"$dir","pairs":$total,""" +
+      s""""sec":${String.format(java.util.Locale.ROOT, "%.2f", Double.box(sec))},""" +
+      s""""by_hamming":$hist}""")
     try { graft.Caching.releaseAll(); spark.stop() } catch { case _: Throwable => () }
   }
 }

@@ -53,12 +53,27 @@ object StateProbe {
     // state row per open session); under RocksDB with row tracking
     // off numRowsTotal is 0 — report -1 rather than a fake count.
     val nOut = if (rows > 0) rows else -1L
+    // The denominator the sizing formula divides by, carried IN the
+    // artifact so a RocksDB capture (state_rows 0 with row tracking
+    // off) stands alone: the same sessionization computed as a batch
+    // aggregate over the probed events table — identical grouping, so
+    // its group count IS the session count the store holds.
+    val sessionsBatch = graft.sources.Tables.events(spark, sfDir)
+      .groupBy(org.apache.spark.sql.functions.session_window(
+        org.apache.spark.sql.functions.col("ts"), "30 minutes"),
+        org.apache.spark.sql.functions.col("user_id"))
+      .count().count()
+    def num1(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+    val denom = if (rows > 0) rows else sessionsBatch
     val provider = spark.conf
       .get("spark.sql.streaming.stateStore.providerClass").split("\\.").last
     val line =
       s"""{"metric":"state_probe","sf":"$sfDir","provider":"$provider",""" +
         s""""state_rows":$rows,"state_bytes":$mem,""" +
-        f""""bytes_per_row":${if (rows > 0) mem.toDouble / rows else 0.0}%.1f,""" +
+        s""""bytes_per_row":${num1(if (rows > 0) mem.toDouble / rows else 0.0)},""" +
+        s""""sessions_batch":$sessionsBatch,""" +
+        s""""bytes_per_session":${num1(if (denom > 0) mem.toDouble / denom else 0.0)},""" +
         s""""sessions_out":$nOut,"wall_sec":$secs,""" +
         s""""custom":{${custom.entrySet().toArray.map { e =>
           val kv = e.asInstanceOf[java.util.Map.Entry[String, java.lang.Long]]

@@ -52,4 +52,51 @@ class EmbedDupScaleSpec extends SparkSpec {
     assert(planted.subsetOf(blocked), "blocked path lost a same-cell identical pair")
     graft.Caching.releaseTransient()
   }
+
+  test("clustered-corpus recall floor: blocked path keeps >= 0.9 of actionable pairs") {
+    // The committed A/Bs (EMBED_AB_VEC200K_r10: recall 0.951 overall /
+    // 0.964 at cos >= 0.75 on the clustered 200k corpus) are
+    // artifacts — nothing FAILED if a routing regression dropped them.
+    // This gate rebuilds the same clustered construction at spec size
+    // and pins the floor: a deliberate nprobe/cell-count regression
+    // must flip this red, not just dent a JSON nobody re-reads.
+    val n = 20000
+    val dir = java.nio.file.Files.createTempDirectory("embed_clustered").toString
+    ClusteredCorpus.write(spark, n, dir)
+
+    val blocked = graft.sim.Sim.embedDupPairs(spark, dir, 0.45)
+      .select(col("id_a"), col("id_b"))
+      .filter(col("id_a") < 1000 || col("id_b") < 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // Exact ground truth on a 1000-vector STRATUM (every pair with at
+    // least one endpoint in it) — 1000×20k cosines instead of the full
+    // n²/2, same recall estimand since the stratum is a hash-uniform
+    // sample of endpoints.
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val strat = vecs.filter(col("vec_id") < 1000)
+      .select(col("vec_id").as("id_s"), col("v").as("vs"))
+    val exactStrat = broadcast(strat)
+      .join(vecs, col("vec_id") =!= col("id_s"))
+      .select(least(col("id_s"), col("vec_id")).as("id_a"),
+        greatest(col("id_s"), col("vec_id")).as("id_b"),
+        round(graft.gfunctions.cosine(col("vs"), col("v")), 4).as("cs"))
+      .distinct()
+    val hi = exactStrat.filter(col("cs") >= 0.75)
+      .select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = exactStrat.filter(col("cs") >= 0.45)
+      .select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hi.size >= 1000, s"degenerate spec corpus: only ${hi.size} high-cos pairs")
+
+    assert(blocked.subsetOf(all), "blocked stratum pairs not a subset of exact")
+    val recallHi = hi.intersect(blocked).size.toDouble / hi.size
+    val recallAll = all.intersect(blocked).size.toDouble / all.size
+    info(f"clustered recall: ${recallAll}%.3f overall, ${recallHi}%.3f at cos>=0.75 " +
+      s"(${all.size} / ${hi.size} stratum pairs)")
+    assert(recallHi >= 0.9, f"blocked recall $recallHi%.3f at cos>=0.75 below 0.9 floor")
+    graft.Caching.releaseAll()
+  }
 }

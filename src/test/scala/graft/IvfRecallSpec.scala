@@ -80,6 +80,83 @@ class IvfRecallSpec extends SparkSpec {
     assert(plain >= 0.8, f"plain ADC recall $plain%.2f below production floor 0.8")
   }
 
+  test("large-candidate ADC: the registered shortlist rule holds recall where fixed 50 collapses") {
+    // The r10 defect: s_ivf_adc shipped AdcShortlist = 50 — fine at
+    // gate scales (~500 candidates/probe) but ANNPROBE_VEC2M measured
+    // recall@3 = 0.077 at 140k candidates/probe with it. Since r11 the
+    // operator resolves Sim.adcShortlist(cand) = max(50, cand/50);
+    // this gate runs the REGISTERED path (searchIvfAdc: same probes,
+    // same index components, same adaptive cut) on a 100k clustered
+    // corpus where candidates/probe ≈ 25k — the regime that collapsed
+    // the fixed constant — and demands the production floor.
+    val n = 100000
+    val dir = java.nio.file.Files.createTempDirectory("adc_large").toString
+    ClusteredCorpus.write(spark, n, dir)
+    val cand = 2L * n / 8
+    val slAdaptive = graft.sim.Sim.adcShortlist(cand)
+    assert(slAdaptive > 50, s"spec corpus too small to exercise the scaled rule ($slAdaptive)")
+
+    val idx = graft.sim.Sim.ivfIndex(spark, dir, k = 8, iters = 3)
+    val books = graft.sim.Sim.pqBooks(spark, dir)
+    val coded = graft.sim.Sim.ivfCoded(spark, dir)
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+
+    // exact truth for the 10 probes
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(col("cs").desc, col("neighbor_id"))
+    val brute = broadcast(probes)
+      .join(e.select(col("vec_id").as("neighbor_id"), col("v")),
+        col("neighbor_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        graft.gfunctions.cosine(col("pv"), col("v")).as("cs"))
+      .withColumn("rank", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("probe_id"), col("neighbor_id")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(brute.nonEmpty)
+
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select(col("probe_id"), col("neighbor_id")).collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      val rs = brute.map { case (p, t) =>
+        t.intersect(got.getOrElse(p, Set.empty)).size.toDouble / t.size
+      }
+      rs.sum / rs.size
+    }
+    // the REGISTERED operator path (adaptive cut inside searchIvfAdc)
+    val adaptive = recallOf(
+      graft.sim.Sim.searchIvfAdc(spark, dir, idx.centroids, books, coded))
+    // the r10 shipped configuration, for the record
+    val fixed50 = recallOf(
+      graft.sim.Sim.searchIvfAdcProbes(e, probes, idx.centroids, books, coded,
+        nprobe = 2, shortlistN = 50))
+    info(f"recall@3 at ~$cand candidates/probe: adaptive(sl=$slAdaptive) " +
+      f"$adaptive%.3f vs fixed-50 $fixed50%.3f")
+    assert(adaptive >= 0.7,
+      f"adaptive-shortlist ADC recall $adaptive%.3f below the 0.7 large-k floor")
+    assert(adaptive > fixed50,
+      f"scaled shortlist ($adaptive%.3f) did not beat the fixed 50 ($fixed50%.3f)")
+    graft.Caching.releaseAll()
+  }
+
+  test("oracle-gated runs fail loudly if the shortlist would diverge from the fixed 50") {
+    // at gate-scale candidate volumes the rule IS the constant
+    assert(graft.sim.Sim.adcShortlist(500) === 50)
+    assert(graft.sim.Sim.adcShortlist(2500) === 50)
+    assert(graft.sim.Sim.adcShortlist(25000) === 500)
+    System.setProperty("graft.assertFixedCap", "true")
+    try {
+      intercept[IllegalStateException] {
+        graft.sim.Sim.guardOracleShortlist(graft.sim.Sim.adcShortlist(25000L), 25000L)
+      }
+      // and the gate-scale resolution passes the guard untouched
+      graft.sim.Sim.guardOracleShortlist(graft.sim.Sim.adcShortlist(500), 500)
+    } finally System.clearProperty("graft.assertFixedCap")
+  }
+
   test("OPQ rotation: recall-vs-memory curve vs un-rotated residual ADC at each code budget") {
     def recallOf(df: org.apache.spark.sql.DataFrame, brute: Map[Long, Set[Long]]): Double = {
       val got = df.select(col("probe_id"), col("neighbor_id")).collect()
