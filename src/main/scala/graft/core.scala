@@ -224,13 +224,17 @@ object GraftSession {
       // Default (in-memory HDFSBackedStateStore) holds every live
       // key's state in executor heap; SPARK_GRAFT_ROCKSDB=1 switches
       // to the bundled RocksDB provider — state off-heap, bounded heap
-      // at ANY key cardinality. Measured at the 100x probe (matched
-      // A/B, post release-boundary): tuned RocksDB runs st_sessions at
-      // ~0.97x the in-memory provider — parity — so the choice is
-      // purely heap-vs-local-disk; earlier rounds' ~1.4x penalty was
-      // dominated by PRIOR queries' leaked state inflating both
-      // providers' heaps. In-memory stays the default only because it
-      // needs no local-disk provisioning.
+      // at ANY key cardinality. Measured both regimes at the 100x
+      // probe: IN-SUITE (crowded heap, post release-boundary) tuned
+      // RocksDB runs st_sessions at ~0.97x the in-memory provider —
+      // parity, because GC pressure from co-resident queries taxes
+      // the in-heap provider; ISOLATED min-of-3 the in-memory
+      // provider wins 1.49x (43.1 vs 64.4 s at 9.5M live sessions,
+      // BENCH_SF10_SESSIONS_{MEM,RDB}_ISO_r11) — RocksDB's native
+      // put/commit path costs more than heap writes when heap is
+      // uncontended. In-memory stays the default; switch when live
+      // state approaches the executor heap (sizing fit below) or the
+      // JVM is shared with other heap-hungry work.
       // Sizing formula, now a THREE-POINT fit over 30x of cardinality
       // (tools/StateProbe; STATEPROBE_r9 + STATEPROBE_{SF1,EV300}_r10
       // artifacts): in-memory state measures 350 / 455 / 434 B/session

@@ -302,13 +302,19 @@ object Opq {
     val shortlist = broadcast(probes)
       .join(art.coded, Seq("cid"))
       .filter(col("neighbor_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("pv"), col("neighbor_id"), adist.as("adist"))
+      .select(col("probe_id"), col("neighbor_id"), adist.as("adist"))
       .withColumn("arank", row_number().over(wA))
       .filter(col("arank") <= shortlistN)
-      .select(col("probe_id"), col("pv"), col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"))
     val wX = Window.partitionBy("probe_id").orderBy(col("cs").desc, col("neighbor_id"))
-    broadcast(shortlist)
+    // slim-shortlist re-rank (see Sim.searchIvfAdcProbes): probe vector
+    // re-attaches from the bounded probe frame, hint only at gates
+    val fetch =
+      if (shortlistN <= Sim.AdcShortlist) broadcast(shortlist) else shortlist
+    fetch
       .join(e.select(col("vec_id").as("neighbor_id"), col("v")), Seq("neighbor_id"))
+      .join(broadcast(e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"))), Seq("probe_id"))
       .select(col("probe_id"), col("neighbor_id"), cosine(col("pv"), col("v")).as("cs"))
       .withColumn("rank", row_number().over(wX))
       .filter(col("rank") <= 3)

@@ -1111,13 +1111,26 @@ object Sim {
       val shortlist = broadcast(probes)
         .join(coded, Seq("cid"))
         .filter(col("neighbor_id") =!= col("probe_id"))
-        .select(col("probe_id"), col("pv"), col("neighbor_id"), adist.as("adist"))
+        .select(col("probe_id"), col("neighbor_id"), adist.as("adist"))
         .withColumn("arank", row_number().over(wA))
         .filter(col("arank") <= shortlistN)
-        .select(col("probe_id"), col("pv"), col("neighbor_id"))
+        .select(col("probe_id"), col("neighbor_id"))
       val wX = Window.partitionBy("probe_id").orderBy(col("cs").desc, col("neighbor_id"))
-      broadcast(shortlist)
+      // Exact re-rank, scale-shaped: the shortlist is nProbes×shortlistN
+      // rows — ~50/probe at gate scales, where the broadcast hint is
+      // pinned, but DATA-SIZED in the scaled regime (candidates/50 per
+      // probe), where a forced broadcast — worse, one carrying the
+      // 512 B probe vector per shortlist row — built an >8 GB
+      // HashedRelation at 20M vectors. So the shortlist stays SLIM
+      // (two longs); the probe vector re-attaches from the BOUNDED
+      // probe frame by broadcast after the corpus fetch; and beyond
+      // the gate regime the fetch join drops the hint so AQE picks
+      // the strategy from the shortlist's runtime size.
+      val fetch =
+        if (shortlistN <= AdcShortlist) broadcast(shortlist) else shortlist
+      fetch
         .join(e.select(col("vec_id").as("neighbor_id"), col("v")), Seq("neighbor_id"))
+        .join(broadcast(probeFrame.select(col("probe_id"), col("pv"))), Seq("probe_id"))
         .select(col("probe_id"), col("neighbor_id"), cosine(col("pv"), col("v")).as("cs"))
         .withColumn("rank", row_number().over(wX))
         .filter(col("rank") <= 3)
@@ -1264,13 +1277,19 @@ object Sim {
       val shortlist = broadcast(probes)
         .join(coded, Seq("cid"))
         .filter(col("neighbor_id") =!= col("probe_id"))
-        .select(col("probe_id"), col("pv"), col("neighbor_id"), adist.as("adist"))
+        .select(col("probe_id"), col("neighbor_id"), adist.as("adist"))
         .withColumn("arank", row_number().over(wA))
         .filter(col("arank") <= shortlistN)
-        .select(col("probe_id"), col("pv"), col("neighbor_id"))
+        .select(col("probe_id"), col("neighbor_id"))
       val wX = Window.partitionBy("probe_id").orderBy(col("cs").desc, col("neighbor_id"))
-      broadcast(shortlist)
+      // slim-shortlist re-rank (see searchIvfAdcProbes): probe vector
+      // re-attaches from the bounded probe frame, hint only at gates
+      val fetch =
+        if (shortlistN <= AdcShortlist) broadcast(shortlist) else shortlist
+      fetch
         .join(e.select(col("vec_id").as("neighbor_id"), col("v")), Seq("neighbor_id"))
+        .join(broadcast(e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("probe_id"), col("v").as("pv"))), Seq("probe_id"))
         .select(col("probe_id"), col("neighbor_id"), cosine(col("pv"), col("v")).as("cs"))
         .withColumn("rank", row_number().over(wX))
         .filter(col("rank") <= 3)
