@@ -85,7 +85,8 @@ object AnnProbe {
     // product constant (50) recall@3 collapsed 0.20 -> 0.02 as
     // candidates/probe grew 25k -> 285k — PQ distance error exceeds
     // the gap between rank-50 and the true top-3 long before that.
-    // Since r11 the rule (cand/50, floored at 50) ships in the
+    // Since r11 the rule (cand/12, floored at 50 — divisor from the
+    // measured recall-vs-shortlist sweep) ships in the
     // REGISTERED operators (Sim.adcShortlist) and the probe resolves
     // it from there, so this artifact measures the production
     // configuration, not a tool-local reimplementation.

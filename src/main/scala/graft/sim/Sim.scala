@@ -744,16 +744,20 @@ object Sim {
     * the re-rank cut. A FIXED 50 collapses at scale: ANNPROBE_VEC2M
     * measured recall@3 = 0.077 at 140k candidates/probe (0.017 at 285k)
     * because PQ distance error exceeds the rank-50-to-top-3 gap once
-    * the candidate pool grows. Re-ranking ~2% of candidates
-    * (candidates/50, floored at the oracle constant) restores recall
-    * to 0.73–0.88 at the same scales (ANNPROBE_*_SL artifacts) for a
-    * re-rank cost of shortlist·dim flops per probe — noise next to the
-    * ADC scan itself. Resolves to exactly 50 wherever the DuckDB
-    * oracle replays the fixed cut (gate corpora: candidates/probe
-    * ≤ 2500), self-scales beyond it.
+    * the candidate pool grows. The divisor is measured, not guessed:
+    * the r11 shortlist sweep on the slim re-rank (ANNPROBE_VEC{2M,5M,
+    * 20M}_SL*_r11) mapped recall@3 vs re-rank fraction — 1/50 of
+    * candidates gives 0.73 / 0.67 / 0.62 at 2M/5M/20M vectors, 1/25
+    * gives 0.94 at 2M, and 1/12.5 saturates at 1.000 / 1.000 / 0.987
+    * for +13% to +50% of the ADC scan wall (the scan, not the exact
+    * re-rank, dominates once the shortlist is slim). Re-ranking ~8% of
+    * candidates is therefore the production cut. Resolves to exactly
+    * 50 wherever the DuckDB oracle replays the fixed cut (gate
+    * corpora: candidates/probe ≤ 600; the harness gates top out at
+    * 500), self-scales beyond it.
     */
   private[graft] def adcShortlist(candidatesPerProbe: Long): Int =
-    math.max(AdcShortlist.toLong, candidatesPerProbe / 50L).toInt
+    math.max(AdcShortlist.toLong, candidatesPerProbe / 12L).toInt
 
   /** Oracle-gated runs (Verify sets graft.assertFixedCap) compare
     * against SQL with a literal `arank <= 50` cut — a shortlist that
@@ -1118,7 +1122,7 @@ object Sim {
       val wX = Window.partitionBy("probe_id").orderBy(col("cs").desc, col("neighbor_id"))
       // Exact re-rank, scale-shaped: the shortlist is nProbes×shortlistN
       // rows — ~50/probe at gate scales, where the broadcast hint is
-      // pinned, but DATA-SIZED in the scaled regime (candidates/50 per
+      // pinned, but DATA-SIZED in the scaled regime (candidates/12 per
       // probe), where a forced broadcast — worse, one carrying the
       // 512 B probe vector per shortlist row — built an >8 GB
       // HashedRelation at 20M vectors. So the shortlist stays SLIM

@@ -84,7 +84,9 @@ class IvfRecallSpec extends SparkSpec {
     // The r10 defect: s_ivf_adc shipped AdcShortlist = 50 — fine at
     // gate scales (~500 candidates/probe) but ANNPROBE_VEC2M measured
     // recall@3 = 0.077 at 140k candidates/probe with it. Since r11 the
-    // operator resolves Sim.adcShortlist(cand) = max(50, cand/50);
+    // operator resolves Sim.adcShortlist(cand) = max(50, cand/12),
+    // the divisor picked by the measured recall-vs-shortlist sweep
+    // (ANNPROBE_*_SL12_r11: 1/12.5 of candidates saturates recall);
     // this gate runs the REGISTERED path (searchIvfAdc: same probes,
     // same index components, same adaptive cut) on a 100k clustered
     // corpus where candidates/probe ≈ 25k — the regime that collapsed
@@ -144,9 +146,11 @@ class IvfRecallSpec extends SparkSpec {
 
   test("oracle-gated runs fail loudly if the shortlist would diverge from the fixed 50") {
     // at gate-scale candidate volumes the rule IS the constant
+    // (harness gates top out at 500 candidates/probe; the cand/12
+    // divisor keeps the floor up to 600)
     assert(graft.sim.Sim.adcShortlist(500) === 50)
-    assert(graft.sim.Sim.adcShortlist(2500) === 50)
-    assert(graft.sim.Sim.adcShortlist(25000) === 500)
+    assert(graft.sim.Sim.adcShortlist(600) === 50)
+    assert(graft.sim.Sim.adcShortlist(25000) === 2083)
     System.setProperty("graft.assertFixedCap", "true")
     try {
       intercept[IllegalStateException] {
