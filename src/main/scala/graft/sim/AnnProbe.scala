@@ -92,6 +92,12 @@ object AnnProbe {
     // configuration, not a tool-local reimplementation.
     val shortlist = shortlistEnv.getOrElse(
       Sim.adcShortlist(nprobe.toLong * n / math.max(k, 1)))
+    // self-describing artifact (VERDICT r11 #4): record WHICH rule
+    // produced `shortlist`, so a reader of this JSON alone can tell a
+    // fixed-override capture from the registered operator rule
+    val shortlistRule = shortlistEnv
+      .map(v => s"env_fixed_$v")
+      .getOrElse("max(50,cand/12)")
 
     // BUILD — the one unrepeatable phase (memoized): train + assign +
     // materialize, forced through the index row count.
@@ -160,6 +166,7 @@ object AnnProbe {
         s""""cell_avg":${n / math.max(k, 1)},"nprobe":$nprobe,"n_probes":$pCount,""" +
         s""""cand_per_probe":${nprobe.toLong * n / math.max(k, 1)},""" +
         s""""scan_frac":${num(nprobe.toDouble / k)},"shortlist":$shortlist,""" +
+        s""""shortlist_rule":"$shortlistRule",""" +
         s""""probe_base":$pBase,"runs":$runs,""" +
         s""""sec_build":${num(secBuild)},"sec_search":${num(secSearch)},""" +
         s""""ms_per_probe":${num(secSearch * 1000 / math.max(pCount, 1))},""" +

@@ -272,8 +272,11 @@ object Opq {
     val idx = Sim.ivfIndex(s, d, k = 8, iters = 3)
     val art = opqArtifacts(s, d, k, rotate)
     val e = Sim.vecs(s, d).select(col("vec_id"), col("v"))
-    val routed = e.filter(col("vec_id") < 10)
+    // single home for the probe-set convention — the re-rank's pv
+    // re-attach joins this same frame (see s_ivf_adc_residual)
+    val probeFrame = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+    val routed = probeFrame
       .select(col("probe_id"), col("pv"),
         explode(slice(array_sort(Sim.distStructs(col("pv"), idx.centroids)), 1, 2))
           .as("_pc"))
@@ -313,8 +316,7 @@ object Opq {
       if (shortlistN <= Sim.AdcShortlist) broadcast(shortlist) else shortlist
     fetch
       .join(e.select(col("vec_id").as("neighbor_id"), col("v")), Seq("neighbor_id"))
-      .join(broadcast(e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("probe_id"), col("v").as("pv"))), Seq("probe_id"))
+      .join(broadcast(probeFrame), Seq("probe_id"))
       .select(col("probe_id"), col("neighbor_id"), cosine(col("pv"), col("v")).as("cs"))
       .withColumn("rank", row_number().over(wX))
       .filter(col("rank") <= 3)

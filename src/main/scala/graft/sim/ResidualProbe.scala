@@ -58,6 +58,12 @@ object ResidualProbe {
         .filter(col("rank") <= 3)
         .select(col("probe_id"), col("neighbor_id")))
     val denom = brute.count().toDouble
+    // a zero denominator means the corpus has no probes/neighbors —
+    // fail loudly rather than publish a vacuous recall_at3 = 1.0
+    // artifact from a run that measured nothing
+    if (denom == 0)
+      sys.error(s"ResidualProbe: brute-force top-3 is EMPTY for $sfDir " +
+        s"(n=$n) — degenerate corpus, refusing to emit a recall artifact")
 
     val registry = graft.SparkEntry.queries
     val ops = Seq("s_ivf_adc", "s_ivf_adc_residual", "s_opq_adc")
@@ -67,8 +73,7 @@ object ResidualProbe {
       val secs = (1 to runs).map(_ => time(once.count())._2)
       val found = once.select(col("probe_id"), col("neighbor_id"))
       val recall =
-        if (denom == 0) 1.0
-        else found.join(brute, Seq("probe_id", "neighbor_id")).count() / denom
+        found.join(brute, Seq("probe_id", "neighbor_id")).count() / denom
       (name, secs.min, recall)
     }
 
@@ -81,6 +86,7 @@ object ResidualProbe {
       s"""{"metric":"residual_probe","degraded":${graft.tools.Capture.degraded(loadStart)},""" +
         s""""load_avg_start":${num(loadStart)},"sf":"$sfDir","n":$n,""" +
         s""""cand_per_probe":$cand,"shortlist":${Sim.adcShortlist(cand)},""" +
+        s""""shortlist_rule":"max(50,cand/12)",""" +
         s""""runs":$runs,$per,"load_avg":${num(loadAvg)}}"""
     outFile.foreach(p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n"))

@@ -337,12 +337,15 @@ object Sim {
   private def dirFingerprint(d: String): Long = {
     try {
       val dir = new java.io.File(d, "embeddings.parquet")
-      val fs = Option(dir.listFiles()).getOrElse(Array.empty)
+      // listFiles() order is unspecified — sort so an unchanged dir
+      // always folds to the same fingerprint (an order-shuffled memo
+      // miss silently re-counts the corpus)
+      val fs = Option(dir.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
       if (fs.isEmpty) -1L
       else fs.foldLeft(fs.length.toLong) { (acc, f) =>
         31L * acc + f.length() + f.lastModified()
       }
-    } catch { case _: Throwable => -1L }
+    } catch { case scala.util.control.NonFatal(_) => -1L }
   }
 
   private[graft] def corpusCount(s: SparkSession, d: String): Long =
@@ -757,7 +760,11 @@ object Sim {
     * 500), self-scales beyond it.
     */
   private[graft] def adcShortlist(candidatesPerProbe: Long): Int =
-    math.max(AdcShortlist.toLong, candidatesPerProbe / 12L).toInt
+    // clamp BEFORE narrowing: candidates/probe beyond ~25.8B would
+    // wrap toInt negative and the arank cut would silently return
+    // zero rows instead of a full re-rank
+    math.min(Int.MaxValue.toLong,
+      math.max(AdcShortlist.toLong, candidatesPerProbe / 12L)).toInt
 
   /** Oracle-gated runs (Verify sets graft.assertFixedCap) compare
     * against SQL with a literal `arank <= 50` cut — a shortlist that
@@ -1132,9 +1139,13 @@ object Sim {
       // the strategy from the shortlist's runtime size.
       val fetch =
         if (shortlistN <= AdcShortlist) broadcast(shortlist) else shortlist
+      // the pv re-attach carries NO broadcast hint: this entry point
+      // takes an arbitrary probe frame, and a forced broadcast would
+      // pin probes×512 B however large the batch — AQE broadcasts the
+      // bounded frames (10-row gate probes) from runtime stats anyway
       fetch
         .join(e.select(col("vec_id").as("neighbor_id"), col("v")), Seq("neighbor_id"))
-        .join(broadcast(probeFrame.select(col("probe_id"), col("pv"))), Seq("probe_id"))
+        .join(probeFrame.select(col("probe_id"), col("pv")), Seq("probe_id"))
         .select(col("probe_id"), col("neighbor_id"), cosine(col("pv"), col("v")).as("cs"))
         .withColumn("rank", row_number().over(wX))
         .filter(col("rank") <= 3)
@@ -1261,11 +1272,15 @@ object Sim {
       val cand = 2L * corpusCount(s, d) / math.max(idx.centroids.size, 1)
       val shortlistN = adcShortlist(cand)
       guardOracleShortlist(shortlistN, cand)
+      // the probe-set convention lives HERE and nowhere else: the
+      // re-rank's pv re-attach joins this same frame, so changing the
+      // probe definition cannot silently desynchronize the two sides
+      val probeFrame = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"))
       // route first (explode to probe-cell rows), THEN build the ADC
       // tables from the per-cell probe residual — residual tables are
       // inherently per (probe, cell)
-      val routed = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+      val routed = probeFrame
         .select(col("probe_id"), col("pv"),
           explode(slice(array_sort(distStructs(col("pv"), idx.centroids)), 1, 2))
             .as("_pc"))
@@ -1292,8 +1307,7 @@ object Sim {
         if (shortlistN <= AdcShortlist) broadcast(shortlist) else shortlist
       fetch
         .join(e.select(col("vec_id").as("neighbor_id"), col("v")), Seq("neighbor_id"))
-        .join(broadcast(e.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("probe_id"), col("v").as("pv"))), Seq("probe_id"))
+        .join(broadcast(probeFrame), Seq("probe_id"))
         .select(col("probe_id"), col("neighbor_id"), cosine(col("pv"), col("v")).as("cs"))
         .withColumn("rank", row_number().over(wX))
         .filter(col("rank") <= 3)
