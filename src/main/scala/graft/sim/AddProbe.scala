@@ -28,10 +28,10 @@ import org.apache.spark.sql.functions._
   * Per append level f ∈ {2,5,10} (factors of the base corpus):
   *   - stale index  = IvfStore.add(trained, appended) — centroids
   *     frozen, k = semDedupCells(n_base).
-  *   - fresh index  = retrain at the CURRENT size (k =
-  *     semDedupCells(f·n), Lloyd on a hash-sampled ~max(5000,50k)
-  *     subset of the UNION — a vec_id-prefix sample would train on
-  *     base rows only and rebuild the stale index under a new name).
+  *   - fresh index  = IvfStore.retrain at the CURRENT size (k =
+  *     semDedupCells(f·n), Lloyd on a union-wide hash-stride sample —
+  *     a vec_id-prefix sample would train on base rows only and
+  *     rebuild the stale index under a new name).
   *   - recall@3 vs brute force over the union, for TWO probe
   *     populations: base-distribution probes (the r9 probe-id
   *     convention) and appended-distribution probes — staleness hurts
@@ -136,30 +136,27 @@ object AddProbe {
       appends.count()
       val ev = e.select(col("vec_id"), col("v")).unionByName(appends)
 
-      // STALE: the API under test — frozen centroids absorb the batch
+      // STALE: the API under test — frozen centroids absorb the batch;
+      // d2_ratio is the library's own trigger statistic
       val stale = IvfStore.add(idx0, appends)
       val staleAssigned = stale.assigned
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val d2New = staleAssigned.filter(col("vec_id") >= n)
-        .agg(avg("d2")).head().getDouble(0)
+      val d2Ratio = IvfStore.batchD2Ratio(idx0, appends, d2Base)
       val cellStats = staleAssigned.groupBy("cid").count()
         .agg(max("count").cast("double").as("mx"), avg("count").as("av")).head()
       val imbalance = cellStats.getDouble(0) / cellStats.getDouble(1)
 
-      // FRESH: retrain at the current size on a union-wide hash sample
-      val kFresh = Sim.semDedupCells(total)
-      val nprobeFresh = math.max(2, math.round(math.sqrt(kFresh)).toInt)
-      val (fresh, secFresh) = time {
-        val trainN = math.max(5000L, 50L * kFresh)
-        val stride = math.max(1L, total / trainN)
-        val sample = ev.filter(pmod(xxhash64(col("vec_id"), lit("trainsample")),
-          lit(stride)) === 0)
-        val cents = Sim.lloyd(sample, col("v"), kFresh, iters = 3)
-        val a = Sim.assignTo(ev, cents)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        a.count()
-        Sim.IvfIndex(a, cents)
+      // FRESH: the library's retrain path (union-wide hash sample,
+      // re-keyed for Lloyd's seed convention, k at the current size)
+      val (fresh0, secFresh) = time {
+        val f0 = IvfStore.retrain(ev)
+        f0.assigned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .count()
+        f0
       }
+      val fresh = fresh0
+      val kFresh = fresh.centroids.size
+      val nprobeFresh = math.max(2, math.round(math.sqrt(kFresh)).toInt)
 
       // appended-distribution probes: the tail of THIS level's batch
       val probesNew = appends.filter(col("vec_id") >= total - recallProbes)
@@ -184,7 +181,7 @@ object AddProbe {
 
       val lvl =
         s"""{"factor":$f,"n_total":$total,"appended_frac":${num((total - n).toDouble / total)},""" +
-          s""""d2_ratio":${num(d2New / d2Base)},"cell_max_over_avg":${num(imbalance)},""" +
+          s""""d2_ratio":${num(d2Ratio)},"cell_max_over_avg":${num(imbalance)},""" +
           s""""k_fresh":$kFresh,"nprobe_fresh":$nprobeFresh,"sec_fresh_build":${num(secFresh)},""" +
           s""""recall_stale_base":${num(rStaleB)},"recall_stale_new":${num(rStaleN)},""" +
           s""""recall_fresh_base":${num(rFreshB)},"recall_fresh_new":${num(rFreshN)}}"""

@@ -59,6 +59,60 @@ object IvfStore {
       idx.assigned.unionByName(Sim.assignTo(batch, idx.centroids)),
       idx.centroids)
 
+  /** Retrain trigger statistic, computable at add time with one
+    * map-side argmin pass over the batch: the batch's mean squared
+    * assign distance under the FROZEN centroids over the trained
+    * corpus' own mean (`d2Base` — one agg over `idx.assigned`,
+    * recorded once at build/save time). A quantizer that still
+    * represents the incoming data reads ~1.0; appends drawn from
+    * clusters the training never saw read well above it (measured:
+    * AddProbe, ADDPROBE_*_r12 artifacts — see SURVEY §5 for the
+    * trigger threshold the drift regime calibrates).
+    */
+  def batchD2Ratio(idx: IvfIndex, batch: DataFrame, d2Base: Double): Double = {
+    import org.apache.spark.sql.functions.avg
+    Sim.assignTo(batch, idx.centroids).agg(avg("d2")).head().getDouble(0) / d2Base
+  }
+
+  /** Offline rebuild at the CURRENT size — the operation the trigger
+    * rule fires after enough [[add]] batches: k rides
+    * Sim.semDedupCells(n), Lloyd trains on a hash-stride sample of
+    * the WHOLE current corpus (base + appends — a vec_id-prefix
+    * sample would train on base rows only and rebuild the stale
+    * quantizer under a new name), then one full map-side
+    * reassignment. The sample is re-keyed densely before Lloyd:
+    * Lloyd seeds from `vec_id < k`, and a strided sample retains only
+    * ~k/stride of those ids — without the re-key the rebuild would
+    * silently start from a near-empty seed set.
+    */
+  def retrain(corpus: DataFrame, iters: Int = 3): IvfIndex = {
+    import org.apache.spark.sql.functions._
+    val n = corpus.count()
+    val k = Sim.semDedupCells(n)
+    Sim.guardOracleCells(k, n)
+    val trainN = math.max(5000L, 50L * k)
+    val stride = math.max(1L, n / trainN)
+    val w = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
+    // ~trainN rows through a single-partition window — bounded by the
+    // training-sample cap, not the corpus
+    val sample = corpus
+      .filter(pmod(xxhash64(col("vec_id"), lit("trainsample")), lit(stride)) === 0)
+      .select((row_number().over(w) - 1).cast("long").as("vec_id"), col("v"))
+    val cents = Sim.lloyd(sample, col("v"), k, iters)
+    IvfIndex(Sim.assignTo(corpus.select(col("vec_id"), col("v")), cents), cents)
+  }
+
+  /** The full staleness-recovery cycle for a long-lived serving
+    * index: rebuild the quantizer at the current corpus size and
+    * persist the result, returning the reloaded (single-scan,
+    * freshly-trained) index.
+    */
+  def compactRetrain(idx: IvfIndex, dir: String): IvfIndex = {
+    val fresh = retrain(idx.assigned)
+    save(fresh, dir)
+    load(idx.assigned.sparkSession, dir)
+  }
+
   /** Periodic write-back for a serving index that has accumulated
     * online `add` batches: every add wraps another unionByName, so
     * after N batches the assigned plan is an N-deep union chain that

@@ -81,6 +81,38 @@ class IvfStoreSpec extends SparkSpec {
     assert(compacted.assigned.count() === chained.assigned.count())
   }
 
+  test("retrain: full seed set at the current size; d2 ratio separates drift") {
+    import org.apache.spark.sql.functions._
+    // 30k vectors put semDedupCells at 24 (> the fixed 8) with a
+    // training-sample stride of 6 — the regime where Lloyd's seed
+    // convention (vec_id < k) retains only ~k/stride ids unless
+    // retrain re-keys the strided sample densely. A seed-starved
+    // rebuild collapses to a handful of centroids; this gate pins the
+    // centroid count to the adaptive k (minus normal empty-cell
+    // attrition, never below half).
+    val n = 30000L
+    def uvecs(lo: Long, hi: Long, salt: String, scale: Double) =
+      spark.range(lo, hi).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(15)), i =>
+          lit(scale) * (pmod(xxhash64(col("id"), i, lit(salt)), lit(2001L))
+            .cast("double") - 1000.0) / 1000.0).as("v"))
+    val corpus = uvecs(0, n, "base", 1.0)
+    val idx = graft.sim.IvfStore.retrain(corpus)
+    val k = graft.sim.Sim.semDedupCells(n)
+    assert(k > 8)
+    assert(idx.centroids.size <= k)
+    assert(idx.centroids.size >= k / 2,
+      s"retrain produced ${idx.centroids.size} centroids for k=$k — seed starvation")
+    assert(idx.assigned.count() === n)
+    // the trigger statistic: a same-distribution batch reads ~1.0,
+    // a shifted batch (same hash scheme, 4x magnitude) reads far above
+    val d2Base = idx.assigned.agg(avg("d2")).head().getDouble(0)
+    val same = graft.sim.IvfStore.batchD2Ratio(idx, uvecs(n, n + 3000, "base", 1.0), d2Base)
+    val drift = graft.sim.IvfStore.batchD2Ratio(idx, uvecs(n, n + 3000, "base", 4.0), d2Base)
+    assert(same > 0.7 && same < 1.3, s"stationary batch d2 ratio $same not ~1")
+    assert(drift > 2.0, s"shifted batch d2 ratio $drift should exceed the stationary band")
+  }
+
   test("IVF-ADC: save -> load -> search is identical to in-memory search") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_store_pq").toString
     val idx = graft.sim.Sim.ivfIndex(spark, sfDir, k = 8, iters = 3)
