@@ -65,9 +65,15 @@ object IvfStore {
     * corpus' own mean (`d2Base` — one agg over `idx.assigned`,
     * recorded once at build/save time). A quantizer that still
     * represents the incoming data reads ~1.0; appends drawn from
-    * clusters the training never saw read well above it (measured:
-    * AddProbe, ADDPROBE_*_r12 artifacts — see SURVEY §5 for the
-    * trigger threshold the drift regime calibrates).
+    * clusters the training never saw read well above it. Measured
+    * (AddProbe, ADDPROBE_*_r12): stationary appends read 0.999 at
+    * every level from 2x to 10x the trained corpus, drifted appends
+    * read 1.187 (200k base) / 2.065 (2M base). Trigger rule: schedule
+    * [[compactRetrain]] when a batch exceeds ~1.1 (the stationary
+    * band is ±0.001, so the margin is wide) or the assigned cell
+    * max/avg imbalance doubles from build time; the measured stale
+    * recall floor was >= 0.90 at every scale, so retraining is
+    * scheduled maintenance, not an emergency path.
     */
   def batchD2Ratio(idx: IvfIndex, batch: DataFrame, d2Base: Double): Double = {
     import org.apache.spark.sql.functions.avg
