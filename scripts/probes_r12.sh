@@ -16,6 +16,12 @@
 #  4. Pair-family 1000x decade (VERDICT r11 #5) + t_dsir GC share at
 #     1000x (VERDICT r11 #6), one subset bench on /tmp/docs1000.
 #  5. Round bench series: sf0.1 / sf1 / sf10 full sweep, min-of-2.
+# NOTE: the committed r12 evidence also includes knee-search points
+# captured ad hoc beyond this script's bracketing set
+# (STREAMPROBE_{PIPE200K,PIPE400K,PIPE1M,PIPE2M,SESS50K,SESS100K,
+# SESS200K}_{MEM,RDB}, INGEST{3K,3K5}, SESS5K_MEM_B — same tput
+# invocation shape, rate/provider varied) and the rotated re-sweep
+# BENCH_SF10_FULL_r12B (same bench invocation, second capture).
 # Usage: scripts/probes_r12.sh [outDir]
 set -euo pipefail
 OUT="${1:-/root/repo}"

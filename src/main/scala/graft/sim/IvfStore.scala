@@ -15,6 +15,7 @@ import graft.sim.Sim.IvfIndex
   * Artifact layout under `dir`:
   *   - `assigned/`  — the IVF-assigned corpus (vec_id, v, cid, d2)
   *   - `centroids/` — the final centroids (cid, cv)
+  *   - `meta/`      — one row of retrain-trigger baselines (see [[IvfMeta]])
   *   - `codebooks/` — PQ subspace codebooks (sub, cid, cv)
   *   - `coded/`     — the IVF-ADC coded corpus (neighbor_id, cid, code0..3)
   *
@@ -23,17 +24,82 @@ import graft.sim.Sim.IvfIndex
   */
 object IvfStore {
 
+  /** The retrain-trigger baselines, recorded by [[save]] at publish
+    * time and read back by [[loadMeta]] — so a serving job applies the
+    * trigger rule to arriving batches with NO corpus-sized recompute:
+    *   - `d2Base`    — mean squared assign distance of the trained
+    *     corpus under its own centroids (the [[batchD2Ratio]] denominator)
+    *   - `imbalance` — the assigned cells' max/avg population at save
+    *     time (the rule's "doubles from build" reference point)
+    *   - `k`, `n`    — centroid count and corpus size at save time
+    */
+  final case class IvfMeta(d2Base: Double, imbalance: Double, k: Int, n: Long)
+
+  /** The trigger baselines of an in-memory index — one agg pass over
+    * `assigned` (k-row intermediate). save() runs this over the
+    * just-written parquet so the stats are of the artifact, not of a
+    * possibly-lazy plan.
+    */
+  def computeMeta(assigned: DataFrame, k: Int): IvfMeta = {
+    import org.apache.spark.sql.functions._
+    // decimal-exact d2 sum: d2Base feeds the oracle-replayed
+    // st_index_health ratio, so its double must not depend on
+    // partition/summation order (the lloyd centroid-mean convention)
+    val dec = org.apache.spark.sql.types.DecimalType(28, 10)
+    val r = assigned.groupBy("cid")
+      .agg(count(lit(1)).as("cnt"), sum(col("d2").cast(dec)).as("sd2"))
+      .agg(sum("cnt").cast("long").as("n"),
+        sum("sd2").cast("double").as("sd2"),
+        (max("cnt").cast("double") / (sum("cnt").cast("double") / count(lit(1))))
+          .as("imb"))
+      .head()
+    IvfMeta(r.getDouble(1) / r.getLong(0), r.getDouble(2), k, r.getLong(0))
+  }
+
+  /** Persist the index artifacts. The assigned corpus is STAGED
+    * (written to `assigned_tmp`, then swapped in) rather than written
+    * over `dir/assigned` directly: the natural serving lifecycle hands
+    * this method an index whose `assigned` is a LAZY plan over that
+    * very directory (load→add→compact, load→compactRetrain), and a
+    * direct `mode("overwrite")` would delete its own input mid-scan —
+    * job failure at best, a wiped serving index at worst. With the
+    * stage+swap, the write job completes against the old files before
+    * the old files go away. Frames loaded from `dir` BEFORE a save are
+    * invalidated by the swap (their file listing is stale); consumers
+    * use the returned/re-loaded index, as compact/compactRetrain do.
+    */
   def save(idx: IvfIndex, dir: String): Unit = {
     val s = idx.assigned.sparkSession
     import s.implicits._
-    idx.assigned.write.mode("overwrite").parquet(s"$dir/assigned")
+    val tmp = s"$dir/assigned_tmp"
+    idx.assigned.write.mode("overwrite").parquet(tmp)
+    val hconf = s.sparkContext.hadoopConfiguration
+    val live = new org.apache.hadoop.fs.Path(s"$dir/assigned")
+    val fs = live.getFileSystem(hconf)
+    fs.delete(live, true)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), live))
+      sys.error(s"IvfStore.save: rename $tmp -> $live failed")
     idx.centroids.toDF("cid", "cv").write.mode("overwrite").parquet(s"$dir/centroids")
+    val m = computeMeta(s.read.parquet(s"$dir/assigned"), idx.centroids.size)
+    Seq((m.d2Base, m.imbalance, m.k, m.n))
+      .toDF("d2_base", "imbalance", "k", "n")
+      .write.mode("overwrite").parquet(s"$dir/meta")
   }
 
   def load(s: SparkSession, dir: String): IvfIndex = {
     val cents = s.read.parquet(s"$dir/centroids").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
     IvfIndex(s.read.parquet(s"$dir/assigned"), cents)
+  }
+
+  /** The trigger baselines of a published index — a 1-row parquet
+    * read, NOT a corpus agg: this is what makes the trigger rule
+    * applicable per arriving batch in a serving job that only ever
+    * `load`ed the index.
+    */
+  def loadMeta(s: SparkSession, dir: String): IvfMeta = {
+    val r = s.read.parquet(s"$dir/meta").head()
+    IvfMeta(r.getDouble(0), r.getDouble(1), r.getInt(2), r.getLong(3))
   }
 
   def savePq(books: Seq[Seq[(Long, Seq[Double])]], coded: DataFrame,
@@ -62,8 +128,9 @@ object IvfStore {
   /** Retrain trigger statistic, computable at add time with one
     * map-side argmin pass over the batch: the batch's mean squared
     * assign distance under the FROZEN centroids over the trained
-    * corpus' own mean (`d2Base` — one agg over `idx.assigned`,
-    * recorded once at build/save time). A quantizer that still
+    * corpus' own mean (`d2Base` — persisted by [[save]] in `meta/`
+    * and read back via [[loadMeta]], so a serving job applies the
+    * rule with no corpus-sized recompute). A quantizer that still
     * represents the incoming data reads ~1.0; appends drawn from
     * clusters the training never saw read well above it. Measured
     * (AddProbe, ADDPROBE_*_r12): stationary appends read 0.999 at
@@ -79,6 +146,21 @@ object IvfStore {
     import org.apache.spark.sql.functions.avg
     Sim.assignTo(batch, idx.centroids).agg(avg("d2")).head().getDouble(0) / d2Base
   }
+
+  /** The documented trigger rule as CODE (it lived only in the
+    * Scaladoc until r13): schedule [[compactRetrain]] when a batch's
+    * d2 ratio exceeds 1.1 (the measured stationary band is 0.999 ±
+    * 0.001, so the margin is wide) or the observed cell max/avg
+    * imbalance doubles from the save-time baseline. Consumed per
+    * micro-batch by the st_index_health serving view
+    * (streaming/Streaming.scala) via the shared
+    * [[Sim.indexHealth]] frame.
+    */
+  val D2RatioTrigger = 1.1
+  val ImbalanceDoubling = 2.0
+
+  def retrainDue(d2Ratio: Double, imbalance: Double, meta: IvfMeta): Boolean =
+    d2Ratio >= D2RatioTrigger || imbalance >= ImbalanceDoubling * meta.imbalance
 
   /** Offline rebuild at the CURRENT size — the operation the trigger
     * rule fires after enough [[add]] batches: k rides
@@ -111,7 +193,12 @@ object IvfStore {
   /** The full staleness-recovery cycle for a long-lived serving
     * index: rebuild the quantizer at the current corpus size and
     * persist the result, returning the reloaded (single-scan,
-    * freshly-trained) index.
+    * freshly-trained) index. `dir` may be — and in the documented
+    * serving pattern IS — the directory backing `idx` itself: the
+    * retrained assignment plan lazily reads `dir/assigned`, and
+    * save()'s stage+swap is what makes overwriting it safe
+    * (spec-gated: the save→load→add→compactRetrain(SAME dir)→search
+    * round trip in IvfStoreSpec).
     */
   def compactRetrain(idx: IvfIndex, dir: String): IvfIndex = {
     val fresh = retrain(idx.assigned)
@@ -128,6 +215,9 @@ object IvfStore {
     * depth drops back to a single parquet scan however many adds
     * came before, and search results are unchanged (parquet
     * round-trips doubles bit-exactly; asserted in IvfStoreSpec).
+    * Like compactRetrain, `dir` may be the index's own backing dir —
+    * the add-chain plan reads `dir/assigned` and save()'s stage+swap
+    * keeps the write from consuming its own input.
     */
   def compact(idx: IvfIndex, dir: String): IvfIndex = {
     save(idx, dir)

@@ -373,6 +373,56 @@ object Sim {
       }
     }
 
+  /** The PUBLISHED index for a corpus dir: built once, written to
+    * storage via IvfStore.save (assigned + centroids + the meta/
+    * trigger baselines), path memoized per session — the artifact a
+    * serving job (st_index_health, and at deploy st_ann) boots from.
+    * Publishing is once-per-corpus by construction, so the serving
+    * query's repeated runs pay a 1-row meta read, not an index write.
+    */
+  private val pubMemo =
+    scala.collection.mutable.Map[(String, Int, Int), (SparkSession, String)]()
+  graft.Caching.onReleaseAll(() => pubMemo.synchronized(pubMemo.clear()))
+
+  def publishedIndexDir(s: SparkSession, d: String, k: Int, iters: Int): String =
+    pubMemo.synchronized {
+      pubMemo.get((d, k, iters)) match {
+        case Some((sess, dir)) if (sess eq s) && !s.sparkContext.isStopped => dir
+        case _ =>
+          val dir = java.nio.file.Files.createTempDirectory("graft_ivf_pub").toString
+          IvfStore.save(ivfIndex(s, d, k, iters), dir)
+          pubMemo((d, k, iters)) = (s, dir)
+          dir
+      }
+    }
+
+  /** Per-batch index-health row — the retrain trigger rule
+    * (IvfStore.retrainDue) evaluated over one arriving batch against
+    * a published index's frozen centroids and persisted baselines:
+    * one map-side argmin pass + a k-row aggregate, so the check costs
+    * a rounding error on top of the batch's own assignment. Emits
+    * (n_batch, d2_ratio, cell_imbalance, retrain_due); sums are
+    * decimal-exact so the DuckDB oracle replays the doubles
+    * bit-identically (the centroidIvf convention).
+    */
+  def indexHealth(batch: DataFrame, cents: Seq[(Long, Seq[Double])],
+                  meta: IvfStore.IvfMeta): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 10)
+    assignTo(batch, cents)
+      .groupBy("cid")
+      .agg(count(lit(1)).as("cnt"), sum(col("d2").cast(dec)).as("sd2"))
+      .agg(sum("cnt").cast("long").as("n_batch"),
+        (sum("sd2").cast("double") / sum("cnt")).as("d2_mean"),
+        (max("cnt").cast("double") / (sum("cnt").cast("double") / count(lit(1))))
+          .as("imb"))
+      .select(col("n_batch"),
+        round(col("d2_mean") / lit(meta.d2Base), 4).as("d2_ratio"),
+        round(col("imb"), 4).as("cell_imbalance"),
+        when((col("d2_mean") / lit(meta.d2Base)) >= IvfStore.D2RatioTrigger ||
+          col("imb") >= IvfStore.ImbalanceDoubling * meta.imbalance, 1)
+          .otherwise(0).as("retrain_due"))
+  }
+
   /** Corpus-adaptive cell count for within-cell pruning
     * (d_semantic_dedup): within-cell pair cost is Σ n_c² ≈ n²/k, so a
     * FIXED k leaves the operator quadratic with a 1/k constant — the

@@ -220,6 +220,11 @@ object Streaming {
         Pipeline.Config(esDir = Some(esDir), kafkaDir = Some(kafkaDir)), ckpt)
       q.processAllAvailable()
       q.stop()
+      // this query's wall time tracks container disk throughput (a
+      // measured 5.8–18.5 s band per 60M-line flush) — report the
+      // physical bytes so a bench capture self-identifies as disk-bound
+      graft.BenchMetrics.recordSinkBytes("st_sinks",
+        graft.BenchMetrics.dirBytes(esDir) + graft.BenchMetrics.dirBytes(kafkaDir))
       s.read.text(esDir)
         .groupBy("es_index").agg(count(lit(1)).as("n_lines"))
         .select(col("es_index").cast("string"), col("n_lines"))
@@ -750,6 +755,78 @@ object Streaming {
     },
   )
 
+  /** st_index_health: the ANN index's retrain trigger wired into
+    * serving (the response half of the staleness lifecycle the
+    * ADDPROBE_*_r12 artifacts measured) — a published index's frozen
+    * centroids + persisted baselines (IvfStore.save's meta/: d2_base,
+    * save-time cell imbalance) are loaded once, then each arriving
+    * micro-batch of vectors is assigned map-side and ONE health row
+    * per batch emits the trigger statistics: d2_ratio (batch mean
+    * assign distance over the trained corpus' own — stationary data
+    * reads ~1.0, drift read 1.19–2.07 in the r12 probes) and the
+    * batch's cell imbalance, with retrain_due evaluating the
+    * documented rule (ratio ≥ 1.1 or imbalance ≥ 2× the save-time
+    * baseline; IvfStore.retrainDue). The marginal cost on top of the
+    * batch's own assignment is a k-row aggregate — the
+    * accumulate/evaluate shape st_dsir models, reduced to its
+    * cheapest form. In the single-micro-batch harness the batch is
+    * the arrival tail (vec_id ≥ 90% cut) of the corpus the index was
+    * trained on, so the oracle replays the unrolled-Lloyd chain and
+    * the same decimal-exact ratio arithmetic verbatim (stationary ⇒
+    * retrain_due = 0; a drifted batch tripping the rule is spec-gated
+    * in IvfStoreSpec).
+    */
+  val streamIndexHealth = GraftQuery(
+    "st_index_health",
+    Some(s"""
+      ${graft.sim.Sim.ivfSql(8, 3)},
+      thr AS (SELECT CAST(FLOOR(0.9 * (MAX(vec_id) + 1)) AS BIGINT) AS t FROM embeddings),
+      bcells AS (SELECT cid, COUNT(*) AS cnt, SUM(CAST(d2 AS DECIMAL(28,10))) AS sd2
+                 FROM a4 GROUP BY cid),
+      basem AS (SELECT CAST(SUM(sd2) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS d2_base,
+                       CAST(MAX(cnt) AS DOUBLE)
+                         / (CAST(SUM(cnt) AS DOUBLE) / COUNT(*)) AS imb_base
+                FROM bcells),
+      b AS (SELECT a4.* FROM a4, thr WHERE a4.vec_id >= thr.t),
+      cells AS (SELECT cid, COUNT(*) AS cnt, SUM(CAST(d2 AS DECIMAL(28,10))) AS sd2
+                FROM b GROUP BY cid),
+      agg AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_batch,
+                     CAST(SUM(sd2) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS d2_mean,
+                     CAST(MAX(cnt) AS DOUBLE)
+                       / (CAST(SUM(cnt) AS DOUBLE) / COUNT(*)) AS imb
+              FROM cells)
+      SELECT n_batch,
+             ROUND(d2_mean / d2_base, 4) AS d2_ratio,
+             ROUND(imb, 4) AS cell_imbalance,
+             CASE WHEN d2_mean / d2_base >= 1.1 OR imb >= 2.0 * imb_base
+                  THEN 1 ELSE 0 END AS retrain_due
+      FROM agg, basem"""),
+    (s, d) => {
+      val dir = graft.sim.Sim.publishedIndexDir(s, d, k = 8, iters = 3)
+      val idx = graft.sim.IvfStore.load(s, dir)
+      val meta = graft.sim.IvfStore.loadMeta(s, dir)
+      val thr = graft.sources.Tables.embeddings(s, d)
+        .agg(floor(lit(0.9) * (max("vec_id") + 1)).cast("long")).head().getLong(0)
+      val outDir = Files.createTempDirectory("graft_health_out").toString
+      val ckpt = Files.createTempDirectory("graft_ckpt").toString
+      val arrivals = streamTable(s, d, "embeddings")
+        .filter(col("vec_id") >= thr)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val q = arrivals.writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          graft.sim.Sim.indexHealth(b, idx.centroids, meta)
+            .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      s.read.option("basePath", outDir).parquet(outDir)
+        .select("n_batch", "d2_ratio", "cell_imbalance", "retrain_due")
+        .orderBy("n_batch")
+    },
+  )
+
   /** st_dsir: importance-resampling as a SERVING pipeline — the DSIR
     * model (B-row log-likelihood-ratio table) is trained offline on
     * the batch corpus and published, then unbounded document batches
@@ -966,7 +1043,7 @@ object Streaming {
       streamHopping, streamAlerts, streamSessions, streamLatest,
       streamHistogramQuantile, streamCusum, streamEwma, streamAnn, streamMixture,
       streamDsir, streamNgramLm, streamFilteredAnn, streamQualityProbe,
-      streamDedupIngest)
+      streamDedupIngest, streamIndexHealth)
 }
 
 // Encoder-visible row types for the stateful stream (must not be

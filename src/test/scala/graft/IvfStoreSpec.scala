@@ -113,6 +113,86 @@ class IvfStoreSpec extends SparkSpec {
     assert(drift > 2.0, s"shifted batch d2 ratio $drift should exceed the stationary band")
   }
 
+  test("meta: save persists the trigger baselines; loadMeta needs no corpus agg") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("ivf_meta").toString
+    val idx = graft.sim.Sim.ivfIndex(spark, sfDir, k = 8, iters = 3)
+    graft.sim.IvfStore.save(idx, dir)
+    val meta = graft.sim.IvfStore.loadMeta(spark, dir)
+    assert(meta.k === idx.centroids.size)
+    assert(meta.n === idx.assigned.count())
+    // the persisted d2Base equals the decimal-exact corpus mean — the
+    // number a serving job would otherwise need a corpus-sized agg for
+    val expect = graft.sim.IvfStore.computeMeta(idx.assigned, idx.centroids.size)
+    assert(meta.d2Base === expect.d2Base)
+    assert(meta.imbalance === expect.imbalance)
+    // the trigger statistic is callable on a freshly-LOADED index with
+    // only the 1-row meta read: a stationary batch (rows the index was
+    // trained on) reads ~1
+    val loaded = graft.sim.IvfStore.load(spark, dir)
+    val batch = loaded.assigned.filter(col("vec_id") % 7 === 0).select("vec_id", "v")
+    val ratio = graft.sim.IvfStore.batchD2Ratio(loaded, batch, meta.d2Base)
+    assert(ratio > 0.5 && ratio < 1.5, s"stationary batch d2 ratio $ratio not ~1")
+  }
+
+  test("compactRetrain: SAME-dir save→load→add(drift)→retrain round trip survives") {
+    import org.apache.spark.sql.functions._
+    def uvecs(lo: Long, hi: Long, salt: String, scale: Double) =
+      spark.range(lo, hi).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(15)), i =>
+          lit(scale) * (pmod(xxhash64(col("id"), i, lit(salt)), lit(2001L))
+            .cast("double") - 1000.0) / 1000.0).as("v"))
+    val n = 4000L
+    val dir = java.nio.file.Files.createTempDirectory("ivf_same_dir").toString
+    // publish a serving index, then BOOT FROM THE ARTIFACT — the
+    // natural long-lived-serving pattern the r12 verdict found broken:
+    // the retrained assignment plan lazily reads dir/assigned, and an
+    // unstaged overwrite would delete its own input mid-scan
+    graft.sim.IvfStore.save(graft.sim.IvfStore.retrain(uvecs(0, n, "base", 1.0)), dir)
+    val served = graft.sim.IvfStore.load(spark, dir)
+    val drifted = graft.sim.IvfStore.add(served, uvecs(n, 2 * n, "shifted", 1.0))
+    val refreshed = graft.sim.IvfStore.compactRetrain(drifted, dir)
+    // the refreshed index is complete, searchable, and re-published
+    // IN PLACE: the artifact dir now holds the retrained corpus + meta
+    assert(refreshed.assigned.count() === 2 * n)
+    val meta = graft.sim.IvfStore.loadMeta(spark, dir)
+    assert(meta.n === 2 * n)
+    assert(meta.k === refreshed.centroids.size)
+    val probes = uvecs(n, n + 3, "shifted", 1.0)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+    assert(graft.sim.Sim.searchIvfProbes(refreshed, probes).count() > 0)
+    // a second same-dir cycle proves the swap leaves no stale staging
+    val again = graft.sim.IvfStore.compactRetrain(refreshed, dir)
+    assert(again.assigned.count() === 2 * n)
+  }
+
+  test("indexHealth: a drifted batch trips retrain_due; a stationary batch does not") {
+    import org.apache.spark.sql.functions._
+    def uvecs(lo: Long, hi: Long, salt: String, scale: Double) =
+      spark.range(lo, hi).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(15)), i =>
+          lit(scale) * (pmod(xxhash64(col("id"), i, lit(salt)), lit(2001L))
+            .cast("double") - 1000.0) / 1000.0).as("v"))
+    val n = 4000L
+    val dir = java.nio.file.Files.createTempDirectory("ivf_health").toString
+    graft.sim.IvfStore.save(graft.sim.IvfStore.retrain(uvecs(0, n, "base", 1.0)), dir)
+    val idx = graft.sim.IvfStore.load(spark, dir)
+    val meta = graft.sim.IvfStore.loadMeta(spark, dir)
+    def health(batch: org.apache.spark.sql.DataFrame) =
+      graft.sim.Sim.indexHealth(batch, idx.centroids, meta).head()
+    val same = health(uvecs(n, n + 1000, "base", 1.0))
+    val drift = health(uvecs(n, n + 1000, "base", 4.0))
+    assert(same.getInt(3) === 0,
+      s"stationary batch tripped retrain_due (ratio ${same.getDouble(1)})")
+    assert(same.getDouble(1) > 0.7 && same.getDouble(1) < 1.3)
+    assert(drift.getInt(3) === 1,
+      s"drifted batch did not trip retrain_due (ratio ${drift.getDouble(1)})")
+    assert(drift.getDouble(1) >= 1.1)
+    // the rule function agrees with the frame's verdict
+    assert(graft.sim.IvfStore.retrainDue(drift.getDouble(1), drift.getDouble(2), meta))
+    assert(!graft.sim.IvfStore.retrainDue(same.getDouble(1), same.getDouble(2), meta))
+  }
+
   test("IVF-ADC: save -> load -> search is identical to in-memory search") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_store_pq").toString
     val idx = graft.sim.Sim.ivfIndex(spark, sfDir, k = 8, iters = 3)
