@@ -1,6 +1,35 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+/** Side-channel for per-query I/O telemetry the wall clock alone can't
+  * explain: a sink-bound query (st_sinks writes ~60M NDJSON lines per
+  * run) reports the bytes it physically wrote, and Bench emits
+  * bytes + MB/s next to the timing — so a slow capture self-identifies
+  * as the disk-throughput band (measured 5.8–18.5 s per flush across
+  * container generations, BENCH_SF10_SPIKES_ISO_r12) instead of
+  * re-tripping spike triage every round.
+  */
+object BenchMetrics {
+  private val sink = scala.collection.concurrent.TrieMap[String, Long]()
+
+  /** Record the bytes a query's run physically wrote to its sinks
+    * (overwrites per run — the sink dirs are per-invocation temp dirs,
+    * so each run's total stands alone).
+    */
+  def recordSinkBytes(query: String, bytes: Long): Unit = sink(query) = bytes
+
+  def sinkBytes: Map[String, Long] = sink.toMap
+
+  /** Recursive on-disk size of a sink directory. */
+  def dirBytes(dir: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
+      else f.length()
+    walk(new java.io.File(dir))
+  }
+}
+
 object Bench {
 
   /** Measurement outcome: `timings` holds min-of-runs seconds for
@@ -197,9 +226,18 @@ object Bench {
           skip.map(sk => s""""skip":"${sk.toSeq.sorted.mkString(",")}"""").toSeq
       if (parts.isEmpty) "" else s""","subset":true,${parts.mkString(",")}"""
     }
+    // sink-bound queries self-normalize: bytes physically written per
+    // run + the implied MB/s at this query's min-of-runs timing — a
+    // slow st_sinks reading with normal MB/s is the disk band, not code
+    val timingOf = res.timings.toMap
+    val sinkJson = BenchMetrics.sinkBytes.toSeq.sortBy(_._1)
+      .flatMap { case (k, b) => timingOf.get(k).map(t =>
+        jsonStr(k) + s""":{"bytes":$b,"mb_s":${num(b / 1e6 / t, 1)}}""") }
+      .mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs""" +
         s""","errors":$errorsJson,"spreads":$spreadsJson,"gc_per_query":$gcPerJson""" +
+        s""","sink_io":$sinkJson""" +
         s""","gc_ms":$gcMs,"load_avg":$loadAvg,"sf":"$sfDir"$subsetTag}"""
     // the stdout line is the driver contract, but its captured tail is
     // only ~2000 chars — write the file artifact (always recoverable)

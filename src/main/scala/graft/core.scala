@@ -261,8 +261,20 @@ object GraftSession {
       // providers stays gated by StateStoreProviderSpec.
       .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
       .config("spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows", "false")
-      .config("spark.sql.streaming.stateStore.rocksdb.writeBufferSizeMB", "64")
-      .config("spark.sql.streaming.stateStore.rocksdb.maxWriteBufferNumber", "4")
+      // write-buffer sizing is env-tunable for the capacity probes
+      // (the r13 merge-path tuning sweep at the 100k sessions point);
+      // defaults are the r9-measured parity configuration
+      .config("spark.sql.streaming.stateStore.rocksdb.writeBufferSizeMB",
+        sys.env.getOrElse("SPARK_GRAFT_RDB_WRITEBUF_MB", "64"))
+      .config("spark.sql.streaming.stateStore.rocksdb.maxWriteBufferNumber",
+        sys.env.getOrElse("SPARK_GRAFT_RDB_NBUF", "4"))
+      // optional bounded off-heap block-cache/memtable budget (MB):
+      // caps RocksDB native memory across all stores in the JVM —
+      // the production knob for co-resident state-heavy queries
+      .config("spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage",
+        sys.env.get("SPARK_GRAFT_RDB_BOUNDED_MB").map(_ => "true").getOrElse("false"))
+      .config("spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB",
+        sys.env.getOrElse("SPARK_GRAFT_RDB_BOUNDED_MB", "500"))
       // bucketed-table writes (q_bucketed_join) land in the warehouse;
       // keep it out of the repo working tree. One dir per JVM (lazy):
       // getOrCreate ignores configs on an existing session anyway, so

@@ -164,13 +164,29 @@ object StreamThroughputProbe {
         val bloom = widx.bloom
         val texts = docs.orderBy("doc_id").limit(64)
           .select("text").collect().map(_.getString(0))
+        // Stage-stripped A/B knob for knee attribution (VERDICT r12
+        // Next #4): SPARK_GRAFT_INGEST_STAGE truncates the per-batch
+        // chain after the named stage, so the per-stage cost at a
+        // fixed rate is the delta between successive runs —
+        //   window  → tokenize + rolling window-hash explode only
+        //   bloom   → + the map-side bloom-literal probe
+        //   confirm → + the exact-confirm semi-join vs the stored index
+        //   full    → + span merge + per-doc stats (the shipped chain)
+        val stage = sys.env.getOrElse("SPARK_GRAFT_INGEST_STAGE", "full")
+        def chain(b: DataFrame): DataFrame = stage match {
+          case "window" => Dedup.windowTable(b)
+          case "bloom" => Dedup.bloomProbe(Dedup.windowTable(b), bloom)
+          case "confirm" => Dedup.bloomProbe(Dedup.windowTable(b), bloom)
+            .join(corpus, Seq("h"), "left_semi")
+          case "full" => Dedup.spanStats(
+            Dedup.bloomProbe(Dedup.windowTable(b), bloom)
+              .join(corpus, Seq("h"), "left_semi"))
+          case other => sys.error(s"unknown SPARK_GRAFT_INGEST_STAGE: $other")
+        }
         rateDocs(spark, rate, texts).writeStream
           .option("checkpointLocation", ckpt).trigger(trigger)
           .foreachBatch { (b: DataFrame, _: Long) =>
-            Dedup.spanStats(
-                Dedup.bloomProbe(Dedup.windowTable(b), bloom)
-                  .join(corpus, Seq("h"), "left_semi"))
-              .write.format("noop").mode("overwrite").save()
+            chain(b).write.format("noop").mode("overwrite").save()
           }
           .start()
       case other => sys.error(s"unknown probe query: $other " +
@@ -205,6 +221,8 @@ object StreamThroughputProbe {
     val line =
       s"""{"metric":"stream_throughput","degraded":${Capture.degraded(loadStart)},""" +
         s""""load_avg_start":${num(loadStart)},"query":"$query","provider":"$provider",""" +
+        sys.env.get("SPARK_GRAFT_INGEST_STAGE")
+          .map(st => s""""ingest_stage":"$st",""").getOrElse("") +
         s""""rate_rows_per_sec":$rate,"trigger_ms":$triggerMs,""" +
         s""""batches":${all.size},"warmup_excluded":$Warmup,""" +
         s""""rows_steady":$rows,"wall_sec_steady":${num(wallSec)},""" +
