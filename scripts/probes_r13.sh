@@ -67,15 +67,15 @@ bench BENCH_SF10_INFL_ISO_r13 /tmp/sf10 \
   d_components,d_canonical,d_dup_profile,d_substring_spans,st_quality_probe 48g 3
 
 # 2. st_dedup_ingest per-stage attribution at the 3k knee point.
-tput STREAMPROBE_INGEST3K_WIN_r13     st_dedup_ingest 3000 110 24g SPARK_GRAFT_INGEST_STAGE=window
-tput STREAMPROBE_INGEST3K_BLOOM_r13   st_dedup_ingest 3000 110 24g SPARK_GRAFT_INGEST_STAGE=bloom
-tput STREAMPROBE_INGEST3K_CONFIRM_r13 st_dedup_ingest 3000 110 24g SPARK_GRAFT_INGEST_STAGE=confirm
-tput STREAMPROBE_INGEST3K_FULL_r13    st_dedup_ingest 3000 110 24g SPARK_GRAFT_INGEST_STAGE=full
+tput STREAMPROBE_INGEST3K_WIN_r13.json     st_dedup_ingest 3000 110 24g SPARK_GRAFT_INGEST_STAGE=window
+tput STREAMPROBE_INGEST3K_BLOOM_r13.json   st_dedup_ingest 3000 110 24g SPARK_GRAFT_INGEST_STAGE=bloom
+tput STREAMPROBE_INGEST3K_CONFIRM_r13.json st_dedup_ingest 3000 110 24g SPARK_GRAFT_INGEST_STAGE=confirm
+tput STREAMPROBE_INGEST3K_FULL_r13.json    st_dedup_ingest 3000 110 24g SPARK_GRAFT_INGEST_STAGE=full
 
 # 3. RocksDB sessions at 100k: merge-path tuning variants.
-tput STREAMPROBE_SESS100K_RDB_BIGBUF_r13 st_sessions 100000 110 24g \
+tput STREAMPROBE_SESS100K_RDB_BIGBUF_r13.json st_sessions 100000 110 24g \
   SPARK_GRAFT_ROCKSDB=1 SPARK_GRAFT_RDB_WRITEBUF_MB=256 SPARK_GRAFT_RDB_NBUF=6
-tput STREAMPROBE_SESS100K_RDB_BOUNDED_r13 st_sessions 100000 110 24g \
+tput STREAMPROBE_SESS100K_RDB_BOUNDED_r13.json st_sessions 100000 110 24g \
   SPARK_GRAFT_ROCKSDB=1 SPARK_GRAFT_RDB_BOUNDED_MB=4096
 
 # 4. Round bench series (141 queries).
