@@ -71,6 +71,12 @@ tput STREAMPROBE_INGEST3K_WIN_r13.json     st_dedup_ingest 3000 110 24g SPARK_GR
 tput STREAMPROBE_INGEST3K_BLOOM_r13.json   st_dedup_ingest 3000 110 24g SPARK_GRAFT_INGEST_STAGE=bloom
 tput STREAMPROBE_INGEST3K_CONFIRM_r13.json st_dedup_ingest 3000 110 24g SPARK_GRAFT_INGEST_STAGE=confirm
 tput STREAMPROBE_INGEST3K_FULL_r13.json    st_dedup_ingest 3000 110 24g SPARK_GRAFT_INGEST_STAGE=full
+# knee re-bracket at idle (r12's 2-3k bracket was host-banded) + the
+# measured-null confirm-join lift attempt (partsort vs shipped bcast)
+tput STREAMPROBE_INGEST4K_FULL_r13.json    st_dedup_ingest 4000 110 24g SPARK_GRAFT_INGEST_STAGE=full
+tput STREAMPROBE_INGEST5K_FULL_r13.json    st_dedup_ingest 5000 110 24g SPARK_GRAFT_INGEST_STAGE=full
+tput STREAMPROBE_INGEST3K_CONFIRM_PS_r13.json st_dedup_ingest 3000 110 24g \
+  SPARK_GRAFT_INGEST_STAGE=confirm SPARK_GRAFT_INGEST_CONFIRM=partsort
 
 # 3. RocksDB sessions at 100k: merge-path tuning variants.
 tput STREAMPROBE_SESS100K_RDB_BIGBUF_r13.json st_sessions 100000 110 24g \

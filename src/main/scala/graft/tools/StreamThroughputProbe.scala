@@ -158,9 +158,23 @@ object StreamThroughputProbe {
         val idxDir = java.nio.file.Files.createTempDirectory("graft_tput_idx").toString
         DedupStore.saveWindowIndex(docs, idxDir)
         val widx = DedupStore.loadWindowIndex(spark, idxDir)
-        val corpus = widx.hashes
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // SPARK_GRAFT_INGEST_CONFIRM picks the confirm-join physical
+        // shape for the A/B (r13 knee attribution follow-up):
+        //   bcast     — plain cached corpus; Spark broadcasts it per
+        //               batch (rebuilds the HashedRelation every
+        //               micro-batch — the r12-shipped shape)
+        //   partsort  — corpus cached h-partitioned + sorted, join
+        //               hinted merge: per batch only the bloom
+        //               survivors shuffle+sort, the corpus side
+        //               streams from cache (the deploy shape — a
+        //               stored index is h-partitioned)
+        val confirmShape = sys.env.getOrElse("SPARK_GRAFT_INGEST_CONFIRM", "bcast")
+        val corpus = (confirmShape match {
+          case "partsort" => widx.hashes.repartition(col("h")).sortWithinPartitions("h")
+          case _ => widx.hashes
+        }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         corpus.count() // build the index OUTSIDE the measured window
+        val corpusJ = if (confirmShape == "partsort") corpus.hint("merge") else corpus
         val bloom = widx.bloom
         val texts = docs.orderBy("doc_id").limit(64)
           .select("text").collect().map(_.getString(0))
@@ -177,10 +191,10 @@ object StreamThroughputProbe {
           case "window" => Dedup.windowTable(b)
           case "bloom" => Dedup.bloomProbe(Dedup.windowTable(b), bloom)
           case "confirm" => Dedup.bloomProbe(Dedup.windowTable(b), bloom)
-            .join(corpus, Seq("h"), "left_semi")
+            .join(corpusJ, Seq("h"), "left_semi")
           case "full" => Dedup.spanStats(
             Dedup.bloomProbe(Dedup.windowTable(b), bloom)
-              .join(corpus, Seq("h"), "left_semi"))
+              .join(corpusJ, Seq("h"), "left_semi"))
           case other => sys.error(s"unknown SPARK_GRAFT_INGEST_STAGE: $other")
         }
         rateDocs(spark, rate, texts).writeStream
