@@ -120,7 +120,11 @@ object AddProbe {
     val idx0 = Sim.ivfIndexAdaptive(spark, sfDir, iters = 3)
     val kStale = idx0.centroids.size
     val nprobeStale = math.max(2, math.round(math.sqrt(kStale)).toInt)
-    val d2Base = idx0.assigned.agg(avg("d2")).head().getDouble(0)
+    // the SAME baselines IvfStore.save persists in meta/ — so each
+    // level's retrain_due below is exactly the serving-side rule
+    // (IvfStore.retrainDue over loadMeta) evaluated on measured drift
+    val meta = IvfStore.computeMeta(idx0.assigned, kStale)
+    val d2Base = meta.d2Base
     // base-distribution probes: the AnnProbe convention (replica-1
     // ids — vectors drawn from the scaled clustered regime)
     val probesBase = idx0.assigned
@@ -182,6 +186,7 @@ object AddProbe {
       val lvl =
         s"""{"factor":$f,"n_total":$total,"appended_frac":${num((total - n).toDouble / total)},""" +
           s""""d2_ratio":${num(d2Ratio)},"cell_max_over_avg":${num(imbalance)},""" +
+          s""""retrain_due":${IvfStore.retrainDue(d2Ratio, imbalance, meta)},""" +
           s""""k_fresh":$kFresh,"nprobe_fresh":$nprobeFresh,"sec_fresh_build":${num(secFresh)},""" +
           s""""recall_stale_base":${num(rStaleB)},"recall_stale_new":${num(rStaleN)},""" +
           s""""recall_fresh_base":${num(rFreshB)},"recall_fresh_new":${num(rFreshN)}}"""
@@ -196,6 +201,7 @@ object AddProbe {
         s""""load_avg_start":${num(loadStart)},"sf":"$sfDir","regime":"$regime",""" +
         s""""n_base":$n,"k_stale":$kStale,"nprobe_stale":$nprobeStale,""" +
         s""""recall_probes":$recallProbes,"d2_base":${num(d2Base)},""" +
+        s""""imbalance_base":${num(meta.imbalance)},"rule":"retrain_due = d2_ratio >= ${IvfStore.D2RatioTrigger} or cell_max_over_avg >= ${IvfStore.ImbalanceDoubling}x save-time imbalance (IvfStore.retrainDue over the persisted meta baselines)",""" +
         s""""levels":[${levels.mkString(",")}],"load_avg":${num(loadAvg)}}"""
     outFile.foreach(p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n"))
