@@ -78,6 +78,13 @@ tput STREAMPROBE_INGEST5K_FULL_r13.json    st_dedup_ingest 5000 110 24g SPARK_GR
 tput STREAMPROBE_INGEST3K_CONFIRM_PS_r13.json st_dedup_ingest 3000 110 24g \
   SPARK_GRAFT_INGEST_STAGE=confirm SPARK_GRAFT_INGEST_CONFIRM=partsort
 
+# 2b. st_index_health serving capacity (knee between 300k and 500k
+# vectors/s/node; the health agg is ~free on top of assignment).
+tput STREAMPROBE_HEALTH100K_r13.json st_index_health 100000 110 24g
+tput STREAMPROBE_HEALTH200K_r13.json st_index_health 200000 110 24g
+tput STREAMPROBE_HEALTH300K_r13.json st_index_health 300000 110 24g
+tput STREAMPROBE_HEALTH500K_r13.json st_index_health 500000 110 24g
+
 # 3. RocksDB sessions at 100k: merge-path tuning variants.
 tput STREAMPROBE_SESS100K_RDB_BIGBUF_r13.json st_sessions 100000 110 24g \
   SPARK_GRAFT_ROCKSDB=1 SPARK_GRAFT_RDB_WRITEBUF_MB=256 SPARK_GRAFT_RDB_NBUF=6

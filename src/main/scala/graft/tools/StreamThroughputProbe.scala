@@ -203,8 +203,34 @@ object StreamThroughputProbe {
             chain(b).write.format("noop").mode("overwrite").save()
           }
           .start()
+      case "st_index_health" =>
+        // the serving health check's capacity: a published index's
+        // frozen centroids (built from sfDir's embeddings, persisted
+        // with meta) against rate-driven 64-dim vector batches — per
+        // batch one map-side argmin + a k-row agg into a noop sink.
+        // The vectors are the AddProbe clustered mixing law, so the
+        // assignment cost profile matches a real corpus, and the
+        // health row's d2_ratio reads the stationary ~1 band.
+        val dir = graft.sim.Sim.publishedIndexDir(spark, sfDir, k = 8, iters = 3)
+        val idx = graft.sim.IvfStore.load(spark, dir)
+        val meta = graft.sim.IvfStore.loadMeta(spark, dir)
+        val raw = transform(sequence(lit(0), lit(63)), i =>
+          (pmod(xxhash64(col("vec_id"), lit(999), i), lit(2001L)).cast("double")
+            - 1000.0) / 1000.0)
+        val vecs = spark.readStream.format("rate")
+          .option("rowsPerSecond", rate.toString)
+          .option("numPartitions", "4").load()
+          .select(col("value").as("vec_id"))
+          .withColumn("v", raw)
+        vecs.writeStream
+          .option("checkpointLocation", ckpt).trigger(trigger)
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            graft.sim.Sim.indexHealth(b, idx.centroids, meta)
+              .write.format("noop").mode("overwrite").save()
+          }
+          .start()
       case other => sys.error(s"unknown probe query: $other " +
-        "(expected st_pipeline|st_sessions|st_dedup_ingest)")
+        "(expected st_pipeline|st_sessions|st_dedup_ingest|st_index_health)")
     }
 
     // drive until nBatches DATA batches completed (rate always has
