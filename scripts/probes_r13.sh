@@ -84,6 +84,21 @@ tput STREAMPROBE_HEALTH100K_r13.json st_index_health 100000 110 24g
 tput STREAMPROBE_HEALTH200K_r13.json st_index_health 200000 110 24g
 tput STREAMPROBE_HEALTH300K_r13.json st_index_health 300000 110 24g
 tput STREAMPROBE_HEALTH500K_r13.json st_index_health 500000 110 24g
+# production-k regime: the 2M-vector adaptive index (k=200). These use
+# /tmp/vec2m as the corpus dir, so they bypass the tput() helper's
+# fixed sfDir; have_clean-guarded the same way.
+healthk() { # outfile rate
+  local outfile="$1" rate="$2"
+  if have_clean "$outfile"; then echo "=== $outfile clean, skipping ==="; return; fi
+  wait_idle
+  echo "=== health@k200 $rate vec/s -> $outfile ==="
+  env SPARK_GRAFT_HEALTH_ADAPTIVE=1 SPARK_DRIVER_MEM=48g scripts/run_main.sh \
+    graft.tools.StreamThroughputProbe st_index_health /tmp/vec2m "$rate" 110 \
+    "$OUT/$outfile" > "/tmp/tput_$(basename "$outfile" .json).log" 2>&1
+  echo "--- $outfile: $(head -c 300 "$OUT/$outfile")"
+}
+healthk STREAMPROBE_HEALTH100K_K200_r13.json 100000
+healthk STREAMPROBE_HEALTH200K_K200_r13.json 200000
 
 # 3. RocksDB sessions at 100k: merge-path tuning variants.
 tput STREAMPROBE_SESS100K_RDB_BIGBUF_r13.json st_sessions 100000 110 24g \

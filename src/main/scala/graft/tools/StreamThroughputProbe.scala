@@ -211,7 +211,17 @@ object StreamThroughputProbe {
         // The vectors are the AddProbe clustered mixing law, so the
         // assignment cost profile matches a real corpus, and the
         // health row's d2_ratio reads the stationary ~1 band.
-        val dir = graft.sim.Sim.publishedIndexDir(spark, sfDir, k = 8, iters = 3)
+        // SPARK_GRAFT_HEALTH_ADAPTIVE=1 publishes the corpus-adaptive
+        // index instead of the fixed k=8 — the production-k regime
+        // (k=200 at a 2M-vector corpus), where the per-row argmin is
+        // 25x the work and the health check's k-scaling shows
+        val dir =
+          if (sys.env.get("SPARK_GRAFT_HEALTH_ADAPTIVE").contains("1")) {
+            val d = java.nio.file.Files.createTempDirectory("graft_ivf_pub").toString
+            graft.sim.IvfStore.save(
+              graft.sim.Sim.ivfIndexAdaptive(spark, sfDir, iters = 3), d)
+            d
+          } else graft.sim.Sim.publishedIndexDir(spark, sfDir, k = 8, iters = 3)
         val idx = graft.sim.IvfStore.load(spark, dir)
         val meta = graft.sim.IvfStore.loadMeta(spark, dir)
         val raw = transform(sequence(lit(0), lit(63)), i =>
