@@ -67,6 +67,14 @@ object IvfStore {
     * the old files go away. Frames loaded from `dir` BEFORE a save are
     * invalidated by the swap (their file listing is stale); consumers
     * use the returned/re-loaded index, as compact/compactRetrain do.
+    *
+    * Crash-consistency boundary: the swap protects the EXPENSIVE
+    * artifact (the corpus-sized assignment) but assigned/centroids/
+    * meta are still three writes — a crash between them leaves a
+    * mixed-version dir. A deploy that needs artifact-level atomicity
+    * publishes each rebuild to a fresh `dir/v{n}` and swaps a pointer
+    * (manifest) instead; the meta computation below reads only
+    * (cid, d2) — a column-pruned fraction of the index bytes.
     */
   def save(idx: IvfIndex, dir: String): Unit = {
     val s = idx.assigned.sparkSession
