@@ -100,6 +100,24 @@ healthk() { # outfile rate
 healthk STREAMPROBE_HEALTH100K_K200_r13.json 100000
 healthk STREAMPROBE_HEALTH200K_K200_r13.json 200000
 
+# 2c. sustained ANN-serving capacity: st_ann mode (knee 200-300
+# probes/s/node at sf0.1/k=8; 50-75 at the 2M/k=200 geometry).
+tput STREAMPROBE_ANN100_r13.json st_ann 100 110 24g
+tput STREAMPROBE_ANN200_r13.json st_ann 200 110 24g
+tput STREAMPROBE_ANN300_r13.json st_ann 300 110 24g
+annk() { # outfile rate
+  local outfile="$1" rate="$2"
+  if have_clean "$outfile"; then echo "=== $outfile clean, skipping ==="; return; fi
+  wait_idle
+  echo "=== ann@k200 $rate probes/s -> $outfile ==="
+  env SPARK_GRAFT_HEALTH_ADAPTIVE=1 SPARK_DRIVER_MEM=48g scripts/run_main.sh \
+    graft.tools.StreamThroughputProbe st_ann /tmp/vec2m "$rate" 110 \
+    "$OUT/$outfile" > "/tmp/tput_$(basename "$outfile" .json).log" 2>&1
+  echo "--- $outfile: $(head -c 300 "$OUT/$outfile")"
+}
+annk STREAMPROBE_ANN50_K200_r13.json 50
+annk STREAMPROBE_ANN75_K200_r13.json 75
+
 # 3. RocksDB sessions at 100k: merge-path tuning variants.
 tput STREAMPROBE_SESS100K_RDB_BIGBUF_r13.json st_sessions 100000 110 24g \
   SPARK_GRAFT_ROCKSDB=1 SPARK_GRAFT_RDB_WRITEBUF_MB=256 SPARK_GRAFT_RDB_NBUF=6

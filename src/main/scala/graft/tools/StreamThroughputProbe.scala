@@ -239,8 +239,43 @@ object StreamThroughputProbe {
               .write.format("noop").mode("overwrite").save()
           }
           .start()
+      case "st_ann" =>
+        // sustained ANN-serving capacity: rate-driven PROBE batches
+        // search the published index per micro-batch (the st_ann
+        // lookup-service shape) into a noop sink. Complements the
+        // AnnProbe latency artifacts (ms/probe on one batch) with the
+        // deployment number: probes/s/node a serving job sustains.
+        // SPARK_GRAFT_HEALTH_ADAPTIVE=1 serves the corpus-adaptive
+        // index (k=200 at 2M vectors) — candidates per probe are
+        // nprobe*n/k, so the knee rides the corpus/cell geometry.
+        val dir =
+          if (sys.env.get("SPARK_GRAFT_HEALTH_ADAPTIVE").contains("1")) {
+            val d = java.nio.file.Files.createTempDirectory("graft_ivf_pub").toString
+            graft.sim.IvfStore.save(
+              graft.sim.Sim.ivfIndexAdaptive(spark, sfDir, iters = 3), d)
+            d
+          } else graft.sim.Sim.publishedIndexDir(spark, sfDir, k = 8, iters = 3)
+        val idx = graft.sim.IvfStore.load(spark, dir)
+        idx.assigned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .count() // serve from memory — load the index OUTSIDE the window
+        val nprobe = math.max(2, math.round(math.sqrt(idx.centroids.size)).toInt)
+        val raw = transform(sequence(lit(0), lit(63)), i =>
+          (pmod(xxhash64(col("probe_id"), lit(999), i), lit(2001L)).cast("double")
+            - 1000.0) / 1000.0)
+        val probes = spark.readStream.format("rate")
+          .option("rowsPerSecond", rate.toString)
+          .option("numPartitions", "4").load()
+          .select(col("value").as("probe_id"))
+          .withColumn("pv", raw)
+        probes.writeStream
+          .option("checkpointLocation", ckpt).trigger(trigger)
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            graft.sim.Sim.searchIvfProbes(idx, b, nprobe)
+              .write.format("noop").mode("overwrite").save()
+          }
+          .start()
       case other => sys.error(s"unknown probe query: $other " +
-        "(expected st_pipeline|st_sessions|st_dedup_ingest|st_index_health)")
+        "(expected st_pipeline|st_sessions|st_dedup_ingest|st_index_health|st_ann)")
     }
 
     // drive until nBatches DATA batches completed (rate always has
