@@ -118,6 +118,16 @@ annk() { # outfile rate
 annk STREAMPROBE_ANN50_K200_r13.json 50
 annk STREAMPROBE_ANN75_K200_r13.json 75
 
+# 2d. index-layout A/B: flat scan vs cid-partitioned (+ explicit
+# driver-known cell IN-filter = static partition pruning; DPP itself
+# does not fire for a filterless probe relation).
+if ! have_clean ANNLAYOUT_AB_VEC2M_r13.json; then
+  wait_idle
+  SPARK_DRIVER_MEM=48g scripts/run_main.sh graft.tools.AnnLayoutAb \
+    /tmp/vec2m "$OUT/ANNLAYOUT_AB_VEC2M_r13.json" > /tmp/annlayout.log 2>&1
+  echo "--- ANNLAYOUT_AB: $(head -c 300 "$OUT/ANNLAYOUT_AB_VEC2M_r13.json")"
+fi
+
 # 3. RocksDB sessions at 100k: merge-path tuning variants.
 tput STREAMPROBE_SESS100K_RDB_BIGBUF_r13.json st_sessions 100000 110 24g \
   SPARK_GRAFT_ROCKSDB=1 SPARK_GRAFT_RDB_WRITEBUF_MB=256 SPARK_GRAFT_RDB_NBUF=6

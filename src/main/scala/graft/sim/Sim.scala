@@ -229,7 +229,7 @@ object Sim {
     * left-fold eval as the oracle's list_reduce, so doubles stay
     * bit-identical.
     */
-  private[sim] def distStructs(v: Column, cents: Seq[(Long, Seq[Double])]): Column = {
+  private[graft] def distStructs(v: Column, cents: Seq[(Long, Seq[Double])]): Column = {
     val cvs = typedLit(cents.map(_._2))
     val cids = typedLit(cents.map(_._1))
     // per-centroid squared norms are constants: fold them driver-side
