@@ -37,11 +37,36 @@ object Streaming {
     */
   private def streamTable(s: SparkSession, d: String, table: String): DataFrame = {
     val path = s"$d/$table.parquet"
+    lastStreamInputBytes.set(pathBytes(new java.io.File(path)))
     val sch = s.read.parquet(path).schema
     val rs = s.readStream.schema(sch)
     if (new java.io.File(path).isDirectory) rs.parquet(path)
     else rs.option("pathGlobFilter", s"$table.parquet").parquet(d)
   }
+
+  /** State parallelism sizes to the DATA, not to a constant: one
+    * state store materializes per shuffle partition, and store
+    * open/commit overhead dominates small micro-batches (the r9
+    * lesson behind the fixed 8) — but at the 100× corpus a single
+    * harness micro-batch holds ~10M rows and 8 partitions serialize
+    * the stateful operators on a 32-core host. Measured A/B on the
+    * four heavy stateful twins (sessions/dedup/stateful_rate/hopping,
+    * min-of-2 each): 8 partitions win at sf0.1 (6.4 vs 8.3 s) and
+    * sf1 (12.1 vs 14.0 s, 21 MB events); 32 win at sf10 (85.6 vs
+    * 126.8 s, 212 MB events — st_sessions alone 53.8 → 26.6 s). The
+    * threshold sits between the measured 21 MB and 212 MB points; at
+    * deploy the same rule is "size streaming shuffle partitions to
+    * the per-trigger volume". Oracle-gated scales stay at 8 (sf0.01
+    * events ≪ the threshold), so the verify plans are unchanged;
+    * output is partition-count independent (StateRescaleSpec).
+    */
+  private val StreamPartsThresholdBytes = 100L * 1024 * 1024
+  private val lastStreamInputBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def pathBytes(f: java.io.File): Long =
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).map(pathBytes).sum
+    else f.length()
 
   /** Events parquet as a micro-batched stream (ns ts → µs, same as the
     * batch loader).
@@ -66,7 +91,10 @@ object Streaming {
   private def withStreamPartitions[T](s: SparkSession, n: Int)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
-    s.conf.set(key, n.toString)
+    // A/B override for the state-parallelism sizing experiments
+    // (results are partition-count independent — StateRescaleSpec)
+    val n2 = sys.env.get("SPARK_GRAFT_STREAM_PARTS").map(_.toInt).getOrElse(n)
+    s.conf.set(key, n2.toString)
     try body finally s.conf.set(key, prev)
   }
 
@@ -75,7 +103,10 @@ object Streaming {
     * query).
     */
   private def runToTable(s: SparkSession, out: DataFrame, mode: OutputMode): DataFrame =
-    withStreamPartitions(s, 8) {
+    withStreamPartitions(s,
+      if (lastStreamInputBytes.get() >= StreamPartsThresholdBytes)
+        s.sparkContext.defaultParallelism
+      else 8) {
       val name = s"graft_stream_${runSeq.incrementAndGet()}"
       val ckpt = Files.createTempDirectory("graft_ckpt").toString
       val q = out.writeStream.format("memory").queryName(name)
