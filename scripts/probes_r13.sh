@@ -17,6 +17,14 @@
 #     incl. the new st_index_health), min-of-2, sink_io fields live.
 #  5. PLANS_r13.txt (diff target vs PLANS_r12.txt: the one expected
 #     delta is the added st_index_health plan).
+# NOTE: the committed r13 evidence also includes ad-hoc captures
+# beyond this script: the stream-partitions A/B behind the size-keyed
+# rule (SPARK_GRAFT_STREAM_PARTS={unset,32} x {sf0.1,sf1,sf10} on
+# SPARK_GRAFT_ONLY=st_stateful_rate,st_dedup,st_sessions,st_hopping),
+# the post-rule full sweep BENCH_SF10_FULL_r13C, the rotated sweep
+# BENCH_SF10_FULL_r13B, and the AddProbe rule-validation pair
+# ADDPROBE_VEC200K_{SAME,DRIFT}_RULE_r13 (same AddProbe invocation as
+# probes_r12.sh, new retrain_due fields).
 # Usage: scripts/probes_r13.sh [outDir]
 set -euo pipefail
 OUT="${1:-/root/repo}"
