@@ -10,9 +10,13 @@ import graft.sources.Tables
 /** Multimodal-column plumbing (SURVEY.md §2.F).
   *
   * Media payloads are opaque `binary` columns + typed metadata. The
-  * container has no image/audio codecs, so the decode step is a
-  * clearly-marked deterministic STUB — everything Spark-side (schema,
-  * binary handling, partition batching, feature schema) is real.
+  * decode slot REALLY decodes one public format — binary PPM (P6):
+  * pure-JVM header parse + pixel stats, no codec libs ([[decodePpm]],
+  * byte-exact against a known fixture in MultimodalSpec). Payloads of
+  * any other format fall back to a clearly-marked deterministic STUB
+  * (the container has no image/audio codec libraries) — everything
+  * Spark-side (schema, binary handling, partition batching, feature
+  * schema) is real either way.
   */
 object Multimodal {
 
@@ -43,21 +47,94 @@ object Multimodal {
         .orderBy("doc_id"),
   )
 
-  /** The decode stub: a real pipeline would decode the media payload
-    * here (image decode / audio PCM / video frame-sample). Offline
-    * container ⇒ deterministic fake features derived from the bytes.
-    * Signature and batch shape match what a codec-backed decoder
-    * would use: Iterator[batch of payloads] → Iterator[features].
+  /** Real decode of the binary PPM (P6) image format — a public,
+    * codec-less format (netpbm): ASCII header `P6 <w> <h> <maxval>`
+    * (any whitespace runs between tokens, `#` comments to end of line,
+    * exactly ONE whitespace byte before the raster), then w·h packed
+    * RGB triplets. Returns the pixel-stat feature vector
+    * [w, h, meanR, meanG, meanB] — exact integer channel sums, one
+    * double division each, so the features are bit-reproducible
+    * (byte-exact fixture gate in MultimodalSpec).
+    *
+    * STRICT validation (None → caller falls back to the stub path):
+    * magic, all three header ints present and in range (maxval ≤ 255 —
+    * the 1-byte-per-sample variant), and the raster length EXACTLY
+    * w·h·3 with no trailing bytes — so a text payload that merely
+    * starts with "P6" can never half-decode.
     */
-  private def stubDecodeBatch(payloads: Seq[Array[Byte]]): Seq[Array[Double]] =
-    payloads.map { bytes =>
-      // STUB — stands in for codec output; deterministic in the bytes.
-      val n = bytes.length.max(1)
-      val mean = bytes.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / n
-      val mx = if (bytes.isEmpty) 0.0 else (bytes.map(b => b & 0xff).max).toDouble
-      val mn = if (bytes.isEmpty) 0.0 else (bytes.map(b => b & 0xff).min).toDouble
-      Array(n.toDouble, mean, mx, mn)
+  private[multimodal] def decodePpm(bytes: Array[Byte]): Option[Array[Double]] = {
+    if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return None
+    var i = 2
+    def isWs(b: Byte): Boolean = {
+      val c = b & 0xff
+      c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == 0x0b || c == 0x0c
     }
+    def skipWs(): Boolean = {
+      var seen = false
+      var go = true
+      while (go && i < bytes.length) {
+        if (isWs(bytes(i))) { i += 1; seen = true }
+        else if (bytes(i) == '#') {
+          while (i < bytes.length && bytes(i) != '\n') i += 1
+          seen = true
+        } else go = false
+      }
+      seen
+    }
+    def readInt(): Long = {
+      var v = -1L
+      while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9' &&
+             v <= Int.MaxValue) {
+        v = (if (v < 0) 0L else v) * 10 + (bytes(i) - '0')
+        i += 1
+      }
+      if (v > Int.MaxValue) -1L else v
+    }
+    if (!skipWs()) return None
+    val w = readInt()
+    if (w <= 0) return None
+    if (!skipWs()) return None
+    val h = readInt()
+    if (h <= 0) return None
+    if (!skipWs()) return None
+    val maxval = readInt()
+    if (maxval <= 0 || maxval > 255) return None
+    if (i >= bytes.length || !isWs(bytes(i))) return None
+    i += 1
+    val np = w * h
+    if (np > Int.MaxValue / 3 || bytes.length - i != np * 3) return None
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var p = i
+    var j = 0L
+    while (j < np) {
+      sr += bytes(p) & 0xff; sg += bytes(p + 1) & 0xff; sb += bytes(p + 2) & 0xff
+      p += 3; j += 1
+    }
+    Some(Array(w.toDouble, h.toDouble,
+      sr.toDouble / np, sg.toDouble / np, sb.toDouble / np))
+  }
+
+  /** The non-image decode stub: a real pipeline would decode other
+    * media payloads here (JPEG/audio PCM/video frames — codec libs
+    * absent from this container by declaration). Deterministic fake
+    * features derived from the bytes, so the oracle replays them.
+    */
+  private def stubDecode(bytes: Array[Byte]): Array[Double] = {
+    // STUB — stands in for codec output; deterministic in the bytes.
+    val n = bytes.length.max(1)
+    val mean = bytes.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / n
+    val mx = if (bytes.isEmpty) 0.0 else (bytes.map(b => b & 0xff).max).toDouble
+    val mn = if (bytes.isEmpty) 0.0 else (bytes.map(b => b & 0xff).min).toDouble
+    Array(n.toDouble, mean, mx, mn)
+  }
+
+  /** Per-batch decode dispatch: a payload that strictly validates as
+    * PPM gets the REAL pixel decode; everything else takes the stub.
+    * Signature and batch shape match what a vectorized codec-backed
+    * decoder would use: batch of payloads → batch of features.
+    */
+  private def decodeBatch(payloads: Seq[Array[Byte]]): Seq[Array[Double]] =
+    payloads.map(b => decodePpm(b).getOrElse(stubDecode(b)))
 
   private val featSchema = StructType(Seq(
     StructField("doc_id", LongType),
@@ -77,7 +154,7 @@ object Multimodal {
       rows.grouped(batchSize).flatMap { batch =>
         val ids = batch.map(_.getLong(0))
         val payloads = batch.map(_.getAs[Array[Byte]](1))
-        val feats = stubDecodeBatch(payloads)
+        val feats = decodeBatch(payloads)
         ids.lazyZip(payloads).lazyZip(feats).map { (id, p, f) =>
           Row(id, p.length, f)
         }
@@ -86,12 +163,16 @@ object Multimodal {
   }
 
   /** mm_feature_extract: the canned harness entry over documents.
-    * The stub features are pure byte arithmetic (length, unsigned-byte
-    * mean/max/min — exact integer sums, one double division), so the
-    * oracle replays them in DuckDB by hex-decoding the same blob —
-    * the whole partition-batched decode pipeline is hash-checked, not
-    * just row-counted. Library users take extractFeatures' array
-    * column directly; the harness gets the features as scalars.
+    * Document payloads are UTF-8 text — never a strictly-valid P6
+    * raster (the exact w·h·3 length check can't hold) — so every row
+    * takes the stub path, whose features are pure byte arithmetic
+    * (length, unsigned-byte mean/max/min — exact integer sums, one
+    * double division) that the oracle replays in DuckDB by
+    * hex-decoding the same blob: the whole partition-batched decode
+    * pipeline is hash-checked, not just row-counted. The REAL decode
+    * branch ([[decodePpm]]) is fixture-gated byte-exactly in
+    * MultimodalSpec. Library users take extractFeatures' array column
+    * directly; the harness gets the features as scalars.
     */
   val featureExtract = GraftQuery(
     "mm_feature_extract",

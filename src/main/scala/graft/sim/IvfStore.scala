@@ -1,6 +1,8 @@
 package graft.sim
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 import graft.sim.Sim.IvfIndex
 
@@ -12,12 +14,25 @@ import graft.sim.Sim.IvfIndex
   * executor loss, session restarts, and serving from a different job
   * than the build.
   *
-  * Artifact layout under `dir`:
-  *   - `assigned/`  — the IVF-assigned corpus (vec_id, v, cid, d2)
-  *   - `centroids/` — the final centroids (cid, cv)
-  *   - `meta/`      — one row of retrain-trigger baselines (see [[IvfMeta]])
-  *   - `codebooks/` — PQ subspace codebooks (sub, cid, cv)
-  *   - `coded/`     — the IVF-ADC coded corpus (neighbor_id, cid, code0..3)
+  * Artifact layout under `dir` — VERSIONED (atomic publish):
+  *   - `v{n}/assigned/`  — the IVF-assigned corpus (vec_id, v, cid, d2);
+  *     flat parquet, or `cid=`-partitioned when saved `partitioned=true`
+  *   - `v{n}/centroids/` — the final centroids (cid, cv)
+  *   - `v{n}/meta/`      — one row of retrain-trigger baselines
+  *     (see [[IvfMeta]]) + the layout flag
+  *   - `manifest/{n}`    — empty marker file; its CREATE is the publish
+  *   - `codebooks/`, `coded/` — the PQ artifacts (separate family,
+  *     written once by [[savePq]], unversioned)
+  *
+  * Publish protocol: [[save]] writes every artifact of version n into
+  * the fresh `v{n}/` (never touching v{n-1}, so a lazy plan reading
+  * the previous version feeds the write safely — the property the old
+  * single-dir stage+swap existed for, now structural), then creates
+  * the `manifest/{n}` marker as the LAST operation. Readers resolve
+  * max(manifest) — a crash anywhere before the marker leaves them on
+  * the old COMPLETE version; a mixed-version read (stale denominator,
+  * stale centroids) is unrepresentable. The previous version is kept
+  * for in-flight readers; older ones are pruned after publish.
   *
   * Parquet round-trips doubles exactly, so a loaded index searches
   * bit-identically to the in-memory one (asserted in IvfStoreSpec).
@@ -33,7 +48,8 @@ object IvfStore {
     *     time (the rule's "doubles from build" reference point)
     *   - `k`, `n`    — centroid count and corpus size at save time
     */
-  final case class IvfMeta(d2Base: Double, imbalance: Double, k: Int, n: Long)
+  final case class IvfMeta(d2Base: Double, imbalance: Double, k: Int, n: Long,
+                           partitioned: Boolean = false)
 
   /** The trigger baselines of an in-memory index — one agg pass over
     * `assigned` (k-row intermediate). save() runs this over the
@@ -56,48 +72,110 @@ object IvfStore {
     IvfMeta(r.getDouble(1) / r.getLong(0), r.getDouble(2), k, r.getLong(0))
   }
 
-  /** Persist the index artifacts. The assigned corpus is STAGED
-    * (written to `assigned_tmp`, then swapped in) rather than written
-    * over `dir/assigned` directly: the natural serving lifecycle hands
-    * this method an index whose `assigned` is a LAZY plan over that
-    * very directory (load→add→compact, load→compactRetrain), and a
-    * direct `mode("overwrite")` would delete its own input mid-scan —
-    * job failure at best, a wiped serving index at worst. With the
-    * stage+swap, the write job completes against the old files before
-    * the old files go away. Frames loaded from `dir` BEFORE a save are
-    * invalidated by the swap (their file listing is stale); consumers
-    * use the returned/re-loaded index, as compact/compactRetrain do.
-    *
-    * Crash-consistency boundary: the swap protects the EXPENSIVE
-    * artifact (the corpus-sized assignment) but assigned/centroids/
-    * meta are still three writes — a crash between them leaves a
-    * mixed-version dir. A deploy that needs artifact-level atomicity
-    * publishes each rebuild to a fresh `dir/v{n}` and swaps a pointer
-    * (manifest) instead; the meta computation below reads only
-    * (cid, d2) — a column-pruned fraction of the index bytes.
+  private def hfs(s: SparkSession, p: Path) =
+    p.getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  /** Highest PUBLISHED version under `dir` (max manifest marker), or
+    * -1 if nothing was ever published. A version dir without its
+    * marker (crash mid-save, concurrent save in flight) is invisible
+    * here by construction.
     */
-  def save(idx: IvfIndex, dir: String): Unit = {
+  def currentVersion(s: SparkSession, dir: String): Long = {
+    val man = new Path(s"$dir/manifest")
+    val fs = hfs(s, man)
+    if (!fs.exists(man)) -1L
+    else fs.listStatus(man).iterator
+      .flatMap(st => scala.util.Try(st.getPath.getName.toLong).toOption)
+      .foldLeft(-1L)(math.max)
+  }
+
+  private def vDir(dir: String, v: Long) = s"$dir/v$v"
+
+  /** The explicit read schema for a `cid=`-partitioned assigned dir:
+    * directory-name inference would type the cid partition column INT,
+    * and the repairing long cast wraps the join key — blocking both
+    * DPP and the static `cid IN (...)` push (the AnnLayoutAb lesson).
+    */
+  private val AssignedSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("vec_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("v",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType)),
+    org.apache.spark.sql.types.StructField("d2",
+      org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("cid",
+      org.apache.spark.sql.types.LongType)))
+
+  private def readAssigned(s: SparkSession, vdir: String,
+                           partitioned: Boolean): DataFrame =
+    if (partitioned)
+      s.read.schema(AssignedSchema).parquet(s"$vdir/assigned")
+        .select(col("vec_id"), col("v"), col("cid"), col("d2"))
+    else s.read.parquet(s"$vdir/assigned")
+
+  /** Persist the index artifacts as the next version and publish it
+    * atomically (see the object doc's protocol). `dir` may be — and
+    * in the documented serving lifecycle IS — the directory backing
+    * `idx` itself (load→add→compact, load→compactRetrain): the lazy
+    * plan reads `v{n-1}/assigned`, this write fills the fresh `v{n}/`,
+    * so the write never consumes its own input. Frames loaded BEFORE a
+    * save keep reading their own (retained) version; consumers use the
+    * returned/re-loaded index, as compact/compactRetrain do.
+    *
+    * `partitioned=true` lays the assigned corpus out `cid=`-partitioned
+    * (one file per cell via repartition(cid)) so a serving search can
+    * push its probed cells as static PartitionFilters — the measured
+    * 1.33x sparse-batch lift (ANNLAYOUT_AB_VEC2M_r13); [[load]] marks
+    * the index prunable and Sim.searchIvfProbes applies the push.
+    * The meta computation reads only (cid, d2) — a column-pruned
+    * fraction of the index bytes.
+    */
+  def save(idx: IvfIndex, dir: String, partitioned: Boolean = false): Unit = {
     val s = idx.assigned.sparkSession
     import s.implicits._
-    val tmp = s"$dir/assigned_tmp"
-    idx.assigned.write.mode("overwrite").parquet(tmp)
-    val hconf = s.sparkContext.hadoopConfiguration
-    val live = new org.apache.hadoop.fs.Path(s"$dir/assigned")
-    val fs = live.getFileSystem(hconf)
-    fs.delete(live, true)
-    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), live))
-      sys.error(s"IvfStore.save: rename $tmp -> $live failed")
-    idx.centroids.toDF("cid", "cv").write.mode("overwrite").parquet(s"$dir/centroids")
-    val m = computeMeta(s.read.parquet(s"$dir/assigned"), idx.centroids.size)
-    Seq((m.d2Base, m.imbalance, m.k, m.n))
-      .toDF("d2_base", "imbalance", "k", "n")
-      .write.mode("overwrite").parquet(s"$dir/meta")
+    val cur = currentVersion(s, dir)
+    val next = cur + 1
+    val vdir = vDir(dir, next)
+    if (partitioned)
+      idx.assigned.select(col("vec_id"), col("v"), col("d2"), col("cid"))
+        .repartition(col("cid"))
+        .write.mode("overwrite").partitionBy("cid").parquet(s"$vdir/assigned")
+    else
+      idx.assigned.write.mode("overwrite").parquet(s"$vdir/assigned")
+    idx.centroids.toDF("cid", "cv")
+      .write.mode("overwrite").parquet(s"$vdir/centroids")
+    val m = computeMeta(readAssigned(s, vdir, partitioned), idx.centroids.size)
+    Seq((m.d2Base, m.imbalance, m.k, m.n, partitioned))
+      .toDF("d2_base", "imbalance", "k", "n", "partitioned")
+      .write.mode("overwrite").parquet(s"$vdir/meta")
+    // PUBLISH: one marker create, after every artifact of v{next} is
+    // complete. create(overwrite=false) fails loudly on a concurrent
+    // publisher racing to the same version.
+    val marker = new Path(s"$dir/manifest/$next")
+    val fs = hfs(s, marker)
+    fs.mkdirs(marker.getParent)
+    fs.create(marker, false).close()
+    // prune everything older than the PREVIOUS version (kept for
+    // in-flight readers): marker first — a crash between the two
+    // deletes strands an unreferenced dir, never a referenced hole
+    (0L until cur).foreach { v =>
+      val mk = new Path(s"$dir/manifest/$v")
+      if (fs.exists(mk)) fs.delete(mk, false)
+      val vd = new Path(vDir(dir, v))
+      if (fs.exists(vd)) fs.delete(vd, true)
+    }
   }
 
   def load(s: SparkSession, dir: String): IvfIndex = {
-    val cents = s.read.parquet(s"$dir/centroids").collect()
+    val v = currentVersion(s, dir)
+    require(v >= 0, s"IvfStore.load: no published version under $dir")
+    val vdir = vDir(dir, v)
+    val meta = loadMetaAt(s, vdir)
+    val cents = s.read.parquet(s"$vdir/centroids").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
-    IvfIndex(s.read.parquet(s"$dir/assigned"), cents)
+    IvfIndex(readAssigned(s, vdir, meta.partitioned), cents,
+      prunable = meta.partitioned)
   }
 
   /** The trigger baselines of a published index — a 1-row parquet
@@ -106,8 +184,19 @@ object IvfStore {
     * `load`ed the index.
     */
   def loadMeta(s: SparkSession, dir: String): IvfMeta = {
-    val r = s.read.parquet(s"$dir/meta").head()
-    IvfMeta(r.getDouble(0), r.getDouble(1), r.getInt(2), r.getLong(3))
+    val v = currentVersion(s, dir)
+    require(v >= 0, s"IvfStore.loadMeta: no published version under $dir")
+    loadMetaAt(s, vDir(dir, v))
+  }
+
+  /** Columns read BY NAME — d2_base and imbalance are both doubles, so
+    * an ordinal read would transpose them silently on any future
+    * column reorder in save()'s toDF.
+    */
+  private def loadMetaAt(s: SparkSession, vdir: String): IvfMeta = {
+    val r = s.read.parquet(s"$vdir/meta").head()
+    IvfMeta(r.getAs[Double]("d2_base"), r.getAs[Double]("imbalance"),
+      r.getAs[Int]("k"), r.getAs[Long]("n"), r.getAs[Boolean]("partitioned"))
   }
 
   def savePq(books: Seq[Seq[(Long, Seq[Double])]], coded: DataFrame,
@@ -203,10 +292,11 @@ object IvfStore {
     * persist the result, returning the reloaded (single-scan,
     * freshly-trained) index. `dir` may be — and in the documented
     * serving pattern IS — the directory backing `idx` itself: the
-    * retrained assignment plan lazily reads `dir/assigned`, and
-    * save()'s stage+swap is what makes overwriting it safe
-    * (spec-gated: the save→load→add→compactRetrain(SAME dir)→search
-    * round trip in IvfStoreSpec).
+    * retrained assignment plan lazily reads the CURRENT version's
+    * files, and save() writes the next version into a fresh `v{n}/`,
+    * so the write never consumes its own input (spec-gated: the
+    * save→load→add→compactRetrain(SAME dir)→search round trip in
+    * IvfStoreSpec).
     */
   def compactRetrain(idx: IvfIndex, dir: String): IvfIndex = {
     val fresh = retrain(idx.assigned)
@@ -224,8 +314,8 @@ object IvfStore {
     * came before, and search results are unchanged (parquet
     * round-trips doubles bit-exactly; asserted in IvfStoreSpec).
     * Like compactRetrain, `dir` may be the index's own backing dir —
-    * the add-chain plan reads `dir/assigned` and save()'s stage+swap
-    * keeps the write from consuming its own input.
+    * the add-chain plan reads the current version's files and save()
+    * writes a fresh `v{n}/`, so the write never consumes its own input.
     */
   def compact(idx: IvfIndex, dir: String): IvfIndex = {
     save(idx, dir)

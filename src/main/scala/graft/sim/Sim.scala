@@ -210,9 +210,15 @@ object Sim {
   /** A built IVF index: the assigned corpus (vec_id, v, cid, d2,
     * materialized once) plus the final centroids, held driver-side —
     * k·dim doubles, i.e. kilobytes — so probe routing is a literal
-    * expression, never a join.
+    * expression, never a join. `prunable` marks an index loaded from a
+    * `cid=`-partitioned published layout (IvfStore.save
+    * partitioned=true): [[searchIvfProbes]] then pushes the probed
+    * cells as a static `cid IN (...)` PartitionFilter so the scan
+    * skips every unprobed cell's files.
     */
-  final case class IvfIndex(assigned: DataFrame, centroids: Seq[(Long, Seq[Double])])
+  final case class IvfIndex(assigned: DataFrame,
+                            centroids: Seq[(Long, Seq[Double])],
+                            prunable: Boolean = false)
 
   /** Per-row distance table to the k centroids as an array of
     * struct(d2, cid) — evaluated map-side inside whole-stage codegen.
@@ -380,21 +386,57 @@ object Sim {
     * Publishing is once-per-corpus by construction, so the serving
     * query's repeated runs pay a 1-row meta read, not an index write.
     */
-  private val pubMemo =
-    scala.collection.mutable.Map[(String, Int, Int), (SparkSession, String)]()
+  private val pubMemo = scala.collection.mutable.Map[(String, Int, Int, Boolean),
+    (SparkSession, java.util.concurrent.CompletableFuture[String])]()
   graft.Caching.onReleaseAll(() => pubMemo.synchronized(pubMemo.clear()))
 
-  def publishedIndexDir(s: SparkSession, d: String, k: Int, iters: Int): String =
-    pubMemo.synchronized {
-      pubMemo.get((d, k, iters)) match {
-        case Some((sess, dir)) if (sess eq s) && !s.sparkContext.isStopped => dir
-        case _ =>
-          val dir = java.nio.file.Files.createTempDirectory("graft_ivf_pub").toString
-          IvfStore.save(ivfIndex(s, d, k, iters), dir)
-          pubMemo((d, k, iters)) = (s, dir)
-          dir
+  private def deleteDirQuietly(dir: String): Unit = {
+    def rec(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rec)
+      f.delete()
+    }
+    try rec(new java.io.File(dir))
+    catch { case scala.util.control.NonFatal(_) => () }
+  }
+
+  def publishedIndexDir(s: SparkSession, d: String, k: Int, iters: Int,
+                        partitioned: Boolean = false): String = {
+    val key = (d, k, iters, partitioned)
+    // the lock only installs/reads the per-key future — the expensive
+    // build+save runs OUTSIDE it (a second corpus' publish must not
+    // serialize behind this one); concurrent callers of the SAME key
+    // block on the one future instead of double-building
+    val (fut, isBuilder) = pubMemo.synchronized {
+      pubMemo.get(key) match {
+        case Some((sess, f)) if (sess eq s) && !s.sparkContext.isStopped =>
+          (f, false)
+        case prev =>
+          // superseded entry (new/stopped session): its temp dir would
+          // otherwise leak for the JVM lifetime
+          prev.foreach { case (_, f) =>
+            if (f.isDone && !f.isCompletedExceptionally) deleteDirQuietly(f.get())
+          }
+          val f = new java.util.concurrent.CompletableFuture[String]()
+          pubMemo(key) = (s, f)
+          (f, true)
       }
     }
+    if (isBuilder) {
+      try {
+        val dir = java.nio.file.Files.createTempDirectory("graft_ivf_pub").toString
+        IvfStore.save(ivfIndex(s, d, k, iters), dir, partitioned)
+        fut.complete(dir)
+      } catch {
+        case t: Throwable =>
+          pubMemo.synchronized {
+            if (pubMemo.get(key).exists(_._2 eq fut)) pubMemo.remove(key)
+          }
+          fut.completeExceptionally(t)
+          throw t
+      }
+    }
+    fut.get()
+  }
 
   /** Per-batch index-health row — the retrain trigger rule
     * (IvfStore.retrainDue) evaluated over one arriving batch against
@@ -620,8 +662,23 @@ object Sim {
     */
   def searchIvfProbes(idx: IvfIndex, probeFrame: DataFrame,
                       nprobe: Int = 2): DataFrame = {
-    val assigned = idx.assigned.select(col("vec_id"), col("v"), col("cid"))
+    val assigned0 = idx.assigned.select(col("vec_id"), col("v"), col("cid"))
     val probes = probeCells(probeFrame, idx.centroids, nprobe)
+    // cid-partitioned published layout: the probed cells are knowable
+    // driver-side (routing is a literal expression over the batch —
+    // distinct cids ≤ k, the bounded-collect convention), and an
+    // explicit IN filter on the scan is STATIC partition pruning:
+    // deterministic, no reliance on DPP's selective-filter heuristics
+    // (which never fire for a filterless tiny probe relation), and
+    // semantically a no-op — the cid equi-join below already restricts
+    // candidates to probed cells. Measured 1.33x on sparse batches
+    // (ANNLAYOUT_AB_VEC2M_r13). Default (flat) indexes skip this: one
+    // fewer job, byte-identical plans to pre-r14.
+    val assigned =
+      if (idx.prunable) {
+        val cids = probes.select("cid").distinct().collect().map(_.getLong(0))
+        assigned0.filter(col("cid").isin(cids.toIndexedSeq: _*))
+      } else assigned0
     val w = Window.partitionBy("probe_id").orderBy(col("cs").desc, col("neighbor_id"))
     broadcast(probes)
       .join(assigned.select(col("vec_id").as("neighbor_id"), col("v"), col("cid")),

@@ -37,12 +37,20 @@ object Streaming {
     */
   private def streamTable(s: SparkSession, d: String, table: String): DataFrame = {
     val path = s"$d/$table.parquet"
-    lastStreamInputBytes.set(pathBytes(new java.io.File(path)))
     val sch = s.read.parquet(path).schema
     val rs = s.readStream.schema(sch)
     if (new java.io.File(path).isDirectory) rs.parquet(path)
     else rs.option("pathGlobFilter", s"$table.parquet").parquet(d)
   }
+
+  /** On-disk bytes of one source table — the input-volume signal each
+    * query THREADS into [[runToTable]] explicitly (the pre-r14 ambient
+    * AtomicLong let rate/socket-sourced streams inherit a stale value
+    * from whatever file-backed query ran last, and multi-table plans
+    * got last-write-wins).
+    */
+  private def tableBytes(d: String, table: String): Long =
+    pathBytes(new java.io.File(s"$d/$table.parquet"))
 
   /** State parallelism sizes to the DATA, not to a constant: one
     * state store materializes per shuffle partition, and store
@@ -61,7 +69,6 @@ object Streaming {
     * output is partition-count independent (StateRescaleSpec).
     */
   private val StreamPartsThresholdBytes = 100L * 1024 * 1024
-  private val lastStreamInputBytes = new java.util.concurrent.atomic.AtomicLong(0L)
 
   private def pathBytes(f: java.io.File): Long =
     if (f.isDirectory)
@@ -80,7 +87,7 @@ object Streaming {
     * table so the spec can diff it against the batch loader.
     */
   private[graft] def eventsForTest(s: SparkSession, d: String): DataFrame =
-    runToTable(s, streamEvents(s, d), OutputMode.Append)
+    runToTable(s, streamEvents(s, d), OutputMode.Append, tableBytes(d, "events"))
 
   /** Streaming state parallelism is a different knob from batch
     * shuffle width: every stateful operator materializes one state
@@ -100,11 +107,14 @@ object Streaming {
 
   /** Run a stream to completion into an in-memory table and return the
     * static result (the harness then parquet-dumps it like any batch
-    * query).
+    * query). `inputBytes` is the query's own source volume (see
+    * [[tableBytes]]) — generator-fed streams pass the default 0 and
+    * stay at the small-batch parallelism.
     */
-  private def runToTable(s: SparkSession, out: DataFrame, mode: OutputMode): DataFrame =
+  private def runToTable(s: SparkSession, out: DataFrame, mode: OutputMode,
+                         inputBytes: Long = 0L): DataFrame =
     withStreamPartitions(s,
-      if (lastStreamInputBytes.get() >= StreamPartsThresholdBytes)
+      if (inputBytes >= StreamPartsThresholdBytes)
         s.sparkContext.defaultParallelism
       else 8) {
       val name = s"graft_stream_${runSeq.incrementAndGet()}"
@@ -146,7 +156,7 @@ object Streaming {
         eventsSource(s, SourceKind.File(d)).withWatermark("ts", "2 hours"))
         .withColumnRenamed("injected_server_type", "event_type")
       val rolled = Transforms.hourlyRollup(flat)
-      runToTable(s, rolled, OutputMode.Complete())
+      runToTable(s, rolled, OutputMode.Complete(), tableBytes(d, "events"))
         .orderBy("win_start", "event_type")
     },
   )
@@ -203,7 +213,8 @@ object Streaming {
       FROM r WHERE rate IS NOT NULL
       ORDER BY user_id, event_type, event_id"""),
     (s, d) => {
-      runToTable(s, rateStream(s, streamEvents(s, d)), OutputMode.Append())
+      runToTable(s, rateStream(s, streamEvents(s, d)), OutputMode.Append(),
+        tableBytes(d, "events"))
         .orderBy("user_id", "event_type", "event_id")
     },
   )
@@ -283,7 +294,7 @@ object Streaming {
         .withWatermark("minute", "2 hours")
         .dropDuplicates("user_id", "event_type", "minute")
         .select("user_id", "event_type", "minute")
-      runToTable(s, deduped, OutputMode.Append())
+      runToTable(s, deduped, OutputMode.Append(), tableBytes(d, "events"))
         .orderBy("user_id", "event_type", "minute")
     },
   )
@@ -319,7 +330,7 @@ object Streaming {
           col("cts") >= col("pts") - expr("INTERVAL 1 HOUR") &&
           col("cts") <= col("pts"))
         .select("user_id", "purchase_id", "click_id")
-      runToTable(s, joined, OutputMode.Append())
+      runToTable(s, joined, OutputMode.Append(), tableBytes(d, "events"))
         .orderBy("purchase_id", "click_id")
     },
   )
@@ -346,7 +357,7 @@ object Streaming {
         .join(broadcast(dim), col("user_id") === col("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n"), graft.gfunctions.dsum(col("value")).as("total"))
-      runToTable(s, enriched, OutputMode.Complete())
+      runToTable(s, enriched, OutputMode.Complete(), tableBytes(d, "events"))
         .orderBy("c_mktsegment")
     },
   )
@@ -367,7 +378,7 @@ object Streaming {
         .agg(count(lit(1)).as("n"), graft.gfunctions.dsum(col("value")).as("total"))
         .select(col("window.start").as("win_start"), col("event_type"),
           col("n"), col("total"))
-      runToTable(s, rolled, OutputMode.Complete())
+      runToTable(s, rolled, OutputMode.Complete(), tableBytes(d, "events"))
         .orderBy("win_start", "event_type")
     },
   )
@@ -431,7 +442,7 @@ object Streaming {
       // event_id rides along purely as the deterministic tie-break
       // (two transitions at one timestamp in a series), mirroring
       // m15's orderBy — then drops out of the oracle-facing schema.
-      runToTable(s, edges.toDF(), OutputMode.Append())
+      runToTable(s, edges.toDF(), OutputMode.Append(), tableBytes(d, "events"))
         .orderBy("user_id", "event_type", "ts", "event_id")
         .drop("event_id")
     },
@@ -471,7 +482,8 @@ object Streaming {
       GROUP BY user_id, sid
       ORDER BY user_id, session_start"""),
     (s, d) => {
-      runToTable(s, sessionStream(streamEvents(s, d)), OutputMode.Complete())
+      runToTable(s, sessionStream(streamEvents(s, d)), OutputMode.Complete(),
+        tableBytes(d, "events"))
         .orderBy("user_id", "session_start")
     },
   )
@@ -504,7 +516,7 @@ object Streaming {
         .agg(
           max_by(col("ts"), struct(col("ts"), col("event_id"))).as("last_ts"),
           max_by(col("value"), struct(col("ts"), col("event_id"))).as("last_value"))
-      runToTable(s, latest, OutputMode.Complete())
+      runToTable(s, latest, OutputMode.Complete(), tableBytes(d, "events"))
         .orderBy("user_id", "event_type")
     },
   )
@@ -598,7 +610,7 @@ object Streaming {
     (s, d) => {
       val buckets = graft.metrics.Metrics.bucketCounts(streamEvents(s, d))
       graft.metrics.Metrics.quantileFromBuckets(
-        runToTable(s, buckets, OutputMode.Complete()))
+        runToTable(s, buckets, OutputMode.Complete(), tableBytes(d, "events")))
     },
   )
 
@@ -659,7 +671,8 @@ object Streaming {
       val out = evs
         .groupByKey(e => (e.user_id, e.event_type))
         .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(cusumFn)
-      latestSnapshotPerSeries(runToTable(s, out.toDF(), OutputMode.Append()))
+      latestSnapshotPerSeries(
+        runToTable(s, out.toDF(), OutputMode.Append(), tableBytes(d, "events")))
         .orderBy("user_id", "event_type")
     },
   )
@@ -728,7 +741,8 @@ object Streaming {
         .groupByKey(e => (e.user_id, e.event_type))
         .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(ewmaFn)
       // latest snapshot per series — see latestSnapshotPerSeries
-      latestSnapshotPerSeries(runToTable(s, out.toDF(), OutputMode.Append()))
+      latestSnapshotPerSeries(
+        runToTable(s, out.toDF(), OutputMode.Append(), tableBytes(d, "events")))
         .orderBy("user_id", "event_type")
     },
   )
@@ -747,7 +761,8 @@ object Streaming {
     (s, d) => {
       val docs = streamTable(s, d, "documents")
       graft.text.Text.mixtureShares(
-        runToTable(s, graft.text.Text.mixtureCounts(docs), OutputMode.Complete()))
+        runToTable(s, graft.text.Text.mixtureCounts(docs), OutputMode.Complete(),
+          tableBytes(d, "documents")))
     },
   )
 
@@ -764,7 +779,18 @@ object Streaming {
     "st_ann",
     graft.sim.Sim.ivfSearch.oracle,
     (s, d) => {
-      val idx = graft.sim.Sim.ivfIndex(s, d, k = 8, iters = 3)
+      // Opt-in cid-partitioned serving layout (SPARK_GRAFT_ANN_PARTITIONED=1):
+      // the index is PUBLISHED partitioned-by-cell and served from the
+      // artifact with the probed cells pushed as static partition
+      // filters (Sim.searchIvfProbes prunes when idx.prunable) — the
+      // measured 1.33x sparse-batch lift (ANNLAYOUT_AB_VEC2M_r13).
+      // Default path unchanged: in-memory index, no extra filter.
+      val idx =
+        if (sys.env.get("SPARK_GRAFT_ANN_PARTITIONED").contains("1"))
+          graft.sim.IvfStore.load(s,
+            graft.sim.Sim.publishedIndexDir(s, d, k = 8, iters = 3,
+              partitioned = true))
+        else graft.sim.Sim.ivfIndex(s, d, k = 8, iters = 3)
       val outDir = Files.createTempDirectory("graft_ann_out").toString
       val ckpt = Files.createTempDirectory("graft_ckpt").toString
       val probes = streamTable(s, d, "embeddings")
@@ -846,8 +872,13 @@ object Streaming {
       val q = arrivals.writeStream
         .option("checkpointLocation", ckpt)
         .foreachBatch { (b: DataFrame, id: Long) =>
-          graft.sim.Sim.indexHealth(b, idx.centroids, meta)
-            .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+          // an EMPTY micro-batch (file source re-trigger with nothing
+          // new) would aggregate to one all-null health row and
+          // pollute the persisted output — skip it; the trigger rule
+          // is about arriving data, and no data is trivially healthy
+          if (!b.isEmpty)
+            graft.sim.Sim.indexHealth(b, idx.centroids, meta)
+              .write.mode("overwrite").parquet(s"$outDir/batch=$id")
         }
         .start()
       q.processAllAvailable()

@@ -248,16 +248,26 @@ object StreamThroughputProbe {
         // SPARK_GRAFT_HEALTH_ADAPTIVE=1 serves the corpus-adaptive
         // index (k=200 at 2M vectors) — candidates per probe are
         // nprobe*n/k, so the knee rides the corpus/cell geometry.
+        // SPARK_GRAFT_ANN_PARTITIONED=1: publish the index
+        // cid-partitioned and serve from the ARTIFACT with the probed
+        // cells pushed as static PartitionFilters per micro-batch
+        // (Sim.searchIvfProbes prunes when idx.prunable) — the
+        // serving-layout capture the flat/in-memory default is A/B'd
+        // against (ANNLAYOUT_AB_VEC2M_r13: 1.33x on sparse batches).
+        val partServe = sys.env.get("SPARK_GRAFT_ANN_PARTITIONED").contains("1")
         val dir =
           if (sys.env.get("SPARK_GRAFT_HEALTH_ADAPTIVE").contains("1")) {
             val d = java.nio.file.Files.createTempDirectory("graft_ivf_pub").toString
             graft.sim.IvfStore.save(
-              graft.sim.Sim.ivfIndexAdaptive(spark, sfDir, iters = 3), d)
+              graft.sim.Sim.ivfIndexAdaptive(spark, sfDir, iters = 3), d,
+              partitioned = partServe)
             d
-          } else graft.sim.Sim.publishedIndexDir(spark, sfDir, k = 8, iters = 3)
+          } else graft.sim.Sim.publishedIndexDir(spark, sfDir, k = 8, iters = 3,
+            partitioned = partServe)
         val idx = graft.sim.IvfStore.load(spark, dir)
-        idx.assigned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          .count() // serve from memory — load the index OUTSIDE the window
+        if (!partServe)
+          idx.assigned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            .count() // serve from memory — load the index OUTSIDE the window
         val nprobe = math.max(2, math.round(math.sqrt(idx.centroids.size)).toInt)
         val raw = transform(sequence(lit(0), lit(63)), i =>
           (pmod(xxhash64(col("probe_id"), lit(999), i), lit(2001L)).cast("double")
