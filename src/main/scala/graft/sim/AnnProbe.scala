@@ -99,12 +99,30 @@ object AnnProbe {
       .map(v => s"env_fixed_$v")
       .getOrElse("max(50,cand/12)")
 
-    // BUILD — the one unrepeatable phase (memoized): train + assign +
-    // materialize, forced through the index row count.
+    // BUILD — the one unrepeatable phase: train + assign + materialize.
+    // Default: the in-session memoized index (cache blocks), forced
+    // through the row count. SPARK_GRAFT_ANN_PUBLISH_DIR=<dir>: the
+    // DISK-PUBLISHED lifecycle instead — bounded-sample Lloyd, full
+    // map-side assignment written straight through IvfStore.save's
+    // versioned publish, then served from the artifact. At >=10^8
+    // vectors this is the only shape that fits a single host (the
+    // cached assigned corpus alone is ~2x the corpus bytes), and it is
+    // the truer production claim: build once, serve from storage.
+    val publishDir = sys.env.get("SPARK_GRAFT_ANN_PUBLISH_DIR")
     val (idx, secBuild) = time {
-      val i = Sim.ivfIndexAdaptive(spark, sfDir, iters = 3)
-      i.assigned.count()
-      i
+      publishDir match {
+        case Some(dir) =>
+          val trainN = math.max(5000L, 50L * k)
+          val cents = Sim.lloyd(e.filter(col("vec_id") < trainN), col("v"), k, 3)
+          IvfStore.save(
+            Sim.IvfIndex(Sim.assignTo(e.select(col("vec_id"), col("v")), cents),
+              cents), dir)
+          IvfStore.load(spark, dir)
+        case None =>
+          val i = Sim.ivfIndexAdaptive(spark, sfDir, iters = 3)
+          i.assigned.count()
+          i
+      }
     }
     val probes = idx.assigned
       .filter(col("vec_id") >= pBase && col("vec_id") < pBase + nProbes)

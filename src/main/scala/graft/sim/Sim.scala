@@ -674,10 +674,16 @@ object Sim {
     // candidates to probed cells. Measured 1.33x on sparse batches
     // (ANNLAYOUT_AB_VEC2M_r13). Default (flat) indexes skip this: one
     // fewer job, byte-identical plans to pre-r14.
+    // Regime boundary (measured, STREAMPROBE_ANN50_K200_{PART,CTRL}_r14
+    // vs the sparse-batch layout A/B): pruning pays only when
+    // batch_probes·nprobe ≪ k — a dense batch routes to every cell and
+    // the IN filter is pure overhead, so it is skipped when the probed
+    // set covers the index.
     val assigned =
       if (idx.prunable) {
         val cids = probes.select("cid").distinct().collect().map(_.getLong(0))
-        assigned0.filter(col("cid").isin(cids.toIndexedSeq: _*))
+        if (cids.length >= idx.centroids.size) assigned0
+        else assigned0.filter(col("cid").isin(cids.toIndexedSeq: _*))
       } else assigned0
     val w = Window.partitionBy("probe_id").orderBy(col("cs").desc, col("neighbor_id"))
     broadcast(probes)

@@ -215,13 +215,19 @@ object StreamThroughputProbe {
         // index instead of the fixed k=8 — the production-k regime
         // (k=200 at a 2M-vector corpus), where the per-row argmin is
         // 25x the work and the health check's k-scaling shows
-        val dir =
+        // SPARK_GRAFT_HEALTH_DIR: boot from an ALREADY-published
+        // artifact (e.g. AnnProbe's disk-published decade index) —
+        // the true serving shape, and the only tractable one at
+        // >=10^8 vectors where an in-session rebuild's cache blocks
+        // would not fit this host's disk.
+        val dir = sys.env.get("SPARK_GRAFT_HEALTH_DIR").getOrElse {
           if (sys.env.get("SPARK_GRAFT_HEALTH_ADAPTIVE").contains("1")) {
             val d = java.nio.file.Files.createTempDirectory("graft_ivf_pub").toString
             graft.sim.IvfStore.save(
               graft.sim.Sim.ivfIndexAdaptive(spark, sfDir, iters = 3), d)
             d
           } else graft.sim.Sim.publishedIndexDir(spark, sfDir, k = 8, iters = 3)
+        }
         val idx = graft.sim.IvfStore.load(spark, dir)
         val meta = graft.sim.IvfStore.loadMeta(spark, dir)
         val raw = transform(sequence(lit(0), lit(63)), i =>

@@ -237,13 +237,22 @@ class IvfStoreSpec extends SparkSpec {
     assert(pm.n === fm.n)
     assert(pm.partitioned && !fm.partitioned)
     // identical results either layout (the IN push is semantically a
-    // no-op on top of the cid equi-join)
+    // no-op on top of the cid equi-join) — the 10-probe batch is DENSE
+    // at k=8 (covers every cell), exercising the skip-when-full branch
     assert(rows(graft.sim.Sim.searchIvf(part)) ===
       rows(graft.sim.Sim.searchIvf(flat)))
-    // and the pruned plan really skips unprobed cells at the SCAN:
-    // the probed-cell IN set must appear in PartitionFilters
-    // (directory-level skip), not merely as a row predicate
-    val plan = graft.sim.Sim.searchIvf(part).queryExecution.executedPlan.toString
+    // and in the SPARSE regime (1 probe -> nprobe=2 of 8 cells — where
+    // pruning pays; dense batches skip the filter by design) the plan
+    // really skips unprobed cells at the SCAN: the probed-cell IN set
+    // must appear in PartitionFilters (directory-level skip), not
+    // merely as a row predicate
+    import org.apache.spark.sql.functions.col
+    val oneProbe = part.assigned.filter(col("vec_id") < 1)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+    val sparse = graft.sim.Sim.searchIvfProbes(part, oneProbe)
+    assert(rows(sparse) ===
+      rows(graft.sim.Sim.searchIvfProbes(flat, oneProbe)))
+    val plan = sparse.queryExecution.executedPlan.toString
     assert("""PartitionFilters: \[[^\]]*cid#\d+L? IN""".r.findFirstIn(plan).isDefined,
       s"probed-cell IN filter did not reach PartitionFilters:\n$plan")
   }
