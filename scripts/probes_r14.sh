@@ -109,8 +109,12 @@ bench_cp BENCH_SF01_r14 "$HEAD_CP" /root/testdata/sf0.1 "" 24g 2
 bench_cp BENCH_SF1_r14 "$HEAD_CP" /tmp/sf1 "" 24g 2
 bench_cp BENCH_SF10_FULL_r14 "$HEAD_CP" /tmp/sf10 "" 48g 2
 
-# 5. Plan dump (no timing — run last, any load).
-SPARK_DRIVER_MEM=16g scripts/run_main.sh graft.tools.PlanDump \
-  /root/testdata/sf0.01 "$OUT/PLANS_r14.txt" > /tmp/plandump_r14.log 2>&1
+# 5. Plan dump (no timing — run last, any load). NOTE the committed
+# PLANS_r14.txt was regenerated at sf0.001 with SPARK_GRAFT_CPUS=8 —
+# the session geometry the driver's PLANS_r13.txt used — so the
+# round-over-round diff compares plans, not shuffle widths (at 32
+# CPUs every Exchange prints 32 instead of 8 and the diff drowns).
+SPARK_GRAFT_CPUS=8 SPARK_DRIVER_MEM=16g scripts/run_main.sh graft.tools.PlanDump \
+  /root/testdata/sf0.001 "$OUT/PLANS_r14.txt" > /tmp/plandump_r14.log 2>&1
 echo "--- PLANS_r14.txt: $(wc -l < "$OUT/PLANS_r14.txt") lines"
 echo ALL_PROBES_DONE
