@@ -113,8 +113,14 @@ object GenScale {
       // spread BEFORE the per-row vector math: the source table is one
       // parquet file (one partition), and crossJoin preserves that —
       // without this the factor-1000 hash/fold work runs on ONE core
-      // and 2M vectors take ~40 min instead of ~2
-      write(emb.crossJoin(reps)
+      // and 2M vectors take ~40 min instead of ~2.
+      // Written DIRECTLY from the 256 compute partitions (not through
+      // write()'s repartition(32)): that second full shuffle of the
+      // finished vectors doubled peak disk and capped the 10^8-vector
+      // factor on a single host — and 256 files scan strictly better
+      // than 32 anyway (content is deterministic; file assignment
+      // affects no hash-checked result).
+      emb.crossJoin(reps)
         .repartition(256)
         .withColumn("_raw", rawCol)
         .withColumn("_nrm", sqrt(aggregate(col("_raw"), lit(0.0), (a, x) => a + x * x)))
@@ -122,7 +128,9 @@ object GenScale {
           when(col("rep") === 0, col("embedding"))
             .otherwise(transform(col("_raw"), x => (x / col("_nrm")).cast("float"))))
         .withColumn("vec_id", shift("vec_id", V))
-        .drop("_raw", "_nrm"), "embeddings")
+        .drop("_raw", "_nrm", "rep")
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+      println(s"[genscale] wrote embeddings")
     }
 
     // documents scaling, shared by the full replica/fresh modes and
