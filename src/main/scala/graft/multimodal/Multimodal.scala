@@ -9,12 +9,16 @@ import graft.sources.Tables
 
 /** Multimodal-column plumbing (SURVEY.md §2.F).
   *
-  * Media payloads are opaque `binary` columns + typed metadata. The
-  * decode slot REALLY decodes one public format — binary PPM (P6):
-  * pure-JVM header parse + pixel stats, no codec libs ([[decodePpm]],
-  * byte-exact against a known fixture in MultimodalSpec). Payloads of
-  * any other format fall back to a clearly-marked deterministic STUB
-  * (the container has no image/audio codec libraries) — everything
+  * Media payloads are opaque `binary` columns + a DECLARED media-type
+  * column + typed metadata. The decode slot REALLY decodes two public
+  * formats — binary PPM (P6) images ([[decodePpm]]) and RIFF WAV-PCM
+  * audio ([[decodeWavPcm]]): pure-JVM header parse + exact
+  * pixel/sample stats, no codec libs, byte-exact against known
+  * fixtures in MultimodalSpec. Dispatch is on the declared media type
+  * (never content sniffing — a text payload that happens to parse as
+  * a 1×1 PPM must NOT silently decode), and a declared-but-invalid
+  * payload falls back to the deterministic STUB, as do all formats
+  * whose codecs this container lacks (JPEG/MP4/...). Everything
   * Spark-side (schema, binary handling, partition batching, feature
   * schema) is real either way.
   */
@@ -62,7 +66,7 @@ object Multimodal {
     * w·h·3 with no trailing bytes — so a text payload that merely
     * starts with "P6" can never half-decode.
     */
-  private[multimodal] def decodePpm(bytes: Array[Byte]): Option[Array[Double]] = {
+  private[graft] def decodePpm(bytes: Array[Byte]): Option[Array[Double]] = {
     if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return None
     var i = 2
     def isWs(b: Byte): Boolean = {
@@ -114,8 +118,83 @@ object Multimodal {
       sr.toDouble / np, sg.toDouble / np, sb.toDouble / np))
   }
 
-  /** The non-image decode stub: a real pipeline would decode other
-    * media payloads here (JPEG/audio PCM/video frames — codec libs
+  /** Real decode of RIFF WAV with integer PCM samples — the other
+    * public codec-less format (RIFF container grammar + raw samples):
+    * `RIFF <size> WAVE`, then a chunk walk to `fmt ` (audioFormat 1 =
+    * PCM, 8- or 16-bit) and `data`. Returns the sample-stat feature
+    * vector [n_channels, sample_rate, n_frames, meanAbsAmp, maxAbsAmp]
+    * — exact integer amplitude sums (8-bit unsigned centered at 128,
+    * 16-bit signed little-endian), one double division, so the
+    * features are bit-reproducible (byte-exact fixture gate in
+    * MultimodalSpec).
+    *
+    * STRICT validation (None → caller falls back to the stub path):
+    * RIFF size must equal the payload exactly, fmt must be integer PCM
+    * with self-consistent blockAlign/byteRate, the data chunk must be
+    * a whole number of frames and (modulo RIFF's odd-size pad byte)
+    * end exactly at the payload end, and no chunk may overrun.
+    */
+  private[graft] def decodeWavPcm(bytes: Array[Byte]): Option[Array[Double]] = {
+    def u16(i: Int): Int = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
+    def u32(i: Int): Long =
+      (bytes(i) & 0xffL) | ((bytes(i + 1) & 0xffL) << 8) |
+      ((bytes(i + 2) & 0xffL) << 16) | ((bytes(i + 3) & 0xffL) << 24)
+    def tag(i: Int, t: String): Boolean =
+      i + 4 <= bytes.length && (0 until 4).forall(j => bytes(i + j) == t.charAt(j))
+    if (bytes.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    if (u32(4) != bytes.length - 8L) return None
+    var i = 12
+    var channels = -1; var sampleRate = -1L; var bits = -1; var blockAlign = -1
+    var dataOff = -1; var dataLen = -1L
+    while (i + 8 <= bytes.length) {
+      val sz = u32(i + 4)
+      val body = i + 8
+      if (body + sz > bytes.length) return None
+      if (tag(i, "fmt ")) {
+        if (sz < 16) return None
+        if (u16(body) != 1) return None // integer PCM only
+        channels = u16(body + 2)
+        sampleRate = u32(body + 4)
+        val byteRate = u32(body + 8)
+        blockAlign = u16(body + 12)
+        bits = u16(body + 14)
+        if (channels < 1 || channels > 8 || sampleRate <= 0) return None
+        if (bits != 8 && bits != 16) return None
+        if (blockAlign != channels * (bits / 8)) return None
+        if (byteRate != sampleRate * blockAlign) return None
+      } else if (tag(i, "data")) {
+        dataOff = body; dataLen = sz
+      }
+      i = body + sz.toInt + (sz.toInt & 1) // RIFF pads odd chunks
+    }
+    if (i != bytes.length) return None
+    if (channels < 0 || dataOff < 0) return None
+    if (blockAlign <= 0 || dataLen % blockAlign != 0) return None
+    val nSamples = dataLen / (bits / 8)
+    var sumAbs = 0L; var maxAbs = 0L
+    var p = dataOff
+    val end = dataOff + dataLen.toInt
+    if (bits == 8) {
+      while (p < end) {
+        val a = math.abs((bytes(p) & 0xff) - 128).toLong
+        sumAbs += a; if (a > maxAbs) maxAbs = a
+        p += 1
+      }
+    } else {
+      while (p < end) {
+        val s = ((bytes(p) & 0xff) | (bytes(p + 1) << 8)).toShort
+        val a = math.abs(s.toLong)
+        sumAbs += a; if (a > maxAbs) maxAbs = a
+        p += 2
+      }
+    }
+    val nFrames = dataLen / blockAlign
+    Some(Array(channels.toDouble, sampleRate.toDouble, nFrames.toDouble,
+      if (nSamples == 0) 0.0 else sumAbs.toDouble / nSamples, maxAbs.toDouble))
+  }
+
+  /** The stub for formats without a pure-JVM decode: a real pipeline
+    * would decode other media payloads here (JPEG/MP4/... — codec libs
     * absent from this container by declaration). Deterministic fake
     * features derived from the bytes, so the oracle replays them.
     */
@@ -128,13 +207,24 @@ object Multimodal {
     Array(n.toDouble, mean, mx, mn)
   }
 
-  /** Per-batch decode dispatch: a payload that strictly validates as
-    * PPM gets the REAL pixel decode; everything else takes the stub.
-    * Signature and batch shape match what a vectorized codec-backed
-    * decoder would use: batch of payloads → batch of features.
+  /** Per-batch decode dispatch, keyed on the DECLARED media type —
+    * content sniffing is forbidden here: a text payload that happens
+    * to strictly parse as a 1×1 PPM (e.g. "P6 1 1 255 abc") must take
+    * the text path, or the features silently diverge from what the
+    * caller declared. A declared-but-invalid payload falls back to
+    * the stub. Signature and batch shape match what a vectorized
+    * codec-backed decoder would use: batch of (payload, format) →
+    * batch of features.
     */
-  private def decodeBatch(payloads: Seq[Array[Byte]]): Seq[Array[Double]] =
-    payloads.map(b => decodePpm(b).getOrElse(stubDecode(b)))
+  private def decodeBatch(
+      payloads: Seq[Array[Byte]], formats: Seq[String]): Seq[Array[Double]] =
+    payloads.lazyZip(formats).map { (b, fmt) =>
+      fmt match {
+        case "image/ppm" => decodePpm(b).getOrElse(stubDecode(b))
+        case "audio/wav" => decodeWavPcm(b).getOrElse(stubDecode(b))
+        case _           => stubDecode(b)
+      }
+    }
 
   private val featSchema = StructType(Seq(
     StructField("doc_id", LongType),
@@ -143,9 +233,12 @@ object Multimodal {
   ))
 
   /** Partition-batched decode/feature pipeline over any
-    * (doc_id: long, payload: binary) frame — mapPartitions with
-    * fixed-size batches (the shape a vectorized codec needs), no
-    * shuffle: features are computed where the bytes live. Returns
+    * (doc_id: long, payload: binary, format: string) frame —
+    * mapPartitions with fixed-size batches (the shape a vectorized
+    * codec needs), no shuffle: features are computed where the bytes
+    * live. `format` is the caller-declared media type per row
+    * ("image/ppm" and "audio/wav" get the real decodes); decode
+    * dispatch never sniffs content. Returns
     * (doc_id, n_bytes, features: array<double>).
     */
   def extractFeatures(src: DataFrame, batchSize: Int = 32): DataFrame = {
@@ -154,7 +247,8 @@ object Multimodal {
       rows.grouped(batchSize).flatMap { batch =>
         val ids = batch.map(_.getLong(0))
         val payloads = batch.map(_.getAs[Array[Byte]](1))
-        val feats = decodeBatch(payloads)
+        val formats = batch.map(_.getString(2))
+        val feats = decodeBatch(payloads, formats)
         ids.lazyZip(payloads).lazyZip(feats).map { (id, p, f) =>
           Row(id, p.length, f)
         }
@@ -163,16 +257,18 @@ object Multimodal {
   }
 
   /** mm_feature_extract: the canned harness entry over documents.
-    * Document payloads are UTF-8 text — never a strictly-valid P6
-    * raster (the exact w·h·3 length check can't hold) — so every row
-    * takes the stub path, whose features are pure byte arithmetic
-    * (length, unsigned-byte mean/max/min — exact integer sums, one
-    * double division) that the oracle replays in DuckDB by
+    * Document payloads are DECLARED "text/plain", so dispatch routes
+    * every row to the stub path BY DECLARATION — not by content
+    * sniffing, which could silently real-decode a text payload that
+    * happens to parse as a tiny PPM. The stub features are pure byte
+    * arithmetic (length, unsigned-byte mean/max/min — exact integer
+    * sums, one double division) that the oracle replays in DuckDB by
     * hex-decoding the same blob: the whole partition-batched decode
     * pipeline is hash-checked, not just row-counted. The REAL decode
-    * branch ([[decodePpm]]) is fixture-gated byte-exactly in
-    * MultimodalSpec. Library users take extractFeatures' array column
-    * directly; the harness gets the features as scalars.
+    * branches ([[decodePpm]], [[decodeWavPcm]]) are fixture-gated
+    * byte-exactly in MultimodalSpec. Library users take
+    * extractFeatures' array column directly; the harness gets the
+    * features as scalars.
     */
   val featureExtract = GraftQuery(
     "mm_feature_extract",
@@ -190,7 +286,8 @@ object Multimodal {
       ORDER BY doc_id"""),
     (s, d) => {
       val src = Tables.documents(s, d)
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
+          lit("text/plain").as("format"))
       extractFeatures(src)
         .select(col("doc_id"), col("n_bytes"),
           element_at(col("features"), 1).as("feat_len"),

@@ -3,13 +3,46 @@ package graft
 import org.apache.spark.sql.functions._
 
 /** Multimodal plumbing (§2.F): feature-extract batching, stub
-  * determinism, and the harness-facing scalar projection.
+  * determinism, declared-format decode dispatch (PPM / WAV-PCM), and
+  * the harness-facing scalar projection.
   */
 class MultimodalSpec extends SparkSpec {
 
-  test("extractFeatures: 4-dim features, deterministic in the payload bytes") {
+  // 2x2 P6 image, maxval 255, pixels (R,G,B):
+  //   (10,20,30) (50,60,70)
+  //   (90,100,110) (130,140,150)
+  // expected: w=2 h=2 meanR=(10+50+90+130)/4=70 meanG=80 meanB=90
+  private val ppmHeader = "P6\n2 2\n255\n".getBytes("US-ASCII")
+  private val ppmRaster = Array(10, 20, 30, 50, 60, 70, 90, 100, 110, 130, 140, 150)
+    .map(_.toByte)
+  private val ppm = ppmHeader ++ ppmRaster
+
+  /** Build a strict RIFF WAV-PCM payload: 16-bit LE mono unless told
+    * otherwise. Sample values are signed shorts.
+    */
+  private def wav(samples: Seq[Int], channels: Int = 1, rate: Int = 8000,
+      bits: Int = 16): Array[Byte] = {
+    val bytesPer = bits / 8
+    val blockAlign = channels * bytesPer
+    val dataLen = samples.length * bytesPer
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def w32(v: Long): Unit = (0 until 4).foreach(j => out.write(((v >> (8 * j)) & 0xff).toInt))
+    def tag(t: String): Unit = t.foreach(c => out.write(c.toInt))
+    tag("RIFF"); w32(4 + 24 + 8 + dataLen + (dataLen & 1)); tag("WAVE")
+    tag("fmt "); w32(16); w16(1); w16(channels); w32(rate.toLong)
+    w32(rate.toLong * blockAlign); w16(blockAlign); w16(bits)
+    tag("data"); w32(dataLen.toLong)
+    if (bits == 8) samples.foreach(s => out.write(s & 0xff))
+    else samples.foreach(w16)
+    if ((dataLen & 1) == 1) out.write(0) // RIFF pad
+    out.toByteArray
+  }
+
+  test("extractFeatures: 4-dim stub features for declared text, deterministic") {
     val src = graft.sources.Tables.documents(spark, sfDir)
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
+        lit("text/plain").as("format"))
     val feats = graft.multimodal.Multimodal.extractFeatures(src)
     val r = feats.filter(col("doc_id") === 0).collect().head
     val f = r.getSeq[Double](2)
@@ -24,20 +57,13 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("decodePpm: a known P6 fixture decodes byte-exactly through the batched pipeline") {
-    // 2x2 image, maxval 255, pixels (R,G,B):
-    //   (10,20,30) (50,60,70)
-    //   (90,100,110) (130,140,150)
-    // expected: w=2 h=2 meanR=(10+50+90+130)/4=70 meanG=80 meanB=90
-    val header = "P6\n2 2\n255\n".getBytes("US-ASCII")
-    val raster = Array(10, 20, 30, 50, 60, 70, 90, 100, 110, 130, 140, 150)
-      .map(_.toByte)
-    val ppm = header ++ raster
     // fixture with comments + mixed whitespace in the header — the
     // netpbm grammar the parser must accept
     val commented = ("P6 # a comment\n# another\n 2\t2 # dims\n255\n")
-      .getBytes("US-ASCII") ++ raster
+      .getBytes("US-ASCII") ++ ppmRaster
     import spark.implicits._
-    val src = Seq((0L, ppm), (1L, commented)).toDF("doc_id", "payload")
+    val src = Seq((0L, ppm, "image/ppm"), (1L, commented, "image/ppm"))
+      .toDF("doc_id", "payload", "format")
     val out = graft.multimodal.Multimodal.extractFeatures(src)
       .orderBy("doc_id").collect()
     for (r <- out) {
@@ -46,21 +72,71 @@ class MultimodalSpec extends SparkSpec {
         s"doc ${r.getLong(0)} decoded $f")
       assert(r.getInt(1) === ppm.length || r.getInt(1) === commented.length)
     }
-    // strictness: a payload that merely STARTS like a PPM falls back
-    // to the stub (wrong raster length / non-numeric header), so text
-    // corpora can never half-decode
+    // strictness: a payload DECLARED image/ppm that doesn't strictly
+    // validate (wrong raster length / non-numeric header) falls back
+    // to the stub — declared-but-corrupt media can never half-decode
     val fakes = Seq(
       "P6 but actually prose about image formats".getBytes("US-ASCII"),
-      header ++ raster.dropRight(1), // truncated raster
-      header ++ raster ++ Array(7.toByte)) // trailing junk
+      ppmHeader ++ ppmRaster.dropRight(1), // truncated raster
+      ppmHeader ++ ppmRaster ++ Array(7.toByte)) // trailing junk
     val stubbed = graft.multimodal.Multimodal.extractFeatures(
-      fakes.zipWithIndex.map { case (b, i) => (i.toLong, b) }
-        .toDF("doc_id", "payload")).collect()
+      fakes.zipWithIndex.map { case (b, i) => (i.toLong, b, "image/ppm") }
+        .toDF("doc_id", "payload", "format")).collect()
     for (r <- stubbed) {
       val f = r.getSeq[Double](2)
       assert(f.length === 4, s"fake ${r.getLong(0)} took the PPM path: $f")
       assert(f(0) === r.getInt(1).toDouble) // stub feature 0 = byte length
     }
+  }
+
+  test("decodeWavPcm: known WAV fixtures decode byte-exactly; corrupt ones stub") {
+    import spark.implicits._
+    // 16-bit mono: samples 100, -200, 300, -400
+    //   meanAbs = (100+200+300+400)/4 = 250, maxAbs = 400, frames = 4
+    val w16 = wav(Seq(100, -200, 300, -400))
+    // 8-bit stereo @ 11025: unsigned bytes 128,138,118,128 → amps 0,10,10,0
+    //   frames = 2, meanAbs = 20/4 = 5, maxAbs = 10
+    val w8 = wav(Seq(128, 138, 118, 128), channels = 2, rate = 11025, bits = 8)
+    // odd-length data chunk (3 samples of 8-bit mono) exercises the
+    // RIFF pad-byte rule: 135,128,121 → amps 7,0,7 → meanAbs 14/3
+    val wOdd = wav(Seq(135, 128, 121), bits = 8)
+    val src = Seq((0L, w16, "audio/wav"), (1L, w8, "audio/wav"),
+      (2L, wOdd, "audio/wav")).toDF("doc_id", "payload", "format")
+    val out = graft.multimodal.Multimodal.extractFeatures(src)
+      .orderBy("doc_id").collect()
+    assert(out(0).getSeq[Double](2) === Seq(1.0, 8000.0, 4.0, 250.0, 400.0))
+    assert(out(1).getSeq[Double](2) === Seq(2.0, 11025.0, 2.0, 5.0, 10.0))
+    assert(out(2).getSeq[Double](2) === Seq(1.0, 8000.0, 3.0, 14.0 / 3.0, 7.0))
+    // strictness: declared audio/wav but corrupt → stub (4-dim)
+    val truncated = w16.dropRight(1)
+    val badSize = w16.clone(); badSize(4) = (badSize(4) + 1).toByte // RIFF size off-by-one
+    val notPcm = w16.clone(); notPcm(20) = 3 // audioFormat = IEEE float
+    val fakes = Seq(truncated, badSize, notPcm,
+      "RIFF but actually prose about audio".getBytes("US-ASCII"))
+    val stubbed = graft.multimodal.Multimodal.extractFeatures(
+      fakes.zipWithIndex.map { case (b, i) => (i.toLong, b, "audio/wav") }
+        .toDF("doc_id", "payload", "format")).collect()
+    for (r <- stubbed)
+      assert(r.getSeq[Double](2).length === 4,
+        s"corrupt wav ${r.getLong(0)} took the real path")
+  }
+
+  test("dispatch is by declaration, never content sniffing") {
+    import spark.implicits._
+    // a payload that IS a strictly-valid P6 raster ("P6 1 1 255 abc"
+    // shape) but is DECLARED text must take the stub path — the
+    // latent-divergence case the format column exists to prevent
+    val tinyPpm = "P6 1 1 255 ".getBytes("US-ASCII") ++ "abc".getBytes("US-ASCII")
+    assert(graft.multimodal.Multimodal.decodePpm(tinyPpm).isDefined,
+      "fixture must strictly validate as PPM for this test to bite")
+    val src = Seq((0L, tinyPpm, "text/plain"), (1L, tinyPpm, "image/ppm"),
+      (2L, wav(Seq(1, 2)), "application/octet-stream"))
+      .toDF("doc_id", "payload", "format")
+    val out = graft.multimodal.Multimodal.extractFeatures(src)
+      .orderBy("doc_id").collect()
+    assert(out(0).getSeq[Double](2).length === 4, "declared text must stub")
+    assert(out(1).getSeq[Double](2) === Seq(1.0, 1.0, 97.0, 98.0, 99.0))
+    assert(out(2).getSeq[Double](2).length === 4, "undeclared wav must stub")
   }
 
   test("mm_feature_extract query: scalar columns only (harness-sortable), one row per doc") {
