@@ -25,14 +25,20 @@ import graft.sim.Sim.IvfIndex
   *     written once by [[savePq]], unversioned)
   *
   * Publish protocol: [[save]] writes every artifact of version n into
-  * the fresh `v{n}/` (never touching v{n-1}, so a lazy plan reading
-  * the previous version feeds the write safely — the property the old
-  * single-dir stage+swap existed for, now structural), then creates
-  * the `manifest/{n}` marker as the LAST operation. Readers resolve
-  * max(manifest) — a crash anywhere before the marker leaves them on
-  * the old COMPLETE version; a mixed-version read (stale denominator,
-  * stale centroids) is unrepresentable. The previous version is kept
-  * for in-flight readers; older ones are pruned after publish.
+  * a WRITER-UNIQUE staging dir (`.stage_v{n}_{uuid}` — never touching
+  * v{n-1}, so a lazy plan reading the previous version feeds the
+  * write safely — the property the old single-dir stage+swap existed
+  * for, now structural), renames the staging dir to `v{n}` whole, and
+  * only then creates the `manifest/{n}` marker as the LAST operation.
+  * Readers resolve max(manifest) — a crash anywhere before the marker
+  * leaves them on the old COMPLETE version; a mixed-version read
+  * (stale denominator, stale centroids) is unrepresentable. Two
+  * concurrent publishers racing to the same version can never
+  * interleave artifacts either: each writes its own staging dir, the
+  * whole-dir rename means v{n} always holds exactly ONE writer's
+  * complete set, and the marker create fails loudly for one of the
+  * racers. The previous version is kept for in-flight readers; older
+  * ones are pruned after publish.
   *
   * Parquet round-trips doubles exactly, so a loaded index searches
   * bit-identically to the in-memory one (asserted in IvfStoreSpec).
@@ -137,23 +143,43 @@ object IvfStore {
     val cur = currentVersion(s, dir)
     val next = cur + 1
     val vdir = vDir(dir, next)
+    // writer-unique staging dir: a concurrent publisher racing to the
+    // same version writes somewhere ELSE, so v{next} can only ever
+    // hold ONE writer's complete artifact set — never an interleaving
+    val stage = s"$dir/.stage_v${next}_${java.util.UUID.randomUUID().toString.take(8)}"
     if (partitioned)
       idx.assigned.select(col("vec_id"), col("v"), col("d2"), col("cid"))
         .repartition(col("cid"))
-        .write.mode("overwrite").partitionBy("cid").parquet(s"$vdir/assigned")
+        .write.mode("overwrite").partitionBy("cid").parquet(s"$stage/assigned")
     else
-      idx.assigned.write.mode("overwrite").parquet(s"$vdir/assigned")
+      idx.assigned.write.mode("overwrite").parquet(s"$stage/assigned")
     idx.centroids.toDF("cid", "cv")
-      .write.mode("overwrite").parquet(s"$vdir/centroids")
-    val m = computeMeta(readAssigned(s, vdir, partitioned), idx.centroids.size)
+      .write.mode("overwrite").parquet(s"$stage/centroids")
+    val m = computeMeta(readAssigned(s, stage, partitioned), idx.centroids.size)
     Seq((m.d2Base, m.imbalance, m.k, m.n, partitioned))
       .toDF("d2_base", "imbalance", "k", "n", "partitioned")
-      .write.mode("overwrite").parquet(s"$vdir/meta")
+      .write.mode("overwrite").parquet(s"$stage/meta")
+    // claim v{next}: reclaim any MARKERLESS v{next} (wreckage from a
+    // crashed publisher — with a marker it would not be "next"), then
+    // a whole-dir rename. Staging makes artifact INTERLEAVING
+    // unrepresentable: v{next} only ever holds one writer's complete
+    // set (in the worst same-version race the last renamer's — still
+    // one complete internally-consistent set, and the marker create
+    // below fails loudly for exactly one of the racers). A failed
+    // rename (dest re-created under us) aborts this publisher.
+    val vPath = new Path(vdir)
+    val fs = hfs(s, vPath)
+    if (fs.exists(vPath)) fs.delete(vPath, true)
+    if (!fs.rename(new Path(stage), vPath)) {
+      fs.delete(new Path(stage), true)
+      throw new IllegalStateException(
+        s"IvfStore.save: version $next under $dir was claimed by a " +
+          "concurrent publisher — retry to publish as the next version")
+    }
     // PUBLISH: one marker create, after every artifact of v{next} is
-    // complete. create(overwrite=false) fails loudly on a concurrent
-    // publisher racing to the same version.
+    // complete. create(overwrite=false) fails loudly for the losing
+    // half of a concurrent same-version publish.
     val marker = new Path(s"$dir/manifest/$next")
-    val fs = hfs(s, marker)
     fs.mkdirs(marker.getParent)
     fs.create(marker, false).close()
     // prune everything older than the PREVIOUS version (kept for
@@ -259,6 +285,25 @@ object IvfStore {
   def retrainDue(d2Ratio: Double, imbalance: Double, meta: IvfMeta): Boolean =
     d2Ratio >= D2RatioTrigger || imbalance >= ImbalanceDoubling * meta.imbalance
 
+  /** The serving-layout deploy rule as CODE (it lived only in prose +
+    * an env opt-in until r15): publish `cid=`-partitioned exactly when
+    * a TYPICAL probe batch cannot cover the index — the distinct
+    * probed cells per batch are bounded by batch_probes·nprobe, and
+    * once that bound reaches k every batch routes to every cell, so
+    * Sim.searchIvfProbes skips the static prune and the partitioned
+    * layout buys nothing (it only costs the one-file-per-cell write).
+    * Below the bound, batches are sparse and pruning is the measured
+    * win: 1.33× candidate-scan latency on sparse batches
+    * (ANNLAYOUT_AB_VEC2M_r13), and at 35% expected coverage
+    * (5 probes·nprobe 14 against k=200) the pruned path was the only
+    * STABLE sustained-serving run (STREAMPROBE_ANN5_K200_{PART,CTRL}
+    * _r14: p95 908 vs 1214 ms). Same boundary as the runtime skip in
+    * searchIvfProbes — publish-side and serve-side agree by
+    * construction.
+    */
+  def partitionedLayoutDue(expectedBatchProbes: Long, nprobe: Int, k: Int): Boolean =
+    expectedBatchProbes * nprobe < k
+
   /** Offline rebuild at the CURRENT size — the operation the trigger
     * rule fires after enough [[add]] batches: k rides
     * Sim.semDedupCells(n), Lloyd trains on a hash-stride sample of
@@ -268,23 +313,55 @@ object IvfStore {
     * reassignment. The sample is re-keyed densely before Lloyd:
     * Lloyd seeds from `vec_id < k`, and a strided sample retains only
     * ~k/stride of those ids — without the re-key the rebuild would
-    * silently start from a near-empty seed set.
+    * silently start from a near-empty seed set. The re-key is fully
+    * distributed (the q_ntile_deciles convention): one range exchange
+    * sorted within partitions, partition-local ranks, per-partition
+    * counts joined back as a broadcast offset frame — same global
+    * ordering (and therefore bit-identical centroids) as a
+    * Window.orderBy re-key, but no task ever holds more than
+    * sample/parallelism rows; the old single-partition window pushed
+    * the whole sample through ONE task (~700k rows at n = 10¹⁰,
+    * k ≈ 14k). The exchanged sample is persisted across the count
+    * pass and Lloyd's per-iteration re-scans.
     */
   def retrain(corpus: DataFrame, iters: Int = 3): IvfIndex = {
     import org.apache.spark.sql.functions._
+    val s = corpus.sparkSession
     val n = corpus.count()
     val k = Sim.semDedupCells(n)
     Sim.guardOracleCells(k, n)
     val trainN = math.max(5000L, 50L * k)
     val stride = math.max(1L, n / trainN)
-    val w = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
-    // ~trainN rows through a single-partition window — bounded by the
-    // training-sample cap, not the corpus
-    val sample = corpus
+    val sorted = corpus
       .filter(pmod(xxhash64(col("vec_id"), lit("trainsample")), lit(stride)) === 0)
-      .select((row_number().over(w) - 1).cast("long").as("vec_id"), col("v"))
-    val cents = Sim.lloyd(sample, col("v"), k, iters)
-    IvfIndex(Sim.assignTo(corpus.select(col("vec_id"), col("v")), cents), cents)
+      .select(col("vec_id"), col("v"))
+      .repartitionByRange(s.sparkContext.defaultParallelism, col("vec_id"))
+      .sortWithinPartitions("vec_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val rankSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)),
+        org.apache.spark.sql.types.StructField("pid",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("lr",
+          org.apache.spark.sql.types.LongType)))
+      val ranked = sorted.mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var i = -1L
+        it.map { r =>
+          i += 1
+          org.apache.spark.sql.Row(r.getSeq[Double](1), pid, i)
+        }
+      }(org.apache.spark.sql.Encoders.row(rankSchema))
+      val counts = ranked.groupBy("pid").agg(count(lit(1)).as("c")).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toSeq
+      val (withOff, _) = graft.PartitionOffsets.joinOffsets(ranked, counts)
+      val sample = withOff.select((col("_off") + col("lr")).as("vec_id"), col("v"))
+      val cents = Sim.lloyd(sample, col("v"), k, iters)
+      IvfIndex(Sim.assignTo(corpus.select(col("vec_id"), col("v")), cents), cents)
+    } finally sorted.unpersist(blocking = false)
   }
 
   /** The full staleness-recovery cycle for a long-lived serving
@@ -298,9 +375,22 @@ object IvfStore {
     * save→load→add→compactRetrain(SAME dir)→search round trip in
     * IvfStoreSpec).
     */
+  /** The layout a maintenance write-back must preserve: the published
+    * version's meta.partitioned when `dir` already holds one (the
+    * documented same-dir cycle — a cid-partitioned serving index must
+    * not come out of its first compaction silently FLAT, losing the
+    * measured sparse-batch pruning win), else the in-memory index's
+    * own prunable flag (a first save to a fresh dir).
+    */
+  private def maintainLayout(idx: IvfIndex, dir: String): Boolean = {
+    val s = idx.assigned.sparkSession
+    if (currentVersion(s, dir) >= 0) loadMeta(s, dir).partitioned else idx.prunable
+  }
+
   def compactRetrain(idx: IvfIndex, dir: String): IvfIndex = {
+    val layout = maintainLayout(idx, dir)
     val fresh = retrain(idx.assigned)
-    save(fresh, dir)
+    save(fresh, dir, partitioned = layout)
     load(idx.assigned.sparkSession, dir)
   }
 
@@ -318,7 +408,7 @@ object IvfStore {
     * writes a fresh `v{n}/`, so the write never consumes its own input.
     */
   def compact(idx: IvfIndex, dir: String): IvfIndex = {
-    save(idx, dir)
+    save(idx, dir, partitioned = maintainLayout(idx, dir))
     load(idx.assigned.sparkSession, dir)
   }
 

@@ -388,7 +388,15 @@ object Sim {
     */
   private val pubMemo = scala.collection.mutable.Map[(String, Int, Int, Boolean),
     (SparkSession, java.util.concurrent.CompletableFuture[String])]()
-  graft.Caching.onReleaseAll(() => pubMemo.synchronized(pubMemo.clear()))
+  graft.Caching.onReleaseAll(() => pubMemo.synchronized {
+    // a memo entry dropped without deleting its dir strands a full
+    // on-disk index copy for the JVM lifetime (one per release-all
+    // boundary × corpus — Verify/Bench cross hundreds of boundaries);
+    // deleteWhenDone also covers a build still in flight at the
+    // boundary: cleanup attaches to the future and fires at completion
+    pubMemo.values.foreach { case (_, f) => deleteWhenDone(f) }
+    pubMemo.clear()
+  })
 
   private def deleteDirQuietly(dir: String): Unit = {
     def rec(f: java.io.File): Unit = {
@@ -398,6 +406,15 @@ object Sim {
     try rec(new java.io.File(dir))
     catch { case scala.util.control.NonFatal(_) => () }
   }
+
+  /** Delete a published temp index dir once (if ever) its build
+    * completes — immediate for a done future, deferred via
+    * whenComplete for one still in flight, a no-op on failure (an
+    * exceptional build wrote at most a torn unpublished stage).
+    */
+  private def deleteWhenDone(
+      f: java.util.concurrent.CompletableFuture[String]): Unit =
+    f.whenComplete((dir, err) => if (err == null && dir != null) deleteDirQuietly(dir))
 
   def publishedIndexDir(s: SparkSession, d: String, k: Int, iters: Int,
                         partitioned: Boolean = false): String = {
@@ -412,10 +429,9 @@ object Sim {
           (f, false)
         case prev =>
           // superseded entry (new/stopped session): its temp dir would
-          // otherwise leak for the JVM lifetime
-          prev.foreach { case (_, f) =>
-            if (f.isDone && !f.isCompletedExceptionally) deleteDirQuietly(f.get())
-          }
+          // otherwise leak for the JVM lifetime — including a build
+          // still in flight, whose cleanup attaches to the future
+          prev.foreach { case (_, f) => deleteWhenDone(f) }
           val f = new java.util.concurrent.CompletableFuture[String]()
           pubMemo(key) = (s, f)
           (f, true)

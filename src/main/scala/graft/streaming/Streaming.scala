@@ -779,14 +779,24 @@ object Streaming {
     "st_ann",
     graft.sim.Sim.ivfSearch.oracle,
     (s, d) => {
-      // Opt-in cid-partitioned serving layout (SPARK_GRAFT_ANN_PARTITIONED=1):
-      // the index is PUBLISHED partitioned-by-cell and served from the
-      // artifact with the probed cells pushed as static partition
-      // filters (Sim.searchIvfProbes prunes when idx.prunable) — the
-      // measured 1.33x sparse-batch lift (ANNLAYOUT_AB_VEC2M_r13).
-      // Default path unchanged: in-memory index, no extra filter.
+      // cid-partitioned serving layout, chosen by the DEPLOY RULE at
+      // index-build time (IvfStore.partitionedLayoutDue): publish
+      // partitioned and serve from the artifact — probed cells pushed
+      // as static partition filters (Sim.searchIvfProbes prunes when
+      // idx.prunable; measured 1.33x on sparse batches,
+      // ANNLAYOUT_AB_VEC2M_r13) — exactly when a typical probe batch
+      // cannot cover the index. This harness geometry (10 probes ×
+      // nprobe 2 ≥ k = 8: every batch covers all cells) resolves to
+      // the flat in-memory path, so default plans are byte-unchanged.
+      // SPARK_GRAFT_ANN_PARTITIONED=1/0 overrides the rule either way.
+      val partitioned = sys.env.get("SPARK_GRAFT_ANN_PARTITIONED") match {
+        case Some("1") => true
+        case Some("0") => false
+        case _ => graft.sim.IvfStore.partitionedLayoutDue(
+          expectedBatchProbes = 10L, nprobe = 2, k = 8)
+      }
       val idx =
-        if (sys.env.get("SPARK_GRAFT_ANN_PARTITIONED").contains("1"))
+        if (partitioned)
           graft.sim.IvfStore.load(s,
             graft.sim.Sim.publishedIndexDir(s, d, k = 8, iters = 3,
               partitioned = true))

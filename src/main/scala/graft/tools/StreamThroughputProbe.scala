@@ -254,15 +254,31 @@ object StreamThroughputProbe {
         // SPARK_GRAFT_HEALTH_ADAPTIVE=1 serves the corpus-adaptive
         // index (k=200 at 2M vectors) — candidates per probe are
         // nprobe*n/k, so the knee rides the corpus/cell geometry.
-        // SPARK_GRAFT_ANN_PARTITIONED=1: publish the index
-        // cid-partitioned and serve from the ARTIFACT with the probed
-        // cells pushed as static PartitionFilters per micro-batch
-        // (Sim.searchIvfProbes prunes when idx.prunable) — the
-        // serving-layout capture the flat/in-memory default is A/B'd
-        // against (ANNLAYOUT_AB_VEC2M_r13: 1.33x on sparse batches).
-        val partServe = sys.env.get("SPARK_GRAFT_ANN_PARTITIONED").contains("1")
+        // Serving layout chosen by the DEPLOY RULE at index-build time
+        // (IvfStore.partitionedLayoutDue): the probe's (rate, trigger)
+        // pin the expected probes per micro-batch, k and nprobe are
+        // known before the publish — partition by cell (and serve from
+        // the artifact with probed cells pushed as static
+        // PartitionFilters; Sim.searchIvfProbes prunes when
+        // idx.prunable) exactly when a typical batch cannot cover the
+        // index (ANNLAYOUT_AB_VEC2M_r13: 1.33x on sparse batches;
+        // STREAMPROBE_ANN5_K200_*_r14: the pruned path is the only
+        // stable sustained run at 35% coverage).
+        // SPARK_GRAFT_ANN_PARTITIONED=1/0 overrides the rule.
+        val adaptive = sys.env.get("SPARK_GRAFT_HEALTH_ADAPTIVE").contains("1")
+        val k =
+          if (adaptive)
+            graft.sim.Sim.semDedupCells(graft.sim.Sim.corpusCount(spark, sfDir))
+          else 8
+        val nprobe = math.max(2, math.round(math.sqrt(k.toDouble)).toInt)
+        val expProbes = math.max(1L, rate.toLong * triggerMs / 1000L)
+        val partServe = sys.env.get("SPARK_GRAFT_ANN_PARTITIONED") match {
+          case Some("1") => true
+          case Some("0") => false
+          case _ => graft.sim.IvfStore.partitionedLayoutDue(expProbes, nprobe, k)
+        }
         val dir =
-          if (sys.env.get("SPARK_GRAFT_HEALTH_ADAPTIVE").contains("1")) {
+          if (adaptive) {
             val d = java.nio.file.Files.createTempDirectory("graft_ivf_pub").toString
             graft.sim.IvfStore.save(
               graft.sim.Sim.ivfIndexAdaptive(spark, sfDir, iters = 3), d,
@@ -274,7 +290,6 @@ object StreamThroughputProbe {
         if (!partServe)
           idx.assigned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
             .count() // serve from memory — load the index OUTSIDE the window
-        val nprobe = math.max(2, math.round(math.sqrt(idx.centroids.size)).toInt)
         val raw = transform(sequence(lit(0), lit(63)), i =>
           (pmod(xxhash64(col("probe_id"), lit(999), i), lit(2001L)).cast("double")
             - 1000.0) / 1000.0)

@@ -166,6 +166,48 @@ class IvfStoreSpec extends SparkSpec {
     assert(again.assigned.count() === 2 * n)
   }
 
+  test("maintenance preserves the published layout; no staging dirs survive a publish") {
+    import org.apache.spark.sql.functions._
+    def uvecs(lo: Long, hi: Long, salt: String) =
+      spark.range(lo, hi).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(15)), i =>
+          (pmod(xxhash64(col("id"), i, lit(salt)), lit(2001L))
+            .cast("double") - 1000.0) / 1000.0).as("v"))
+    val dir = java.nio.file.Files.createTempDirectory("ivf_layout").toString
+    val idx = graft.sim.Sim.ivfIndex(spark, sfDir, k = 8, iters = 3)
+    // publish PARTITIONED, then run both maintenance ops against the
+    // same dir: the first compaction of a cid-partitioned serving
+    // index must not silently republish it FLAT (losing the measured
+    // sparse-batch pruning win with no signal)
+    graft.sim.IvfStore.save(idx, dir, partitioned = true)
+    val served = graft.sim.IvfStore.load(spark, dir)
+    assert(served.prunable)
+    val compacted = graft.sim.IvfStore.compact(
+      graft.sim.IvfStore.add(served, uvecs(100000, 100050, "add")), dir)
+    assert(compacted.prunable, "compact dropped the partitioned layout")
+    assert(graft.sim.IvfStore.loadMeta(spark, dir).partitioned)
+    val retrained = graft.sim.IvfStore.compactRetrain(compacted, dir)
+    assert(retrained.prunable, "compactRetrain dropped the partitioned layout")
+    assert(graft.sim.IvfStore.loadMeta(spark, dir).partitioned)
+    // staging dirs are renamed into v{n}, never left behind
+    val stranded = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith(".stage"))
+    assert(stranded.isEmpty, s"stranded staging dirs: ${stranded.mkString(",")}")
+  }
+
+  test("partitionedLayoutDue: partition exactly when a typical batch can't cover the index") {
+    import graft.sim.IvfStore.partitionedLayoutDue
+    // the measured sparse win point: 5 probes x nprobe 14 vs k=200
+    assert(partitionedLayoutDue(5, 14, 200))
+    // the measured full-coverage point: 50 probes x nprobe 14 >= k=200
+    assert(!partitionedLayoutDue(50, 14, 200))
+    // the st_ann harness geometry: 10 probes x nprobe 2 >= k=8 -> flat
+    assert(!partitionedLayoutDue(10, 2, 8))
+    // boundary: bound == k means every batch may cover -> flat
+    assert(!partitionedLayoutDue(100, 2, 200))
+    assert(partitionedLayoutDue(99, 2, 200))
+  }
+
   test("indexHealth: a drifted batch trips retrain_due; a stationary batch does not") {
     import org.apache.spark.sql.functions._
     def uvecs(lo: Long, hi: Long, salt: String, scale: Double) =
