@@ -1,0 +1,59 @@
+#!/bin/bash
+# Round-15 ANN decade probe (VERDICT r14 Next #1 — the retracted r14
+# claim, now actually run): 100M vectors, adaptive k = semDedupCells
+# (1e8) = 1414, nprobe = sqrt(k) ~ 38, via the DISK-PUBLISHED
+# lifecycle (SPARK_GRAFT_ANN_PUBLISH_DIR): bounded-sample Lloyd ->
+# full map-side assignment -> IvfStore.save's versioned publish ->
+# served from the artifact. The health capture then boots from the
+# SAME artifact (SPARK_GRAFT_HEALTH_DIR) — build once, serve from
+# storage.
+# Usage: scripts/ann100m_r15.sh [outDir]
+set -euo pipefail
+OUT="${1:-/root/repo}"
+cd /root/repo
+
+free_gb() { df -BG --output=avail / | tail -1 | tr -dc 0-9; }
+if [ "$(free_gb)" -lt 65 ]; then
+  echo "ABORT: need >=65GB free for the 100M corpus + published index, have $(free_gb)G"
+  exit 1
+fi
+
+if [ ! -f /tmp/vec100m/.done ]; then
+  echo "=== gen /tmp/vec100m (factor 50000, vectors) ==="
+  SPARK_DRIVER_MEM=64g scripts/run_main.sh graft.tools.GenScale \
+    /root/testdata/sf0.1 /tmp/vec100m 50000 vectors > /tmp/gen_vec100m.log 2>&1
+  touch /tmp/vec100m/.done
+fi
+du -sh /tmp/vec100m
+
+wait_idle() {
+  while :; do
+    local l
+    l=$(cut -d' ' -f1 /proc/loadavg)
+    awk -v l="$l" 'BEGIN{exit !(l < 8)}' && break
+    echo "    (load $l >= 8, cooling down)"; sleep 20
+  done
+}
+
+if ! { [ -f "$OUT/ANNPROBE_VEC100M_r15.json" ] && \
+       head -c 120 "$OUT/ANNPROBE_VEC100M_r15.json" | grep -q '"degraded":false'; }; then
+  wait_idle
+  echo "=== AnnProbe 100M (disk-published) ==="
+  rm -rf /tmp/ivf100m
+  SPARK_GRAFT_ANN_PUBLISH_DIR=/tmp/ivf100m \
+  SPARK_GRAFT_ANN_RECALL_PROBES=50 SPARK_GRAFT_ANN_RUNS=1 \
+  SPARK_DRIVER_MEM=64g scripts/run_main.sh graft.sim.AnnProbe \
+    /tmp/vec100m "$OUT/ANNPROBE_VEC100M_r15.json" > /tmp/annprobe_100m.log 2>&1
+  echo "--- $(head -c 400 "$OUT/ANNPROBE_VEC100M_r15.json")"
+fi
+
+if ! { [ -f "$OUT/STREAMPROBE_HEALTH100K_VEC100M_r15.json" ] && \
+       head -c 120 "$OUT/STREAMPROBE_HEALTH100K_VEC100M_r15.json" | grep -q '"degraded":false'; }; then
+  wait_idle
+  echo "=== st_index_health @ 100k vec/s against the 100M/k=1414 artifact ==="
+  SPARK_GRAFT_HEALTH_DIR=/tmp/ivf100m SPARK_DRIVER_MEM=48g scripts/run_main.sh \
+    graft.tools.StreamThroughputProbe st_index_health /tmp/vec100m 100000 110 \
+    "$OUT/STREAMPROBE_HEALTH100K_VEC100M_r15.json" > /tmp/tput_health100m.log 2>&1
+  echo "--- $(head -c 400 "$OUT/STREAMPROBE_HEALTH100K_VEC100M_r15.json")"
+fi
+echo ANN100M_DONE
