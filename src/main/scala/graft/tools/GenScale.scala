@@ -110,18 +110,27 @@ object GenScale {
           zip_with(centerVec, rawVec,
             (c, r) => lit(math.sqrt(0.75)) * c / cn + lit(0.5) * r / rn)
         }
-      // spread BEFORE the per-row vector math: the source table is one
-      // parquet file (one partition), and crossJoin preserves that —
-      // without this the factor-1000 hash/fold work runs on ONE core
-      // and 2M vectors take ~40 min instead of ~2.
-      // Written DIRECTLY from the 256 compute partitions (not through
-      // write()'s repartition(32)): that second full shuffle of the
-      // finished vectors doubled peak disk and capped the 10^8-vector
-      // factor on a single host — and 256 files scan strictly better
-      // than 32 anyway (content is deterministic; file assignment
-      // affects no hash-checked result).
-      emb.crossJoin(reps)
-        .repartition(256)
+      // distribute the SOURCE vectors first, THEN replicate: the
+      // source table is one parquet file (one partition), so the
+      // factor rides a broadcast nested-loop join against the tiny
+      // reps frame and each of the 256 partitions births its own
+      // factor×(rows/256) replicas IN PLACE — no shuffle of the
+      // replicated rows at all. The previous shape
+      // (crossJoin THEN repartition(256)) pushed every replicated row
+      // through the exchange, and because the crossJoin inherited the
+      // scan's single partition, ONE task sorted+spilled the whole
+      // replicated corpus for the round-robin split — at factor 50000
+      // that is 10^8 rows × ~300 B through one core (measured: >20 min
+      // in UnsafeExternalSorter before the r15 rewrite, vs the
+      // per-row hash math being the only real work). Written DIRECTLY
+      // from the 256 compute partitions (not through write()'s
+      // repartition(32)): a post-compute shuffle of finished vectors
+      // doubled peak disk and capped the 10^8-vector factor on a
+      // single host — and 256 files scan strictly better than 32
+      // anyway (content is deterministic; file assignment affects no
+      // hash-checked result).
+      emb.repartition(256)
+        .crossJoin(broadcast(reps))
         .withColumn("_raw", rawCol)
         .withColumn("_nrm", sqrt(aggregate(col("_raw"), lit(0.0), (a, x) => a + x * x)))
         .withColumn("embedding",
