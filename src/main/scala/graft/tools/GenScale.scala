@@ -85,9 +85,22 @@ object GenScale {
     def scaleEmbeddings(clustered: Boolean): Unit = {
       val emb = read("embeddings")
       val V = stride(emb, "vec_id")
-      val rawVec = transform(sequence(lit(0), lit(63)), i =>
-        (pmod(xxhash64(col("vec_id"), col("rep"), i), lit(2001L)).cast("double")
-          - 1000.0) / 1000.0)
+      // every vector builder below is an EXPLICIT 64-element array of
+      // codegen-able expressions, not transform/aggregate/zip_with
+      // lambdas: higher-order functions always evaluate interpreted,
+      // and at factor 50000 that put ~10^10 interpreted xxhash64/pmod
+      // evals on the write path (measured: every executor thread
+      // pinned in HashExpression.eval). Same formula, same left-fold
+      // float order (0.0 + x² ≡ x² bitwise), so the produced vectors
+      // are bit-identical to the lambda form — replica r's vectors
+      // stay bit-identical across scale factors AND rounds.
+      val dims = 0 until 64
+      def sumSq(arr: String): Column =
+        dims.map(i => element_at(col(arr), i + 1) * element_at(col(arr), i + 1))
+          .reduce(_ + _)
+      val rawVec = array(dims.map(i =>
+        (pmod(xxhash64(col("vec_id"), col("rep"), lit(i)), lit(2001L)).cast("double")
+          - 1000.0) / 1000.0): _*)
       // `vectors` (clustered) regime: replica vectors are drawn around
       // 256 hash-derived unit cluster directions, v = √0.75·ĉ + 0.5·r̂
       // normalized — within-cluster cosine ≈ 0.75, cross-cluster ≈ 0.
@@ -98,17 +111,29 @@ object GenScale {
       // can only come from scan fraction. Both are pure hash functions
       // of (vec_id, rep, dim), so replica r's vectors are bit-identical
       // across scale factors — cross-scale probes see nested corpora.
-      val rawCol =
-        if (!clustered) rawVec
+      val withRaw =
+        if (!clustered)
+          (df: DataFrame) => df.withColumn("_raw", rawVec)
         else {
           val cidC = pmod(xxhash64(col("vec_id"), col("rep"), lit("cluster")), lit(256L))
-          val centerVec = transform(sequence(lit(0), lit(63)), i =>
-            (pmod(xxhash64(cidC, i, lit("center")), lit(2001L)).cast("double")
-              - 1000.0) / 1000.0)
-          val cn = sqrt(aggregate(centerVec, lit(0.0), (a, x) => a + x * x))
-          val rn = sqrt(aggregate(rawVec, lit(0.0), (a, x) => a + x * x))
-          zip_with(centerVec, rawVec,
-            (c, r) => lit(math.sqrt(0.75)) * c / cn + lit(0.5) * r / rn)
+          val centerVec = array(dims.map(i =>
+            (pmod(xxhash64(col("_cid"), lit(i), lit("center")), lit(2001L)).cast("double")
+              - 1000.0) / 1000.0): _*)
+          // _c/_r0 materialize once per row as named columns (the 64
+          // hash evals each); the norms and the combined vector then
+          // read them via element_at — without the intermediates, the
+          // 64-term norm sums inlined into 64 output elements would
+          // re-hash 64×64 times per row
+          (df: DataFrame) => df
+            .withColumn("_cid", cidC)
+            .withColumn("_c", centerVec)
+            .withColumn("_r0", rawVec)
+            .withColumn("_cn", sqrt(sumSq("_c")))
+            .withColumn("_rn", sqrt(sumSq("_r0")))
+            .withColumn("_raw", array(dims.map(i =>
+              lit(math.sqrt(0.75)) * element_at(col("_c"), i + 1) / col("_cn") +
+                lit(0.5) * element_at(col("_r0"), i + 1) / col("_rn")): _*))
+            .drop("_cid", "_c", "_r0", "_cn", "_rn")
         }
       // distribute the SOURCE vectors first, THEN replicate: the
       // source table is one parquet file (one partition), so the
@@ -129,13 +154,12 @@ object GenScale {
       // single host — and 256 files scan strictly better than 32
       // anyway (content is deterministic; file assignment affects no
       // hash-checked result).
-      emb.repartition(256)
-        .crossJoin(broadcast(reps))
-        .withColumn("_raw", rawCol)
-        .withColumn("_nrm", sqrt(aggregate(col("_raw"), lit(0.0), (a, x) => a + x * x)))
+      withRaw(emb.repartition(256).crossJoin(broadcast(reps)))
+        .withColumn("_nrm", sqrt(sumSq("_raw")))
         .withColumn("embedding",
           when(col("rep") === 0, col("embedding"))
-            .otherwise(transform(col("_raw"), x => (x / col("_nrm")).cast("float"))))
+            .otherwise(array(dims.map(i =>
+              (element_at(col("_raw"), i + 1) / col("_nrm")).cast("float")): _*)))
         .withColumn("vec_id", shift("vec_id", V))
         .drop("_raw", "_nrm", "rep")
         .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
