@@ -114,6 +114,9 @@ object StreamThroughputProbe {
     spark.conf.set("spark.sql.shuffle.partitions", "8")
 
     val obs = new ArrayBuffer[BatchObs]
+    // st_ann records which serving layout the deploy rule (or its env
+    // override) picked, so the capture artifact is self-describing
+    var servedPartitioned: Option[Boolean] = None
     val listener = new StreamingQueryListener {
       override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
       override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
@@ -277,6 +280,7 @@ object StreamThroughputProbe {
           case Some("0") => false
           case _ => graft.sim.IvfStore.partitionedLayoutDue(expProbes, nprobe, k)
         }
+        servedPartitioned = Some(partServe)
         val dir =
           if (adaptive) {
             val d = java.nio.file.Files.createTempDirectory("graft_ivf_pub").toString
@@ -339,6 +343,8 @@ object StreamThroughputProbe {
         s""""load_avg_start":${num(loadStart)},"query":"$query","provider":"$provider",""" +
         sys.env.get("SPARK_GRAFT_INGEST_STAGE")
           .map(st => s""""ingest_stage":"$st",""").getOrElse("") +
+        servedPartitioned
+          .map(p => s""""partitioned_serve":$p,""").getOrElse("") +
         s""""rate_rows_per_sec":$rate,"trigger_ms":$triggerMs,""" +
         s""""batches":${all.size},"warmup_excluded":$Warmup,""" +
         s""""rows_steady":$rows,"wall_sec_steady":${num(wallSec)},""" +
