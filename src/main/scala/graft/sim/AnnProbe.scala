@@ -47,6 +47,62 @@ object AnnProbe {
   private def num(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
+  /** Exact brute-force top-3 per probe WITHOUT shuffling the
+    * candidate volume: the window form (row_number over partitionBy
+    * probe_id) sort-exchanges recallProbes·n rows — 5·10⁹ rows
+    * (~100+ GB of spill) at 100M vectors, which is what killed the
+    * first r15 100M run on disk. Candidates never need to move: each
+    * scan partition keeps a bounded best-3 per probe
+    * (≤ recallProbes·3 tuples of state), and the global merge
+    * aggregates ≤ partitions·probes·3 rows. Ordering
+    * (cs DESC, neighbor_id ASC) matches the window's row_number
+    * ordering exactly, so the selected set is identical
+    * (window-equivalence pinned in AnnBruteTopKSpec).
+    */
+  private[graft] def bruteTop3(probesR: DataFrame, ev: DataFrame): DataFrame = {
+    val cand = broadcast(probesR)
+      .join(ev.select(col("vec_id").as("neighbor_id"), col("v")),
+        col("neighbor_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        graft.gfunctions.cosine(col("pv"), col("v")).as("cs"))
+    val partialSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("probe_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("neighbor_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cs",
+        org.apache.spark.sql.types.DoubleType)))
+    val partial = cand.mapPartitions { it =>
+      val best = scala.collection.mutable.Map[Long,
+        scala.collection.mutable.ArrayBuffer[(Long, Double)]]()
+      def worse(a: (Long, Double), b: (Long, Double)): Boolean =
+        a._2 < b._2 || (a._2 == b._2 && a._1 > b._1)
+      for (r <- it) {
+        val p = r.getLong(0); val nb = r.getLong(1); val c = r.getDouble(2)
+        val buf = best.getOrElseUpdate(p,
+          new scala.collection.mutable.ArrayBuffer[(Long, Double)](4))
+        if (buf.size < 3) buf += ((nb, c))
+        else {
+          var wi = 0
+          var i = 1
+          while (i < 3) { if (worse(buf(i), buf(wi))) wi = i; i += 1 }
+          if (worse(buf(wi), (nb, c))) buf(wi) = ((nb, c))
+        }
+      }
+      best.iterator.flatMap { case (p, buf) =>
+        buf.iterator.map { case (nb, c) => org.apache.spark.sql.Row(p, nb, c) }
+      }
+    }(org.apache.spark.sql.Encoders.row(partialSchema))
+    partial
+      // negated cs: sort_array's ascending struct order then IS
+      // (cs DESC, neighbor_id ASC) — row_number's ordering
+      .groupBy("probe_id")
+      .agg(slice(sort_array(collect_list(struct((-col("cs")).as("ncs"),
+        col("neighbor_id")))), 1, 3).as("top"))
+      .select(col("probe_id"), explode(col("top")).as("t"))
+      .select(col("probe_id"), col("t.neighbor_id").as("neighbor_id"))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val outFile = if (args.length > 1) Some(args(1)) else None
@@ -151,18 +207,8 @@ object AnnProbe {
 
     // RECALL vs brute force on the first `recallProbes` probes.
     val probesR = probes.filter(col("probe_id") < pBase + recallProbes)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("probe_id").orderBy(col("cs").desc, col("neighbor_id"))
     val (brute, secBrute) = time {
-      val b = graft.Caching.releaseAfter(
-        broadcast(probesR)
-          .join(ev.select(col("vec_id").as("neighbor_id"), col("v")),
-            col("neighbor_id") =!= col("probe_id"))
-          .select(col("probe_id"), col("neighbor_id"),
-            graft.gfunctions.cosine(col("pv"), col("v")).as("cs"))
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 3)
-          .select(col("probe_id"), col("neighbor_id")))
+      val b = graft.Caching.releaseAfter(bruteTop3(probesR, ev))
       b.count()
       b
     }

@@ -17,7 +17,7 @@ import graft.sources.Tables
   */
 object Sim {
 
-  private[sim] def vecs(s: SparkSession, d: String): DataFrame =
+  private[graft] def vecs(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
 
