@@ -13,8 +13,14 @@ OUT="${1:-/root/repo}"
 cd /root/repo
 
 free_gb() { df -BG --output=avail / | tail -1 | tr -dc 0-9; }
-if [ "$(free_gb)" -lt 65 ]; then
-  echo "ABORT: need >=65GB free for the 100M corpus + published index, have $(free_gb)G"
+# effective headroom counts what this script can reclaim or has
+# already paid for: the stale index is rm'd before the rebuild, and a
+# finished corpus (25G) no longer needs to fit in "free"
+RECLAIM=$(du -sBG /tmp/ivf100m 2>/dev/null | tr -dc 0-9); RECLAIM=${RECLAIM:-0}
+EFF=$(( $(free_gb) + RECLAIM ))
+if [ -f /tmp/vec100m/.done ]; then NEED=50; else NEED=75; fi
+if [ "$EFF" -lt "$NEED" ]; then
+  echo "ABORT: need >=${NEED}G effective (free+reclaimable index) for the 100M lifecycle, have ${EFF}G"
   exit 1
 fi
 
