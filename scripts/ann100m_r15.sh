@@ -45,15 +45,16 @@ if ! { [ -f "$OUT/ANNPROBE_VEC100M_r15.json" ] && \
        head -c 120 "$OUT/ANNPROBE_VEC100M_r15.json" | grep -q '"degraded":false'; }; then
   wait_idle
   echo "=== AnnProbe 100M (disk-published) ==="
-  rm -rf /tmp/ivf100m
-  # 200 probes, not the 1000 default: the search window exchanges
+  # 64 probes, not the 1000 default: the search window exchanges
   # n_probes*nprobe*n/k candidate rows, and at 100M/k=1414/nprobe=38
-  # the 1000-probe batch is ~2.7e9 rows (~65 GB raw spill) against the
-  # ~13 GB this host has free beside the corpus+index — the first r15
-  # attempt died there on disk. 200 probes keep per-probe cost (the
-  # measured number) identical and the spill inside the envelope.
+  # even 200 probes (~13 GB raw + map/reduce sort spill) overran the
+  # ~14 GB this host has free beside the 25G corpus + 39G index —
+  # both r15 attempts died there. 64 probes keep per-probe cost (the
+  # measured number) identical at ~4 GB of shuffle. The published
+  # index is REUSED if present (AnnProbe build_reused) — a retry must
+  # not pay the rebuild; rm -rf /tmp/ivf100m to force one.
   SPARK_GRAFT_ANN_PUBLISH_DIR=/tmp/ivf100m \
-  SPARK_GRAFT_ANN_PROBES=200 \
+  SPARK_GRAFT_ANN_PROBES=64 \
   SPARK_GRAFT_ANN_RECALL_PROBES=50 SPARK_GRAFT_ANN_RUNS=1 \
   SPARK_DRIVER_MEM=64g scripts/run_main.sh graft.sim.AnnProbe \
     /tmp/vec100m "$OUT/ANNPROBE_VEC100M_r15.json" > /tmp/annprobe_100m.log 2>&1

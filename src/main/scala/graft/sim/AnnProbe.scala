@@ -165,8 +165,20 @@ object AnnProbe {
     // cached assigned corpus alone is ~2x the corpus bytes), and it is
     // the truer production claim: build once, serve from storage.
     val publishDir = sys.env.get("SPARK_GRAFT_ANN_PUBLISH_DIR")
+    // a PUBLISH_DIR that already holds a published version is REUSED
+    // (build once, serve from storage — the lifecycle's whole point;
+    // a probe retry must not pay the ~30 min / 1.5x-corpus-bytes
+    // rebuild). sec_build then measures the artifact BOOT and the
+    // JSON says so via build_reused. SPARK_GRAFT_ANN_REBUILD=1 forces
+    // the full rebuild.
+    var buildReused = false
     val (idx, secBuild) = time {
       publishDir match {
+        case Some(dir)
+          if IvfStore.currentVersion(spark, dir) >= 0 &&
+            !sys.env.get("SPARK_GRAFT_ANN_REBUILD").contains("1") =>
+          buildReused = true
+          IvfStore.load(spark, dir)
         case Some(dir) =>
           val trainN = math.max(5000L, 50L * k)
           val cents = Sim.lloyd(e.filter(col("vec_id") < trainN), col("v"), k, 3)
@@ -232,7 +244,8 @@ object AnnProbe {
         s""""scan_frac":${num(nprobe.toDouble / k)},"shortlist":$shortlist,""" +
         s""""shortlist_rule":"$shortlistRule",""" +
         s""""probe_base":$pBase,"runs":$runs,""" +
-        s""""sec_build":${num(secBuild)},"sec_search":${num(secSearch)},""" +
+        s""""sec_build":${num(secBuild)},"build_reused":$buildReused,""" +
+        s""""sec_search":${num(secSearch)},""" +
         s""""ms_per_probe":${num(secSearch * 1000 / math.max(pCount, 1))},""" +
         s""""sec_filtered":${num(secFiltered)},"sec_books":${num(secBooks)},""" +
         s""""sec_encode":${num(secEncode)},"sec_adc":${num(secAdc)},""" +
