@@ -757,6 +757,17 @@ object Sim {
 
   /** Cell-routed search where candidates must match the probe's label
     * — the pre-filter entry point behind s_filtered_ann.
+    *
+    * Join order is the 100 TB-critical decision here: the label rides
+    * in AFTER the cell-routed candidate join and the cosine
+    * projection, so the label equi-join shuffles (probe_id,
+    * neighbor_id, cs, plabel) tuples — never the vector column. The
+    * pre-r15 shape (labels ⋈ the full index first) sort-exchanged
+    * both 100M-row sides INCLUDING the 512-byte vectors (~110 GB at
+    * the 100M decade probe — it died on disk there); this shape moves
+    * ~7 GB for the same rows. Still PRE-filtering: the label
+    * predicate applies before the top-k window, so a selective filter
+    * can never under-fill k.
     */
   def searchIvfProbesFiltered(idx: IvfIndex, labels: DataFrame,
                               probeFrame: DataFrame,
@@ -764,13 +775,16 @@ object Sim {
     val probes = probeCells(probeFrame, idx.centroids, nprobe)
       .join(labels.select(col("vec_id").as("probe_id"), col("label").as("plabel")),
         Seq("probe_id"))
-    val cands = idx.assigned.select(col("vec_id").as("neighbor_id"), col("v"), col("cid"))
-      .join(labels.select(col("vec_id").as("neighbor_id"), col("label")), Seq("neighbor_id"))
     val w = Window.partitionBy("probe_id").orderBy(col("cs").desc, col("neighbor_id"))
     broadcast(probes)
-      .join(cands, Seq("cid"))
-      .filter(col("neighbor_id") =!= col("probe_id") && col("label") === col("plabel"))
-      .select(col("probe_id"), col("neighbor_id"), cosine(col("pv"), col("v")).as("cs"))
+      .join(idx.assigned
+        .select(col("vec_id").as("neighbor_id"), col("v"), col("cid")), Seq("cid"))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("plabel"), col("neighbor_id"),
+        cosine(col("pv"), col("v")).as("cs"))
+      .join(labels.select(col("vec_id").as("neighbor_id"), col("label")),
+        Seq("neighbor_id"))
+      .filter(col("label") === col("plabel"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select(col("probe_id"), col("neighbor_id"), col("rank"),
