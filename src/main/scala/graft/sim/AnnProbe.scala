@@ -212,10 +212,16 @@ object AnnProbe {
       c
     }
     val ev = e.select(col("vec_id"), col("v"))
+    // refine-from-storage deploy rule (see searchIvfAdcProbes): the
+    // slim shortlist is nProbes×shortlist×16 B — when that bound is
+    // driver-sized, broadcast it so the corpus-with-vectors side never
+    // exchanges (AQE's sort-merge choice moved the full 52 GB index
+    // for a 230 MB shortlist at 100M and died on local disk)
+    val fetchBc = nProbes.toLong * shortlist * 16 <= (1L << 30)
     val secAdc =
       minOf(runs)(
         Sim.searchIvfAdcProbes(ev, probes, idx.centroids, books, coded, nprobe,
-          shortlist).count())
+          shortlist, fetchByBroadcast = fetchBc).count())
 
     // RECALL vs brute force on the first `recallProbes` probes.
     val probesR = probes.filter(col("probe_id") < pBase + recallProbes)
@@ -233,7 +239,7 @@ object AnnProbe {
     val recallIvf = recallOf(Sim.searchIvfProbes(idx, probesR, nprobe))
     val recallAdc =
       recallOf(Sim.searchIvfAdcProbes(ev, probesR, idx.centroids, books, coded,
-        nprobe, shortlist))
+        nprobe, shortlist, fetchByBroadcast = fetchBc))
 
     val loadAvg = graft.tools.Capture.loadAvg()
     val line =

@@ -1241,11 +1241,25 @@ object Sim {
     * re-rank fetch, `coded` is the PQ-coded corpus under the SAME
     * index whose centroids are passed as `cents`.
     */
+  /** `fetchByBroadcast`: force the exact-re-rank fetch join to
+    * broadcast the SLIM shortlist (two longs per row) instead of
+    * letting AQE choose. The caller decides from its known geometry
+    * (probes × shortlistN × 16 B): when that bound is driver-sized,
+    * broadcasting the query set means the corpus-with-vectors side
+    * NEVER exchanges — at the 100M decade probe AQE's sort-merge
+    * choice exchanged the full 52 GB index for a 230 MB shortlist and
+    * died on local disk. This is the refine-from-storage deploy rule:
+    * move the bounded query set to where the vectors live, never the
+    * store to the query set. Default false keeps gate-scale plans
+    * byte-identical (the ≤ AdcShortlist hint below already covers
+    * them).
+    */
   def searchIvfAdcProbes(e: DataFrame, probeFrame: DataFrame,
                          cents: Seq[(Long, Seq[Double])],
                          books: Seq[Seq[(Long, Seq[Double])]],
                          coded: DataFrame, nprobe: Int = 2,
-                         shortlistN: Int = AdcShortlist): DataFrame = {
+                         shortlistN: Int = AdcShortlist,
+                         fetchByBroadcast: Boolean = false): DataFrame = {
     def sub(c: Column, j: Int): Column = slice(c, j * PqSubLen + 1, PqSubLen)
     // per-probe ADC tables computed ONCE (before the cell explode
     // duplicates the probe row per cell), behind the same
@@ -1281,7 +1295,8 @@ object Sim {
       // the gate regime the fetch join drops the hint so AQE picks
       // the strategy from the shortlist's runtime size.
       val fetch =
-        if (shortlistN <= AdcShortlist) broadcast(shortlist) else shortlist
+        if (fetchByBroadcast || shortlistN <= AdcShortlist) broadcast(shortlist)
+        else shortlist
       // the pv re-attach carries NO broadcast hint: this entry point
       // takes an arbitrary probe frame, and a forced broadcast would
       // pin probes×512 B however large the batch — AQE broadcasts the
