@@ -61,13 +61,20 @@ if ! { [ -f "$OUT/ANNPROBE_VEC100M_r15.json" ] && \
   echo "--- $(head -c 400 "$OUT/ANNPROBE_VEC100M_r15.json")"
 fi
 
-if ! { [ -f "$OUT/STREAMPROBE_HEALTH100K_VEC100M_r15.json" ] && \
-       head -c 120 "$OUT/STREAMPROBE_HEALTH100K_VEC100M_r15.json" | grep -q '"degraded":false'; }; then
+# 60k vec/s, not the r14-planned 100k: the health row's marginal cost
+# is a k-row agg, but the batch's own assignment is ~90k MACs/row at
+# k=1414 — this host's measured assignment capacity is ~1.7e5 rows/s
+# (the 100M build: 1e8 rows in ~10 min), so 100k/s has no headroom
+# and the first slow batch starts a backlog death spiral (observed:
+# 4 batches in 18 min). 60k/s ≈ 35% capacity is the honest stable
+# point for ONE 32-core host serving a k=1414 index.
+if ! { [ -f "$OUT/STREAMPROBE_HEALTH60K_VEC100M_r15.json" ] && \
+       head -c 120 "$OUT/STREAMPROBE_HEALTH60K_VEC100M_r15.json" | grep -q '"degraded":false'; }; then
   wait_idle
-  echo "=== st_index_health @ 100k vec/s against the 100M/k=1414 artifact ==="
+  echo "=== st_index_health @ 60k vec/s against the 100M/k=1414 artifact ==="
   SPARK_GRAFT_HEALTH_DIR=/tmp/ivf100m SPARK_DRIVER_MEM=48g scripts/run_main.sh \
-    graft.tools.StreamThroughputProbe st_index_health /tmp/vec100m 100000 110 \
-    "$OUT/STREAMPROBE_HEALTH100K_VEC100M_r15.json" > /tmp/tput_health100m.log 2>&1
-  echo "--- $(head -c 400 "$OUT/STREAMPROBE_HEALTH100K_VEC100M_r15.json")"
+    graft.tools.StreamThroughputProbe st_index_health /tmp/vec100m 60000 110 \
+    "$OUT/STREAMPROBE_HEALTH60K_VEC100M_r15.json" > /tmp/tput_health100m.log 2>&1
+  echo "--- $(head -c 400 "$OUT/STREAMPROBE_HEALTH60K_VEC100M_r15.json")"
 fi
 echo ANN100M_DONE
