@@ -58,6 +58,16 @@ object AnnProbe {
     * (cs DESC, neighbor_id ASC) matches the window's row_number
     * ordering exactly, so the selected set is identical
     * (window-equivalence pinned in AnnBruteTopKSpec).
+    *
+    * Undefined cosines are EXCLUDED before either stage: a zero-norm
+    * corpus vector yields NULL cs (gfunctions.cosine's safeDiv),
+    * which would NPE the keeper's getDouble, and a NaN (non-finite
+    * vector entries) sorts inconsistently across the three orderings
+    * in play — the keeper's `<` drops it, the merge's negated
+    * sort_array puts it last, and the raw window form ranks it FIRST
+    * (Spark orders NaN greatest in a DESC sort). A recall denominator
+    * must never contain an undefined similarity; AnnBruteTopKSpec
+    * pins equivalence to the filtered window form.
     */
   private[graft] def bruteTop3(probesR: DataFrame, ev: DataFrame): DataFrame = {
     val cand = broadcast(probesR)
@@ -65,6 +75,7 @@ object AnnProbe {
         col("neighbor_id") =!= col("probe_id"))
       .select(col("probe_id"), col("neighbor_id"),
         graft.gfunctions.cosine(col("pv"), col("v")).as("cs"))
+      .filter(col("cs").isNotNull && !isnan(col("cs")))
     val partialSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("probe_id",
         org.apache.spark.sql.types.LongType),
@@ -177,6 +188,16 @@ object AnnProbe {
         case Some(dir)
           if IvfStore.currentVersion(spark, dir) >= 0 &&
             !sys.env.get("SPARK_GRAFT_ANN_REBUILD").contains("1") =>
+          // the published artifact must BE an index of THIS corpus at
+          // THIS geometry: a stale dir (different scale or k) would
+          // route probes through the wrong cells while recall and ADC
+          // run over the current corpus — silently wrong recall with
+          // only build_reused as a hint. Meta is a 1-row read.
+          val meta = IvfStore.loadMeta(spark, dir)
+          require(meta.n == n && meta.k == k,
+            s"AnnProbe: published index at $dir has n=${meta.n}, k=${meta.k} " +
+              s"but the current corpus computes n=$n, k=$k — rm -rf the dir " +
+              "or set SPARK_GRAFT_ANN_REBUILD=1 to rebuild for this corpus")
           buildReused = true
           IvfStore.load(spark, dir)
         case Some(dir) =>
@@ -213,11 +234,16 @@ object AnnProbe {
     }
     val ev = e.select(col("vec_id"), col("v"))
     // refine-from-storage deploy rule (see searchIvfAdcProbes): the
-    // slim shortlist is nProbes×shortlist×16 B — when that bound is
-    // driver-sized, broadcast it so the corpus-with-vectors side never
-    // exchanges (AQE's sort-merge choice moved the full 52 GB index
-    // for a 230 MB shortlist at 100M and died on local disk)
-    val fetchBc = nProbes.toLong * shortlist * 16 <= (1L << 30)
+    // slim shortlist is nProbes×shortlist×16 B raw — when that bound
+    // is driver-sized, broadcast it so the corpus-with-vectors side
+    // never exchanges (AQE's sort-merge choice moved the full 52 GB
+    // index for a 230 MB shortlist at 100M and died on local disk).
+    // The bound is on RAW bytes but the broadcast materializes as a
+    // HashedRelation at several× that (~40+ B/row for two longs plus
+    // hash structures), so the cutoff is 256 MB raw ≈ 1–1.5 GB
+    // in-memory per executor — not 1 GB raw, which near the bound
+    // would force a multi-GB relation where sort-merge belongs.
+    val fetchBc = nProbes.toLong * shortlist * 16 <= (256L << 20)
     val secAdc =
       minOf(runs)(
         Sim.searchIvfAdcProbes(ev, probes, idx.centroids, books, coded, nprobe,

@@ -137,7 +137,16 @@ object IvfStore {
     * The meta computation reads only (cid, d2) — a column-pruned
     * fraction of the index bytes.
     */
-  def save(idx: IvfIndex, dir: String, partitioned: Boolean = false): Unit = {
+  def save(idx: IvfIndex, dir: String, partitioned: Boolean = false): Unit =
+    save(idx, dir, partitioned, () => ())
+
+  /** `onStaged` runs after the staging write, before the claim — the
+    * seam where a concurrent publisher can fully publish v{next}
+    * first. Test-only (IvfStoreSpec drives the race through it
+    * deterministically); production callers use the 3-arg form.
+    */
+  private[graft] def save(idx: IvfIndex, dir: String, partitioned: Boolean,
+                          onStaged: () => Unit): Unit = {
     val s = idx.assigned.sparkSession
     import s.implicits._
     val cur = currentVersion(s, dir)
@@ -159,16 +168,27 @@ object IvfStore {
     Seq((m.d2Base, m.imbalance, m.k, m.n, partitioned))
       .toDF("d2_base", "imbalance", "k", "n", "partitioned")
       .write.mode("overwrite").parquet(s"$stage/meta")
+    onStaged()
     // claim v{next}: reclaim any MARKERLESS v{next} (wreckage from a
-    // crashed publisher — with a marker it would not be "next"), then
-    // a whole-dir rename. Staging makes artifact INTERLEAVING
-    // unrepresentable: v{next} only ever holds one writer's complete
-    // set (in the worst same-version race the last renamer's — still
-    // one complete internally-consistent set, and the marker create
-    // below fails loudly for exactly one of the racers). A failed
-    // rename (dest re-created under us) aborts this publisher.
+    // crashed publisher), then a whole-dir rename. "Markerless" is
+    // re-verified HERE, at claim time, not at the currentVersion read
+    // above — the artifact write between the two is long, and a
+    // concurrent publisher may have FULLY published v{next} (rename +
+    // marker) since; deleting its live, marker-referenced artifacts
+    // would leave THIS writer's set serving under the other's marker.
+    // Staging makes artifact INTERLEAVING unrepresentable: v{next}
+    // only ever holds one writer's complete set, and the residual
+    // check-to-rename race is covered by the failed-rename abort and
+    // the marker create(overwrite=false) failing loudly for exactly
+    // one of the racers.
     val vPath = new Path(vdir)
     val fs = hfs(s, vPath)
+    if (fs.exists(new Path(s"$dir/manifest/$next"))) {
+      fs.delete(new Path(stage), true)
+      throw new IllegalStateException(
+        s"IvfStore.save: version $next under $dir was claimed by a " +
+          "concurrent publisher — retry to publish as the next version")
+    }
     if (fs.exists(vPath)) fs.delete(vPath, true)
     if (!fs.rename(new Path(stage), vPath)) {
       fs.delete(new Path(stage), true)

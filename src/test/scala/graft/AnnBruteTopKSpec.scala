@@ -50,4 +50,41 @@ class AnnBruteTopKSpec extends SparkSpec {
     assert(got.contains(9001L) && got.contains(9002L))
     assert(got.size === 3)
   }
+
+  test("undefined cosines never enter the top-3: zero-norm and NaN corpus vectors") {
+    import spark.implicits._
+    val ev = graft.sim.Sim.vecs(spark, sfDir).select(col("vec_id"), col("v"))
+    val dim = ev.select(size(col("v"))).head().getInt(0)
+    // a zero-norm vector (cosine -> NULL via safeDiv) and a NaN-entry
+    // vector (cosine -> NaN) injected into the corpus: the raw window
+    // form would rank the NaN row FIRST (NaN orders greatest under
+    // DESC), and the keeper's getDouble would NPE on the NULL — both
+    // must simply be excluded from every probe's top-3
+    val zero = Seq((9101L, Seq.fill(dim)(0.0))).toDF("vec_id", "v")
+    val nan = Seq((9102L, Double.NaN +: Seq.fill(dim - 1)(1.0)))
+      .toDF("vec_id", "v")
+    val ev2 = ev.limit(40).unionByName(zero).unionByName(nan)
+    val probes = ev2.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+    val got = graft.sim.AnnProbe.bruteTop3(probes, ev2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.nonEmpty)
+    assert(!got.exists { case (_, nb) => nb == 9101L || nb == 9102L })
+    assert(got.groupBy(_._1).forall(_._2.length == 3))
+    // and the selected set still equals the window form over the
+    // FILTERED candidates (the pinned equivalence, NaN/NULL-free)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(col("cs").desc, col("neighbor_id"))
+    val windowed = broadcast(probes)
+      .join(ev2.select(col("vec_id").as("neighbor_id"), col("v")),
+        col("neighbor_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        graft.gfunctions.cosine(col("pv"), col("v")).as("cs"))
+      .filter(col("cs").isNotNull && !isnan(col("cs")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("probe_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.toSet === windowed)
+  }
 }

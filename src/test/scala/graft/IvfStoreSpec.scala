@@ -261,6 +261,35 @@ class IvfStoreSpec extends SparkSpec {
     assert(graft.sim.IvfStore.load(spark, dir).assigned.count() === idx.assigned.count())
   }
 
+  test("save aborts when a concurrent publisher FULLY published v{next} (marker present)") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("ivf_race").toString
+    val idx = graft.sim.Sim.ivfIndex(spark, sfDir, k = 8, iters = 3)
+    graft.sim.IvfStore.save(idx, dir) // v0 published
+    val winner = graft.sim.Sim.IvfIndex(
+      idx.assigned.filter(col("vec_id") < 100), idx.centroids)
+    val winnerCount = winner.assigned.count()
+    // the race, driven deterministically through the onStaged seam:
+    // the loser reads currentVersion=0 and stages its v1 artifacts;
+    // BEFORE its claim, a concurrent publisher fully publishes v1
+    // (rename + marker). The loser must abort WITHOUT deleting the
+    // winner's live, marker-referenced artifacts — pre-guard it
+    // deleted v1, renamed its own set under the winner's marker, and
+    // only then failed, leaving the winner serving the loser's index.
+    val ex = intercept[IllegalStateException] {
+      graft.sim.IvfStore.save(idx, dir, partitioned = false,
+        onStaged = () => graft.sim.IvfStore.save(winner, dir))
+    }
+    assert(ex.getMessage.contains("claimed by a concurrent publisher"))
+    // readers see the WINNER's v1, intact
+    assert(graft.sim.IvfStore.currentVersion(spark, dir) === 1L)
+    assert(graft.sim.IvfStore.load(spark, dir).assigned.count() === winnerCount)
+    // and no staging dirs survive the aborted publish
+    val stranded = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith(".stage"))
+    assert(stranded.isEmpty, s"stranded staging dirs: ${stranded.mkString(",")}")
+  }
+
   test("partitioned publish: load is prunable; search matches flat and prunes the scan") {
     val flatDir = java.nio.file.Files.createTempDirectory("ivf_flat").toString
     val partDir = java.nio.file.Files.createTempDirectory("ivf_part").toString
