@@ -243,7 +243,12 @@ object AnnProbe {
     // hash structures), so the cutoff is 256 MB raw ≈ 1–1.5 GB
     // in-memory per executor — not 1 GB raw, which near the bound
     // would force a multi-GB relation where sort-merge belongs.
-    val fetchBc = nProbes.toLong * shortlist * 16 <= (256L << 20)
+    // SPARK_GRAFT_ANN_FETCH_BC=1/0 overrides for probe geometries the
+    // caller knows better (local mode holds ONE copy of the relation,
+    // so a shortlist-sweep point just past the rule's cutoff can
+    // still broadcast); the JSON records which path ran.
+    val fetchBc = sys.env.get("SPARK_GRAFT_ANN_FETCH_BC").map(_ == "1")
+      .getOrElse(nProbes.toLong * shortlist * 16 <= (256L << 20))
     val secAdc =
       minOf(runs)(
         Sim.searchIvfAdcProbes(ev, probes, idx.centroids, books, coded, nprobe,
@@ -281,6 +286,7 @@ object AnnProbe {
         s""""ms_per_probe":${num(secSearch * 1000 / math.max(pCount, 1))},""" +
         s""""sec_filtered":${num(secFiltered)},"sec_books":${num(secBooks)},""" +
         s""""sec_encode":${num(secEncode)},"sec_adc":${num(secAdc)},""" +
+        s""""fetch_broadcast":$fetchBc,""" +
         s""""recall_probes":$recallProbes,"sec_brute":${num(secBrute)},""" +
         s""""recall_ivf_at3":${num(recallIvf)},"recall_adc_at3":${num(recallAdc)},""" +
         s""""load_avg":${num(loadAvg)}}"""

@@ -136,17 +136,28 @@ object IvfStore {
     * the index prunable and Sim.searchIvfProbes applies the push.
     * The meta computation reads only (cid, d2) — a column-pruned
     * fraction of the index bytes.
+    *
+    * `exchange=false` (partitioned only) skips the repartition and
+    * writes the layout MAP-SIDE from the input's own partitions —
+    * files per cell = input partitions that contain it, not one. The
+    * cell-exchange is the right default (co-located single-file
+    * cells), but it stages the full corpus through shuffle disk; a
+    * publisher whose upstream is already well-partitioned — or whose
+    * node cannot hold corpus + shuffle + staged layout at once — can
+    * trade file granularity for zero shuffle. Pruning semantics are
+    * identical (PartitionFilters skip directories either way).
     */
-  def save(idx: IvfIndex, dir: String, partitioned: Boolean = false): Unit =
-    save(idx, dir, partitioned, () => ())
+  def save(idx: IvfIndex, dir: String, partitioned: Boolean = false,
+           exchange: Boolean = true): Unit =
+    save(idx, dir, partitioned, exchange, () => ())
 
   /** `onStaged` runs after the staging write, before the claim — the
     * seam where a concurrent publisher can fully publish v{next}
     * first. Test-only (IvfStoreSpec drives the race through it
-    * deterministically); production callers use the 3-arg form.
+    * deterministically); production callers use the public form.
     */
   private[graft] def save(idx: IvfIndex, dir: String, partitioned: Boolean,
-                          onStaged: () => Unit): Unit = {
+                          exchange: Boolean, onStaged: () => Unit): Unit = {
     val s = idx.assigned.sparkSession
     import s.implicits._
     val cur = currentVersion(s, dir)
@@ -156,11 +167,11 @@ object IvfStore {
     // same version writes somewhere ELSE, so v{next} can only ever
     // hold ONE writer's complete artifact set — never an interleaving
     val stage = s"$dir/.stage_v${next}_${java.util.UUID.randomUUID().toString.take(8)}"
-    if (partitioned)
-      idx.assigned.select(col("vec_id"), col("v"), col("d2"), col("cid"))
-        .repartition(col("cid"))
+    if (partitioned) {
+      val sel = idx.assigned.select(col("vec_id"), col("v"), col("d2"), col("cid"))
+      (if (exchange) sel.repartition(col("cid")) else sel)
         .write.mode("overwrite").partitionBy("cid").parquet(s"$stage/assigned")
-    else
+    } else
       idx.assigned.write.mode("overwrite").parquet(s"$stage/assigned")
     idx.centroids.toDF("cid", "cv")
       .write.mode("overwrite").parquet(s"$stage/centroids")

@@ -268,20 +268,35 @@ object StreamThroughputProbe {
         // STREAMPROBE_ANN5_K200_*_r14: the pruned path is the only
         // stable sustained run at 35% coverage).
         // SPARK_GRAFT_ANN_PARTITIONED=1/0 overrides the rule.
+        // SPARK_GRAFT_HEALTH_DIR: boot from an ALREADY-published
+        // artifact (the decade-scale serving shape — an in-session
+        // rebuild at 10^8 vectors fits neither this host's disk nor
+        // a capture budget); k/nprobe/layout come from the
+        // artifact's meta. SPARK_GRAFT_ANN_PRUNE=0 then serves the
+        // SAME artifact with pruning disabled — the flat-scan
+        // control for a pruned-vs-flat A/B at a scale where two
+        // 39 GB layouts cannot coexist on one host's disk.
         val adaptive = sys.env.get("SPARK_GRAFT_HEALTH_ADAPTIVE").contains("1")
-        val k =
+        val bootDir = sys.env.get("SPARK_GRAFT_HEALTH_DIR")
+        val bootMeta = bootDir.map(d => graft.sim.IvfStore.loadMeta(spark, d))
+        val k = bootMeta.map(_.k.toInt).getOrElse {
           if (adaptive)
             graft.sim.Sim.semDedupCells(graft.sim.Sim.corpusCount(spark, sfDir))
           else 8
+        }
         val nprobe = math.max(2, math.round(math.sqrt(k.toDouble)).toInt)
         val expProbes = math.max(1L, rate.toLong * triggerMs / 1000L)
-        val partServe = sys.env.get("SPARK_GRAFT_ANN_PARTITIONED") match {
-          case Some("1") => true
-          case Some("0") => false
-          case _ => graft.sim.IvfStore.partitionedLayoutDue(expProbes, nprobe, k)
+        val partServe = bootMeta match {
+          case Some(m) =>
+            m.partitioned && !sys.env.get("SPARK_GRAFT_ANN_PRUNE").contains("0")
+          case None => sys.env.get("SPARK_GRAFT_ANN_PARTITIONED") match {
+            case Some("1") => true
+            case Some("0") => false
+            case _ => graft.sim.IvfStore.partitionedLayoutDue(expProbes, nprobe, k)
+          }
         }
         servedPartitioned = Some(partServe)
-        val dir =
+        val dir = bootDir.getOrElse {
           if (adaptive) {
             val d = java.nio.file.Files.createTempDirectory("graft_ivf_pub").toString
             graft.sim.IvfStore.save(
@@ -290,10 +305,18 @@ object StreamThroughputProbe {
             d
           } else graft.sim.Sim.publishedIndexDir(spark, sfDir, k = 8, iters = 3,
             partitioned = partServe)
-        val idx = graft.sim.IvfStore.load(spark, dir)
-        if (!partServe)
+        }
+        val loaded = graft.sim.IvfStore.load(spark, dir)
+        val idx = if (loaded.prunable && !partServe) loaded.copy(prunable = false)
+          else loaded
+        // serve from memory only when the index plausibly FITS: ~536 B
+        // per row (64 doubles + ids) vs half the heap. At 2M that is
+        // the measured flat-serve shape; a 100M flat control must
+        // serve from storage or the persist itself dies on local disk.
+        val estBytes = graft.sim.IvfStore.loadMeta(spark, dir).n * 536L
+        if (!partServe && estBytes <= Runtime.getRuntime.maxMemory() / 2)
           idx.assigned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-            .count() // serve from memory — load the index OUTSIDE the window
+            .count() // load the index OUTSIDE the window
         val raw = transform(sequence(lit(0), lit(63)), i =>
           (pmod(xxhash64(col("probe_id"), lit(999), i), lit(2001L)).cast("double")
             - 1000.0) / 1000.0)

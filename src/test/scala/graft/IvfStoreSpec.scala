@@ -277,7 +277,7 @@ class IvfStoreSpec extends SparkSpec {
     // deleted v1, renamed its own set under the winner's marker, and
     // only then failed, leaving the winner serving the loser's index.
     val ex = intercept[IllegalStateException] {
-      graft.sim.IvfStore.save(idx, dir, partitioned = false,
+      graft.sim.IvfStore.save(idx, dir, partitioned = false, exchange = true,
         onStaged = () => graft.sim.IvfStore.save(winner, dir))
     }
     assert(ex.getMessage.contains("claimed by a concurrent publisher"))
@@ -323,6 +323,30 @@ class IvfStoreSpec extends SparkSpec {
     val sparse = graft.sim.Sim.searchIvfProbes(part, oneProbe)
     assert(rows(sparse) ===
       rows(graft.sim.Sim.searchIvfProbes(flat, oneProbe)))
+    val plan = sparse.queryExecution.executedPlan.toString
+    assert("""PartitionFilters: \[[^\]]*cid#\d+L? IN""".r.findFirstIn(plan).isDefined,
+      s"probed-cell IN filter did not reach PartitionFilters:\n$plan")
+  }
+
+  test("map-side partitioned publish (exchange=false): same pruning, same results") {
+    import org.apache.spark.sql.functions.col
+    val exDir = java.nio.file.Files.createTempDirectory("ivf_part_ex").toString
+    val mapDir = java.nio.file.Files.createTempDirectory("ivf_part_map").toString
+    val idx = graft.sim.Sim.ivfIndex(spark, sfDir, k = 8, iters = 3)
+    graft.sim.IvfStore.save(idx, exDir, partitioned = true)
+    graft.sim.IvfStore.save(idx, mapDir, partitioned = true, exchange = false)
+    val ex = graft.sim.IvfStore.load(spark, exDir)
+    val mp = graft.sim.IvfStore.load(spark, mapDir)
+    // identical meta and pruning semantics — only file granularity
+    // differs (files per cell = input partitions, not one)
+    assert(mp.prunable)
+    assert(graft.sim.IvfStore.loadMeta(spark, mapDir) ===
+      graft.sim.IvfStore.loadMeta(spark, exDir))
+    assert(rows(graft.sim.Sim.searchIvf(mp)) === rows(graft.sim.Sim.searchIvf(ex)))
+    val oneProbe = mp.assigned.filter(col("vec_id") < 1)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+    val sparse = graft.sim.Sim.searchIvfProbes(mp, oneProbe)
+    assert(rows(sparse) === rows(graft.sim.Sim.searchIvfProbes(ex, oneProbe)))
     val plan = sparse.queryExecution.executedPlan.toString
     assert("""PartitionFilters: \[[^\]]*cid#\d+L? IN""".r.findFirstIn(plan).isDefined,
       s"probed-cell IN filter did not reach PartitionFilters:\n$plan")
