@@ -86,16 +86,19 @@ tput_env() { # outfile query sfdir rate batches mem extra-env...
 }
 
 # 1. Serving-default confirmation at the sparse geometry (the rule
-# must pick partitioned: 5 probes x nprobe 14 < k=200) and the dense
-# control (75 x 14 >= 200 -> flat). Rate 75, NOT probes_r15.sh's
-# planned 2000: the boundary is expProbes >= k/nprobe ~ 15, so 75 is
-# decisively dense AND is the r14-measured control geometry
-# (STREAMPROBE_ANN75_K200_CTRL_r14) — at 2000/s each batch sorts
-# ~280M candidate rows and the spill killed this host's 12 GB of
-# free disk on the first execution attempt.
+# must pick partitioned: 5 probes x nprobe 14 < k=200) and a dense
+# control (20 x 14 >= 200 -> flat). Rate 20, NOT probes_r15.sh's
+# planned 2000 or r14's 50-75: the rule boundary is expProbes >=
+# k/nprobe ~ 15, and past-critical rates spiral on this host — an
+# overrun batch accumulates rate x batch-seconds extra probes, each
+# probe costs ~0.02-0.05 s of candidate sort, so at rate x cost > 1
+# probes/batch grow without bound (observed: 59 s -> 105 s batches
+# at rate 75, a 1.1B-row sort, and the spill ate the 12 GB this host
+# has free beside the 64 GB of resident 100M artifacts). Rate 20
+# keeps the loop contractive while still being decisively dense.
 tput_env STREAMPROBE_ANN5_K200_DEFAULT_r16.json st_ann /tmp/vec2m 5 110 24g \
   SPARK_GRAFT_HEALTH_ADAPTIVE=1
-tput_env STREAMPROBE_ANN75_K200_DEFAULT_r16.json st_ann /tmp/vec2m 75 110 24g \
+tput_env STREAMPROBE_ANN20_K200_DEFAULT_r16.json st_ann /tmp/vec2m 20 110 48g \
   SPARK_GRAFT_HEALTH_ADAPTIVE=1
 
 # 2. Same-session binary A/B at sf0.1, min-of-3, idle.
