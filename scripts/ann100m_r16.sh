@@ -40,14 +40,17 @@ have_clean() {
 
 [ -f /tmp/vec100m/.done ] || { echo "ABORT: /tmp/vec100m corpus missing"; exit 1; }
 
-# 1. 100M health stream at the sustainable 60k vec/s (see
-# scripts/ann100m_r15.sh for the capacity derivation: assignment is
-# ~90k MACs/row at k=1414; 60k/s is ~35% of this host's measured
-# 1.7e5 rows/s assignment capacity).
+# 1. 100M health stream at 60k vec/s. RATE_PARTS=32: the rate
+# source's partitions ARE the map-side parallelism of the k=1414
+# assignment (~90k MACs/row) — at the probe's historical 4 source
+# partitions the capture is a 4-core measurement (~33k rows/s
+# observed, a backlog spiral at 60k); sized to the host's cores the
+# same assignment sustains ~8x that, and 60k/s is ~30% utilization.
 if ! have_clean STREAMPROBE_HEALTH60K_VEC100M_r16.json; then
   wait_idle
   echo "=== st_index_health @ 60k vec/s against the 100M/k=1414 artifact ==="
-  SPARK_GRAFT_HEALTH_DIR=/tmp/ivf100m SPARK_DRIVER_MEM=48g scripts/run_main.sh \
+  SPARK_GRAFT_HEALTH_DIR=/tmp/ivf100m SPARK_GRAFT_RATE_PARTS=32 \
+  SPARK_DRIVER_MEM=48g scripts/run_main.sh \
     graft.tools.StreamThroughputProbe st_index_health /tmp/vec100m 60000 110 \
     "$OUT/STREAMPROBE_HEALTH60K_VEC100M_r16.json" > /tmp/tput_health100m_r16.log 2>&1
   echo "--- $(head -c 400 "$OUT/STREAMPROBE_HEALTH60K_VEC100M_r16.json")"
