@@ -902,12 +902,25 @@ object Sim {
     * corpora: candidates/probe ≤ 600; the harness gates top out at
     * 500), self-scales beyond it.
     */
-  private[graft] def adcShortlist(candidatesPerProbe: Long): Int =
-    // clamp BEFORE narrowing: candidates/probe beyond ~25.8B would
+  private[graft] def adcShortlist(candidatesPerProbe: Long): Int = {
+    // decade knee (r16): at 100M vectors (2.69M candidates/probe) the
+    // cand/12 cut read recall_adc@3 0.947 — PQ distance error at a
+    // fixed code length displaces more of the true top-3 as the
+    // candidate pool grows, so the re-ranked FRACTION must grow with
+    // it. cand/8 at the same geometry read 0.993 with sec_adc
+    // unchanged (114.6 vs 113.7 s: the ADC scan, not the exact
+    // re-rank, owns the wall once the shortlist is slim) —
+    // ANNPROBE_VEC100M_r15 vs ANNPROBE_VEC100M_SL8_r16. Below ~1M
+    // candidates the r11 sweep showed cand/12 already saturating
+    // (1.000 / 1.000 / 0.987 at 2M/5M/20M vectors), so the knee point
+    // only moves the regime the sweep never covered.
+    val divisor = if (candidatesPerProbe >= (1L << 20)) 8L else 12L
+    // clamp BEFORE narrowing: candidates/probe beyond ~17B would
     // wrap toInt negative and the arank cut would silently return
     // zero rows instead of a full re-rank
     math.min(Int.MaxValue.toLong,
-      math.max(AdcShortlist.toLong, candidatesPerProbe / 12L)).toInt
+      math.max(AdcShortlist.toLong, candidatesPerProbe / divisor)).toInt
+  }
 
   /** Oracle-gated runs (Verify sets graft.assertFixedCap) compare
     * against SQL with a literal `arank <= 50` cut — a shortlist that

@@ -151,6 +151,13 @@ class IvfRecallSpec extends SparkSpec {
     assert(graft.sim.Sim.adcShortlist(500) === 50)
     assert(graft.sim.Sim.adcShortlist(600) === 50)
     assert(graft.sim.Sim.adcShortlist(25000) === 2083)
+    // the decade knee (r16): past ~1M candidates/probe the divisor
+    // drops to 8 — at the measured 100M geometry (2.69M cand/probe)
+    // cand/12 read recall_adc@3 0.947 vs cand/8's 0.993 at unchanged
+    // ADC wall (ANNPROBE_VEC100M_r15 vs ANNPROBE_VEC100M_SL8_r16)
+    assert(graft.sim.Sim.adcShortlist((1L << 20) - 1) === 87381) // cand/12
+    assert(graft.sim.Sim.adcShortlist(1L << 20) === 131072)      // cand/8
+    assert(graft.sim.Sim.adcShortlist(2687411L) === 335926)      // the 100M point
     System.setProperty("graft.assertFixedCap", "true")
     try {
       intercept[IllegalStateException] {
