@@ -164,7 +164,10 @@ object AnnProbe {
     // fixed-override capture from the registered operator rule
     val shortlistRule = shortlistEnv
       .map(v => s"env_fixed_$v")
-      .getOrElse("max(50,cand/12)")
+      .getOrElse {
+        val cand = nprobe.toLong * n / math.max(k, 1)
+        s"max(50,cand/${Sim.adcShortlistDivisor(cand)})"
+      }
 
     // BUILD — the one unrepeatable phase: train + assign + materialize.
     // Default: the in-session memoized index (cache blocks), forced

@@ -914,13 +914,21 @@ object Sim {
     // candidates the r11 sweep showed cand/12 already saturating
     // (1.000 / 1.000 / 0.987 at 2M/5M/20M vectors), so the knee point
     // only moves the regime the sweep never covered.
-    val divisor = if (candidatesPerProbe >= (1L << 20)) 8L else 12L
     // clamp BEFORE narrowing: candidates/probe beyond ~17B would
     // wrap toInt negative and the arank cut would silently return
     // zero rows instead of a full re-rank
     math.min(Int.MaxValue.toLong,
-      math.max(AdcShortlist.toLong, candidatesPerProbe / divisor)).toInt
+      math.max(AdcShortlist.toLong,
+        candidatesPerProbe / adcShortlistDivisor(candidatesPerProbe))).toInt
   }
+
+  /** The knee-selected divisor — exposed so probe artifacts
+    * self-describe the EXACT rule that produced their shortlist
+    * (AnnProbe's shortlist_rule field) instead of a hardcoded label
+    * that could drift from the code.
+    */
+  private[graft] def adcShortlistDivisor(candidatesPerProbe: Long): Long =
+    if (candidatesPerProbe >= (1L << 20)) 8L else 12L
 
   /** Oracle-gated runs (Verify sets graft.assertFixedCap) compare
     * against SQL with a literal `arank <= 50` cut — a shortlist that
