@@ -113,7 +113,8 @@ object Bench {
 
   def compactLine(total: Double, timings: Seq[(String, Double)],
                   errors: Map[String, String], gcMs: Long, loadAvg: Double,
-                  sfDir: String, subsetTag: String, budget: Int = 1700): String = {
+                  sfDir: String, subsetTag: String, budget: Int = 1700,
+                  loadAvgStart: Double = 0.0): String = {
     // errors are the content a consumer most needs, but a run where
     // MANY queries fail must not blow the tail budget either: include
     // sorted errors until they use at most half the budget, collapse
@@ -137,9 +138,17 @@ object Bench {
       val omitTag =
         if (omitted == 0) ""
         else s""","queries_omitted":$omitted,"omitted_sec":${num(omittedSec, 3)}"""
+      // n_errors and degraded live in the FIRST ~120 bytes by contract:
+      // the round scripts' cleanliness gate is a `head -c 120 | grep`
+      // (a full-line grep can't run on the driver's truncated tail),
+      // and the r16 sweep landed an errored artifact as "clean"
+      // precisely because n_errors sat at the end of the line.
       s"""{"metric":"total","value":${num(total, 3)},"unit":"sec"""" +
+        s""","n_errors":${errors.size}""" +
+        s""","degraded":${tools.Capture.degraded(loadAvgStart)}""" +
+        s""","load_avg_start":${num(loadAvgStart, 2)}""" +
         s""","queries":${qEntries.mkString("{", ",", "}")}$omitTag""" +
-        s""","n_errors":${errors.size},"errors":$errorsJson""" +
+        s""","errors":$errorsJson""" +
         s""","gc_ms":$gcMs,"load_avg":${num(loadAvg, 2)},"sf":"$sfDir"""" +
         s""","full":"bench_out.json"$subsetTag}"""
     }
@@ -172,6 +181,10 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // Sampled BEFORE the session/warmup drives the 1-min average up:
+    // this is the value `degraded` is computed from (Capture.degraded
+    // contract — the tool's own executors make the END load useless).
+    val loadAvgStart = tools.Capture.loadAvg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
       .getOrElse(Runtime.getRuntime.availableProcessors())
@@ -235,7 +248,10 @@ object Bench {
         jsonStr(k) + s""":{"bytes":$b,"mb_s":${num(b / 1e6 / t, 1)}}""") }
       .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs""" +
+      s"""{"metric":"total","value":$total,"unit":"sec"""" +
+        s""","n_errors":${res.errors.size}""" +
+        s""","degraded":${tools.Capture.degraded(loadAvgStart)}""" +
+        s""","load_avg_start":${num(loadAvgStart, 2)},"queries":$qs""" +
         s""","errors":$errorsJson,"spreads":$spreadsJson,"gc_per_query":$gcPerJson""" +
         s""","sink_io":$sinkJson""" +
         s""","gc_ms":$gcMs,"load_avg":$loadAvg,"sf":"$sfDir"$subsetTag}"""
@@ -247,7 +263,7 @@ object Bench {
     // `head -1 bench_out.json` reproduces the driver contract even
     // when the stdout tail was truncated; line 2 is the full JSON.
     val compact = compactLine(total, res.timings, res.errors, gcMs, loadAvg,
-      sfDir, subsetTag)
+      sfDir, subsetTag, loadAvgStart = loadAvgStart)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
       compact + "\n" + line + "\n")

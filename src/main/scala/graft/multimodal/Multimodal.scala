@@ -10,9 +10,11 @@ import graft.sources.Tables
 /** Multimodal-column plumbing (SURVEY.md §2.F).
   *
   * Media payloads are opaque `binary` columns + a DECLARED media-type
-  * column + typed metadata. The decode slot REALLY decodes two public
-  * formats — binary PPM (P6) images ([[decodePpm]]) and RIFF WAV-PCM
-  * audio ([[decodeWavPcm]]): pure-JVM header parse + exact
+  * column + typed metadata. The decode slot REALLY decodes three
+  * public formats — binary PPM (P6) images ([[decodePpm]]), PNG
+  * images ([[decodePng]] — chunk CRCs + DEFLATE raster via
+  * java.util.zip, all five scanline filters), and RIFF WAV-PCM
+  * audio ([[decodeWavPcm]]): pure-JVM parse + exact
   * pixel/sample stats, no codec libs, byte-exact against known
   * fixtures in MultimodalSpec. Dispatch is on the declared media type
   * (never content sniffing — a text payload that happens to parse as
@@ -193,6 +195,153 @@ object Multimodal {
       if (nSamples == 0) 0.0 else sumAbs.toDouble / nSamples, maxAbs.toDouble))
   }
 
+  /** Real decode of PNG — the third public codec-less-on-the-JVM
+    * format: the container is chunks with CRC32s and the raster is
+    * DEFLATE, both in java.util.zip (Inflater/CRC32), no codec libs.
+    * Supported: 8-bit depth, color types 0 (gray), 2 (RGB), 4
+    * (gray+alpha), 6 (RGBA), no interlace — the shapes PNG encoders
+    * emit for photographic/synthetic data. Scanline filters 0–4
+    * (None/Sub/Up/Average/Paeth) are fully reconstructed per the
+    * spec's byte-recurrences, then the feature vector is the SAME
+    * shape as [[decodePpm]]'s: [w, h, meanR, meanG, meanB] with
+    * gray broadcast to all three channels and alpha excluded — so
+    * the same pixels encoded as PPM and as PNG produce IDENTICAL
+    * features (pinned in MultimodalSpec).
+    *
+    * STRICT validation (None → caller falls back to the stub path):
+    * 8-byte signature, IHDR first, EVERY chunk CRC32 verified, chunk
+    * walk must end exactly at the payload end with IEND last and
+    * empty, inflated raster must be exactly h·(1 + w·bpp) bytes with
+    * a valid filter id on every scanline, and the inflater must
+    * consume ALL compressed input — so a truncated or padded payload
+    * can never half-decode.
+    */
+  private[graft] def decodePng(bytes: Array[Byte]): Option[Array[Double]] = {
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    if (bytes.length < 8 + 25 || !sig.indices.forall(j => bytes(j) == sig(j)))
+      return None
+    def u32(i: Int): Long =
+      ((bytes(i) & 0xffL) << 24) | ((bytes(i + 1) & 0xffL) << 16) |
+      ((bytes(i + 2) & 0xffL) << 8) | (bytes(i + 3) & 0xffL)
+    def tag(i: Int): String =
+      new String(bytes, i + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    // chunk walk: verify every CRC (type + data), collect IHDR + IDAT
+    var i = 8
+    var w = -1L; var h = -1L; var colorType = -1
+    var sawIhdr = false; var sawIend = false
+    val idat = new java.io.ByteArrayOutputStream()
+    val crc = new java.util.zip.CRC32()
+    while (i < bytes.length && !sawIend) {
+      if (i + 12 > bytes.length) return None
+      val len = u32(i)
+      if (len > Int.MaxValue - 12 || i + 12 + len > bytes.length) return None
+      val t = tag(i)
+      crc.reset(); crc.update(bytes, i + 4, 4 + len.toInt)
+      if (crc.getValue != u32(i + 8 + len.toInt)) return None
+      t match {
+        case "IHDR" =>
+          if (sawIhdr || len != 13) return None
+          sawIhdr = true
+          w = u32(i + 8); h = u32(i + 12)
+          val bitDepth = bytes(i + 16) & 0xff
+          colorType = bytes(i + 17) & 0xff
+          val (compression, filter, interlace) =
+            (bytes(i + 18) & 0xff, bytes(i + 19) & 0xff, bytes(i + 20) & 0xff)
+          if (w <= 0 || h <= 0 || w * h > Int.MaxValue / 8) return None
+          if (bitDepth != 8 || compression != 0 || filter != 0 ||
+              interlace != 0) return None
+          if (colorType != 0 && colorType != 2 && colorType != 4 &&
+              colorType != 6) return None
+        case "IDAT" =>
+          if (!sawIhdr) return None
+          idat.write(bytes, i + 8, len.toInt)
+        case "IEND" =>
+          if (!sawIhdr || len != 0) return None
+          sawIend = true
+        case _ =>
+          if (!sawIhdr) return None // ancillary chunks only after IHDR
+      }
+      i += 12 + len.toInt
+    }
+    if (!sawIend || i != bytes.length) return None
+    val bpp = colorType match {
+      case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
+    }
+    val stride = (w * bpp).toInt
+    val rasterLen = (h * (1 + stride)).toInt
+    // decompression-bomb guard: the raster buffer is allocated from
+    // the DECLARED dims before inflating, so bound it by DEFLATE's
+    // maximum expansion (~1032:1) over the actual compressed bytes —
+    // a 100-byte payload declaring a gigapixel IHDR allocates nothing
+    if (rasterLen > 1040L * idat.size() + 65536L) return None
+    // +1 spare byte: a stream longer than the raster overflows into it
+    // and fails the exact-length check below (inflate() is not
+    // guaranteed to drain in one call, so loop to finished())
+    val buf = new Array[Byte](rasterLen + 1)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    var got = 0
+    try {
+      var stuck = false
+      while (!inf.finished() && got < buf.length && !stuck) {
+        val n = inf.inflate(buf, got, buf.length - got)
+        if (n == 0 && !inf.finished()) stuck = true // truncated stream
+        got += n
+      }
+      if (!inf.finished() || inf.getRemaining > 0) return None
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    finally inf.end()
+    if (got != rasterLen) return None
+    val raster = buf
+    // defilter in place into `px` (h rows × stride bytes)
+    val px = new Array[Byte](h.toInt * stride)
+    var row = 0
+    while (row < h) {
+      val fOff = row * (1 + stride)
+      val ft = raster(fOff) & 0xff
+      if (ft > 4) return None
+      val out = row * stride
+      val prev = out - stride
+      var x = 0
+      while (x < stride) {
+        val rawB = raster(fOff + 1 + x) & 0xff
+        val a = if (x >= bpp) px(out + x - bpp) & 0xff else 0
+        val b = if (row > 0) px(prev + x) & 0xff else 0
+        val c = if (row > 0 && x >= bpp) px(prev + x - bpp) & 0xff else 0
+        val rec = ft match {
+          case 0 => rawB
+          case 1 => rawB + a
+          case 2 => rawB + b
+          case 3 => rawB + ((a + b) >> 1)
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b)
+            val pc = math.abs(p - c)
+            rawB + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+        }
+        px(out + x) = (rec & 0xff).toByte
+        x += 1
+      }
+      row += 1
+    }
+    // channel means, alpha excluded; gray broadcast to R=G=B
+    val np = w * h
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var p = 0
+    while (p < px.length) {
+      colorType match {
+        case 0 | 4 =>
+          val v = px(p) & 0xff
+          sr += v; sg += v; sb += v
+        case 2 | 6 =>
+          sr += px(p) & 0xff; sg += px(p + 1) & 0xff; sb += px(p + 2) & 0xff
+      }
+      p += bpp
+    }
+    Some(Array(w.toDouble, h.toDouble,
+      sr.toDouble / np, sg.toDouble / np, sb.toDouble / np))
+  }
+
   /** The stub for formats without a pure-JVM decode: a real pipeline
     * would decode other media payloads here (JPEG/MP4/... — codec libs
     * absent from this container by declaration). Deterministic fake
@@ -221,6 +370,7 @@ object Multimodal {
     payloads.lazyZip(formats).map { (b, fmt) =>
       fmt match {
         case "image/ppm" => decodePpm(b).getOrElse(stubDecode(b))
+        case "image/png" => decodePng(b).getOrElse(stubDecode(b))
         case "audio/wav" => decodeWavPcm(b).getOrElse(stubDecode(b))
         case _           => stubDecode(b)
       }

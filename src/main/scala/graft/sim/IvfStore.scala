@@ -180,32 +180,64 @@ object IvfStore {
       .toDF("d2_base", "imbalance", "k", "n", "partitioned")
       .write.mode("overwrite").parquet(s"$stage/meta")
     onStaged()
-    // claim v{next}: reclaim any MARKERLESS v{next} (wreckage from a
-    // crashed publisher), then a whole-dir rename. "Markerless" is
-    // re-verified HERE, at claim time, not at the currentVersion read
-    // above — the artifact write between the two is long, and a
-    // concurrent publisher may have FULLY published v{next} (rename +
-    // marker) since; deleting its live, marker-referenced artifacts
-    // would leave THIS writer's set serving under the other's marker.
-    // Staging makes artifact INTERLEAVING unrepresentable: v{next}
-    // only ever holds one writer's complete set, and the residual
-    // check-to-rename race is covered by the failed-rename abort and
-    // the marker create(overwrite=false) failing loudly for exactly
-    // one of the racers.
+    // claim v{next}. Order: marker check → markerless-wreckage
+    // reclaim → rename → WRITER-ID VERIFY → marker. The marker check
+    // runs at claim time (not at the currentVersion read far above) so
+    // a concurrent publisher that FULLY published v{next} during the
+    // long artifact write is never deleted. Two races remain narrower
+    // than before and both now fail CLOSED:
+    //  - wreckage-delete vs a racer's in-flight rename (their dir
+    //    deleted post-rename pre-marker): v{next} then holds exactly
+    //    one writer's complete staged set — never an interleaving —
+    //    and the worst case is the version's content being the OTHER
+    //    racer's complete set under this marker (misattribution, not
+    //    a torn index);
+    //  - rename onto a dest that (re)appeared since the delete:
+    //    RawLocalFileSystem falls back to a NESTING copy (returns
+    //    true!) instead of refusing, so rename success is not proof of
+    //    claim — the writer-id file staged with the artifacts is
+    //    re-read from the claimed dir, and a mismatch (we nested under
+    //    a racer, or lost outright) aborts after removing only our own
+    //    nested copy.
     val vPath = new Path(vdir)
     val fs = hfs(s, vPath)
-    if (fs.exists(new Path(s"$dir/manifest/$next"))) {
+    def abortClaimed(): Nothing = {
       fs.delete(new Path(stage), true)
       throw new IllegalStateException(
         s"IvfStore.save: version $next under $dir was claimed by a " +
           "concurrent publisher — retry to publish as the next version")
     }
-    if (fs.exists(vPath)) fs.delete(vPath, true)
-    if (!fs.rename(new Path(stage), vPath)) {
-      fs.delete(new Path(stage), true)
-      throw new IllegalStateException(
-        s"IvfStore.save: version $next under $dir was claimed by a " +
-          "concurrent publisher — retry to publish as the next version")
+    val writerId = stage.substring(stage.lastIndexOf('_') + 1)
+    locally {
+      val out = fs.create(new Path(s"$stage/writer_id"), false)
+      out.write(writerId.getBytes("UTF-8")); out.close()
+    }
+    if (fs.exists(new Path(s"$dir/manifest/$next"))) abortClaimed()
+    if (fs.exists(vPath)) {
+      // markerless v{next}: wreckage from a crashed publisher (the
+      // published case aborted above) — reclaim it
+      fs.delete(vPath, true)
+    }
+    if (!fs.rename(new Path(stage), vPath)) abortClaimed()
+    locally {
+      val idPath = new Path(s"$vPath/writer_id")
+      val claimedBy =
+        if (!fs.exists(idPath)) ""
+        else {
+          val in = fs.open(idPath)
+          val buf = new Array[Byte](64)
+          val n = math.max(in.read(buf), 0); in.close()
+          new String(buf, 0, n, "UTF-8")
+        }
+      if (claimedBy != writerId) {
+        // we nested under a racer's dir (local-FS rename fallback):
+        // remove only OUR copy, leave the racer's set intact
+        val nested = new Path(s"$vPath/${new Path(stage).getName}")
+        if (fs.exists(nested)) fs.delete(nested, true)
+        throw new IllegalStateException(
+          s"IvfStore.save: version $next under $dir was claimed by a " +
+            "concurrent publisher — retry to publish as the next version")
+      }
     }
     // PUBLISH: one marker create, after every artifact of v{next} is
     // complete. create(overwrite=false) fails loudly for the losing

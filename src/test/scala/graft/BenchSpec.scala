@@ -86,6 +86,33 @@ class BenchSpec extends SparkSpec {
     assert(line.count(_ == '"') % 2 === 0)
   }
 
+  // The round scripts' cleanliness gate is `head -c 120 | grep` on the
+  // artifact (the driver tail is truncated, so a full-line grep can't
+  // be the contract). The r16 sweep landed an errored sf10 artifact as
+  // "clean" because n_errors sat at the END of the line and degraded
+  // was never emitted at all — both now live in the first 120 bytes.
+  test("compactLine head bytes carry n_errors and degraded (gate contract)") {
+    val timings = (1 to 140).map(i => (f"q_op_$i%03d", i * 0.1))
+    val dirty = Bench.compactLine(timings.map(_._2).sum, timings,
+      errors = Map("q_bad" -> "IOException: disk full"),
+      gcMs = 1, loadAvg = 1.0, sfDir = "/x", subsetTag = "",
+      loadAvgStart = 50.0)
+    val head = dirty.take(120)
+    assert(head.contains("\"n_errors\":1"))
+    assert(head.contains("\"degraded\":true"), s"head was: $head")
+    val clean = Bench.compactLine(timings.map(_._2).sum, timings,
+      errors = Map.empty, gcMs = 1, loadAvg = 1.0, sfDir = "/x",
+      subsetTag = "", loadAvgStart = 0.5)
+    val cleanHead = clean.take(120)
+    assert(cleanHead.contains("\"n_errors\":0"))
+    assert(cleanHead.contains("\"degraded\":false"))
+    // the r16 gate (grep '"degraded":false' on the head) must flag the
+    // errored artifact dirty under the r17 rule (n_errors:0 AND
+    // degraded:false, both in the head)
+    assert(!(dirty.take(120).contains("\"n_errors\":0") &&
+      dirty.take(120).contains("\"degraded\":false")))
+  }
+
   test("compactLine with few queries includes them all, no omission tag") {
     val timings = Seq("q1" -> 1.5, "q2" -> 0.5)
     val line = Bench.compactLine(2.0, timings, Map.empty, 10, 1.0, "/x", "")

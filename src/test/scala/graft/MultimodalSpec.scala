@@ -139,6 +139,130 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2).getSeq[Double](2).length === 4, "undeclared wav must stub")
   }
 
+  /** Test-side PNG encoder: real chunks (CRC32'd), real DEFLATE, one
+    * selectable scanline filter per row — so the decoder's five
+    * filter reconstructions are each exercised against ground truth.
+    * `pixels(row)(x)` are per-channel bytes, `bpp` channels per pixel.
+    */
+  private def png(w: Int, h: Int, colorType: Int,
+                  pixels: Array[Array[Int]],
+                  rowFilter: Int => Int = _ => 0): Array[Byte] = {
+    val bpp = colorType match { case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4 }
+    val stride = w * bpp
+    val raw = new java.io.ByteArrayOutputStream()
+    for (row <- 0 until h) {
+      val f = rowFilter(row)
+      raw.write(f)
+      for (x <- 0 until stride) {
+        val cur = pixels(row)(x)
+        val a = if (x >= bpp) pixels(row)(x - bpp) else 0
+        val b = if (row > 0) pixels(row - 1)(x) else 0
+        val c = if (row > 0 && x >= bpp) pixels(row - 1)(x - bpp) else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) >> 1
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b)
+            val pc = math.abs(p - c)
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+        }
+        raw.write((cur - pred) & 0xff)
+      }
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw.toByteArray); defl.finish()
+    val comp = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!defl.finished()) comp.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    def be32(o: java.io.ByteArrayOutputStream, v: Long): Unit =
+      (3 to 0 by -1).foreach(j => o.write(((v >> (8 * j)) & 0xff).toInt))
+    def chunk(t: String, data: Array[Byte]): Unit = {
+      be32(out, data.length.toLong)
+      val td = t.getBytes("US-ASCII") ++ data
+      out.write(td)
+      val crc = new java.util.zip.CRC32(); crc.update(td)
+      be32(out, crc.getValue)
+    }
+    val ihdr = new java.io.ByteArrayOutputStream()
+    be32(ihdr, w.toLong); be32(ihdr, h.toLong)
+    ihdr.write(8); ihdr.write(colorType); ihdr.write(0); ihdr.write(0); ihdr.write(0)
+    chunk("IHDR", ihdr.toByteArray)
+    chunk("IDAT", comp.toByteArray)
+    chunk("IEND", Array.empty)
+    out.toByteArray
+  }
+
+  test("decodePng: same pixels as PPM decode to IDENTICAL features; all 5 filters") {
+    import spark.implicits._
+    // the PPM fixture's 2x2 RGB pixels as PNG colorType 2
+    val px2x2 = Array(Array(10, 20, 30, 50, 60, 70),
+      Array(90, 100, 110, 130, 140, 150))
+    val pngRgb = png(2, 2, 2, px2x2)
+    assert(graft.multimodal.Multimodal.decodePng(pngRgb).get.toSeq ===
+      graft.multimodal.Multimodal.decodePpm(ppm).get.toSeq)
+    // 4x5 RGB exercising every filter type (row i uses filter i),
+    // values chosen to wrap the mod-256 byte recurrences
+    val rnd = new scala.util.Random(42)
+    val px = Array.fill(5)(Array.fill(4 * 3)(rnd.nextInt(256)))
+    val pngF = png(4, 5, 2, px, rowFilter = i => i)
+    val f = graft.multimodal.Multimodal.decodePng(pngF).get
+    val meanCh = (ch: Int) =>
+      px.flatMap(_.grouped(3).map(_(ch))).sum.toDouble / 20
+    assert(f.toSeq === Seq(4.0, 5.0, meanCh(0), meanCh(1), meanCh(2)))
+    // grayscale broadcast + alpha exclusion
+    val gray = png(3, 1, 0, Array(Array(10, 20, 60)))
+    assert(graft.multimodal.Multimodal.decodePng(gray).get.toSeq ===
+      Seq(3.0, 1.0, 30.0, 30.0, 30.0))
+    val grayA = png(2, 1, 4, Array(Array(10, 255, 30, 0))) // alpha ignored
+    assert(graft.multimodal.Multimodal.decodePng(grayA).get.toSeq ===
+      Seq(2.0, 1.0, 20.0, 20.0, 20.0))
+    val rgba = png(1, 2, 6, Array(Array(10, 20, 30, 255), Array(30, 40, 50, 0)))
+    assert(graft.multimodal.Multimodal.decodePng(rgba).get.toSeq ===
+      Seq(1.0, 2.0, 20.0, 30.0, 40.0))
+    // through the batched pipeline under the declared format
+    val out = graft.multimodal.Multimodal.extractFeatures(
+      Seq((0L, pngRgb, "image/png")).toDF("doc_id", "payload", "format"))
+      .collect().head
+    assert(out.getSeq[Double](2) === Seq(2.0, 2.0, 70.0, 80.0, 90.0))
+  }
+
+  test("decodePng strictness: corrupt/unsupported payloads stub, never half-decode") {
+    import spark.implicits._
+    val good = png(2, 2, 2, Array(Array(10, 20, 30, 50, 60, 70),
+      Array(90, 100, 110, 130, 140, 150)))
+    val badCrc = good.clone(); badCrc(badCrc.length - 5) =
+      (badCrc(badCrc.length - 5) ^ 1).toByte // flip a bit in IEND's CRC
+    val truncated = good.dropRight(1)
+    val trailing = good ++ Array(7.toByte)
+    val interlaced = good.clone(); interlaced(8 + 8 + 12) = 1 // Adam7 flag
+    val depth16 = good.clone(); depth16(8 + 8 + 8) = 16
+    val palette = good.clone(); palette(8 + 8 + 9) = 3
+    // header-field mutations invalidate IHDR's CRC too, which is the
+    // point: the decoder must reject them either way
+    val fakes = Seq(badCrc, truncated, trailing, interlaced, depth16,
+      palette, "PNG but actually prose".getBytes("US-ASCII"))
+    for ((b, i) <- fakes.zipWithIndex)
+      assert(graft.multimodal.Multimodal.decodePng(b).isEmpty,
+        s"fake $i decoded")
+    val stubbed = graft.multimodal.Multimodal.extractFeatures(
+      fakes.zipWithIndex.map { case (b, i) => (i.toLong, b, "image/png") }
+        .toDF("doc_id", "payload", "format")).collect()
+    for (r <- stubbed)
+      assert(r.getSeq[Double](2).length === 4,
+        s"corrupt png ${r.getLong(0)} took the real path")
+    // declared text/plain never content-sniffs into the PNG path
+    val declaredText = graft.multimodal.Multimodal.extractFeatures(
+      Seq((0L, good, "text/plain")).toDF("doc_id", "payload", "format"))
+      .collect().head
+    assert(declaredText.getSeq[Double](2).length === 4)
+  }
+
   test("mm_feature_extract query: scalar columns only (harness-sortable), one row per doc") {
     val out = graft.multimodal.Multimodal.featureExtract.run(spark, sfDir)
     assert(out.schema.fields.forall(f =>
