@@ -626,6 +626,21 @@ object Sim {
         explode(slice(array_sort(distStructs(col("pv"), cents)), 1, nprobe)).as("_pc"))
       .select(col("probe_id"), col("pv"), col("_pc.cid").as("cid"))
 
+  /** Driver-side routed-cell set for a probe batch — the bounded
+    * collect behind static partition pruning (distinct cids ≤ k, the
+    * same convention as searchIvfProbes' internal prune). Exposed for
+    * serving paths that must prune a SEPARATE frame from the one the
+    * search joins (e.g. the ADC refine fetch against a cid-partitioned
+    * published artifact: candidates are guaranteed to live in probed
+    * cells, so an IN filter on the refine scan is semantically a no-op
+    * that becomes static partition pruning on the store).
+    */
+  private[graft] def routedCids(probeFrame: DataFrame,
+                                cents: Seq[(Long, Seq[Double])],
+                                nprobe: Int): Array[Long] =
+    probeCells(probeFrame, cents, nprobe)
+      .select("cid").distinct().collect().map(_.getLong(0))
+
   /** Oracle-side probe→cell routing: rank the final centroids
     * `c{iters}` by (d2, cid) per probe, keep the nprobe nearest.
     */

@@ -55,6 +55,9 @@ object StreamThroughputProbe {
   /** Batches excluded from the head of the sustained window. */
   val Warmup = 10
 
+  private def fmt(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
   /** Regime-relative stability verdict over the steady window.
     *
     * A stream is healthy when (a) it keeps up with its input rate —
@@ -107,6 +110,34 @@ object StreamThroughputProbe {
   private final case class BatchObs(inputRows: Long, processedPerSec: Double,
                                     triggerMs: Long, stateRows: Long,
                                     stateBytes: Long, atNanos: Long)
+
+  /** The (timestamp, value) source behind the vector probes
+    * (st_index_health / st_ann). Default: the rate source at
+    * `rowsPerSecond`. With SPARK_GRAFT_ROWS_PER_BATCH set, the
+    * rate-micro-batch source instead: EXACTLY that many rows per
+    * trigger, however long the previous batch took. That is the
+    * non-spiraling pacing for serves whose per-probe cost × rate > 1
+    * — under the wall-clock rate source an overrun batch accumulates
+    * rate × overrun extra input and durations grow without bound
+    * (measured 59 s → 105 s batches at rate 75 in r16), so a fixed
+    * per-batch latency DISTRIBUTION is not measurable there. With
+    * fixed batches there is no arrival rate to keep: `sustained_frac`
+    * is definitionally the achieved throughput over itself (recorded
+    * 1.0, flagged via "paced":"per_batch") and `stable` reduces to
+    * the tail + growth terms.
+    */
+  private def valueStream(s: SparkSession, rowsPerSecond: Int,
+                          rowsPerBatch: Option[Int]): DataFrame =
+    rowsPerBatch match {
+      case Some(n) =>
+        s.readStream.format("rate-micro-batch")
+          .option("rowsPerBatch", n.toString)
+          .option("numPartitions", RateParts).load()
+      case None =>
+        s.readStream.format("rate")
+          .option("rowsPerSecond", rowsPerSecond.toString)
+          .option("numPartitions", RateParts).load()
+    }
 
   /** Session-regime event shaping for the rate source. The pipeline
     * shaping (Streaming.rateEvents: 61 s/row clock, 50 users) spaces
@@ -173,6 +204,22 @@ object StreamThroughputProbe {
     // st_ann records which serving layout the deploy rule (or its env
     // override) picked, so the capture artifact is self-describing
     var servedPartitioned: Option[Boolean] = None
+    // st_ann ADC-serving extras (shortlist rule fields) and the
+    // deferred served-recall evaluation — the eval MUST run after the
+    // stream stops (it drives the same serve stack over a probe
+    // sample, which would contend with the measured batches)
+    var annExtra = ""
+    var annRecall: Option[() => String] = None
+    // fixed rows-per-batch pacing — see [[valueStream]]; applies to
+    // the vector probes (st_index_health / st_ann), whose serve cost
+    // is per-probe. The event-shaped regimes (st_pipeline/st_sessions/
+    // st_dedup_ingest) stay wall-clock-rated: their semantics (session
+    // gaps, watermarks, dup mix) are functions of arrival TIME.
+    val rowsPerBatch = sys.env.get("SPARK_GRAFT_ROWS_PER_BATCH").map(_.toInt)
+    // multi-second-batch serves pay tens of seconds per excluded
+    // batch — the default 10-batch warmup is a rate-regime sizing
+    val warmup = math.max(1,
+      sys.env.get("SPARK_GRAFT_TPUT_WARMUP").map(_.toInt).getOrElse(Warmup))
     val listener = new StreamingQueryListener {
       override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
       override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
@@ -292,9 +339,7 @@ object StreamThroughputProbe {
         val raw = transform(sequence(lit(0), lit(63)), i =>
           (pmod(xxhash64(col("vec_id"), lit(999), i), lit(2001L)).cast("double")
             - 1000.0) / 1000.0)
-        val vecs = spark.readStream.format("rate")
-          .option("rowsPerSecond", rate.toString)
-          .option("numPartitions", RateParts).load()
+        val vecs = valueStream(spark, rate, rowsPerBatch)
           .select(col("value").as("vec_id"))
           .withColumn("v", raw)
         vecs.writeStream
@@ -341,7 +386,8 @@ object StreamThroughputProbe {
           else 8
         }
         val nprobe = math.max(2, math.round(math.sqrt(k.toDouble)).toInt)
-        val expProbes = math.max(1L, rate.toLong * triggerMs / 1000L)
+        val expProbes = rowsPerBatch.map(_.toLong)
+          .getOrElse(math.max(1L, rate.toLong * triggerMs / 1000L))
         val partServe = bootMeta match {
           case Some(m) =>
             m.partitioned && !sys.env.get("SPARK_GRAFT_ANN_PRUNE").contains("0")
@@ -373,19 +419,86 @@ object StreamThroughputProbe {
         if (!partServe && estBytes <= Runtime.getRuntime.maxMemory() / 2)
           idx.assigned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
             .count() // load the index OUTSIDE the window
+        // SPARK_GRAFT_ANN_ADC=1: serve the PRODUCTION ANN composition
+        // (route × PQ ADC scan × exact re-rank, s_ivf_adc's shape) per
+        // micro-batch instead of the exact-cosine cell scan. The
+        // shortlist comes from the REGISTERED rule (Sim.adcShortlist —
+        // the divisor-8 decade knee), never an env constant, so a
+        // capture measures the shipped configuration; the artifact
+        // self-describes the resolved rule. The exact-re-rank fetch is
+        // cid-pruned against a partitioned artifact (candidates are
+        // guaranteed to live in probed cells — the IN filter is the
+        // same static-partition-pruning move as searchIvfProbes', on
+        // the refine scan), and the served-recall eval AFTER the
+        // stream (annRecall) drives this same function, so recall and
+        // latency are measured at one geometry.
+        val serve: DataFrame => DataFrame =
+          if (sys.env.get("SPARK_GRAFT_ANN_ADC").contains("1")) {
+            val meta = graft.sim.IvfStore.loadMeta(spark, dir)
+            val books = graft.sim.Sim.pqBooks(spark, sfDir)
+            val coded = graft.sim.Sim.encodePq(idx.assigned, books)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            coded.count() // encode OUTSIDE the measured window
+            val cand = nprobe.toLong * meta.n / math.max(k, 1)
+            val sl = graft.sim.Sim.adcShortlist(cand)
+            val fetchBc = sys.env.get("SPARK_GRAFT_ANN_FETCH_BC").map(_ == "1")
+              .getOrElse(expProbes * sl * 16 <= (256L << 20))
+            def serveAdc(b: DataFrame): DataFrame = {
+              val src =
+                if (partServe) {
+                  val cids = graft.sim.Sim.routedCids(b, idx.centroids, nprobe)
+                  if (cids.length < idx.centroids.size)
+                    idx.assigned.filter(col("cid").isin(cids.toIndexedSeq: _*))
+                  else idx.assigned
+                } else idx.assigned
+              graft.sim.Sim.searchIvfAdcProbes(
+                src.select(col("vec_id"), col("v")), b, idx.centroids,
+                books, coded, nprobe, sl, fetchByBroadcast = fetchBc)
+            }
+            annExtra = s""""adc_serve":true,"shortlist":$sl,""" +
+              s""""shortlist_rule":"max(50,cand/${
+                graft.sim.Sim.adcShortlistDivisor(cand)})",""" +
+              s""""nprobe":$nprobe,"cand_per_probe":$cand,""" +
+              s""""fetch_broadcast":$fetchBc,"""
+            annRecall = Some { () =>
+              // recall of THE SERVED PATH vs exact brute force, on the
+              // standard corpus-drawn recall probes (vec_id ∈ [2000,
+              // 2000+R) — the same set every ANNPROBE artifact uses,
+              // so this number is directly comparable to the RULE8
+              // search-side 0.993)
+              val rp = sys.env.get("SPARK_GRAFT_ANN_RECALL_PROBES")
+                .map(_.toInt).getOrElse(50)
+              val rBase = 2000L
+              val probesR = idx.assigned
+                .filter(col("vec_id") >= rBase && col("vec_id") < rBase + rp)
+                .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              probesR.count()
+              val ev = idx.assigned.select(col("vec_id"), col("v"))
+              val t0 = System.nanoTime()
+              val brute = graft.Caching.releaseAfter(
+                graft.sim.AnnProbe.bruteTop3(probesR, ev))
+              val denom = brute.count().toDouble
+              val secBrute = (System.nanoTime() - t0) / 1e9
+              val hits = serveAdc(probesR)
+                .select(col("probe_id"), col("neighbor_id"))
+                .join(brute, Seq("probe_id", "neighbor_id")).count()
+              val recall = if (denom == 0) 1.0 else hits / denom
+              s""""recall_probes":$rp,"sec_brute":${fmt(secBrute)},""" +
+                s""""recall_adc_served":${fmt(recall)},"""
+            }
+            serveAdc
+          } else (b: DataFrame) => graft.sim.Sim.searchIvfProbes(idx, b, nprobe)
         val raw = transform(sequence(lit(0), lit(63)), i =>
           (pmod(xxhash64(col("probe_id"), lit(999), i), lit(2001L)).cast("double")
             - 1000.0) / 1000.0)
-        val probes = spark.readStream.format("rate")
-          .option("rowsPerSecond", rate.toString)
-          .option("numPartitions", RateParts).load()
+        val probes = valueStream(spark, rate, rowsPerBatch)
           .select(col("value").as("probe_id"))
           .withColumn("pv", raw)
         probes.writeStream
           .option("checkpointLocation", ckpt).trigger(trigger)
           .foreachBatch { (b: DataFrame, _: Long) =>
-            graft.sim.Sim.searchIvfProbes(idx, b, nprobe)
-              .write.format("noop").mode("overwrite").save()
+            serve(b).write.format("noop").mode("overwrite").save()
           }
           .start()
       case other => sys.error(s"unknown probe query: $other " +
@@ -402,19 +515,22 @@ object StreamThroughputProbe {
       Thread.sleep(200)
     q.stop()
     spark.streams.removeListener(listener)
+    // the served-recall eval drives the serve stack itself — it must
+    // run after the stream so it never contends with a measured batch
+    val recallJson = annRecall.map(f => f()).getOrElse("")
 
     val all = obs.synchronized(obs.filter(_.inputRows > 0).toVector)
-    if (all.size <= Warmup)
-      sys.error(s"only ${all.size} data batches completed (need > $Warmup) — " +
+    if (all.size <= warmup)
+      sys.error(s"only ${all.size} data batches completed (need > $warmup) — " +
         s"rate $rate with trigger ${triggerMs}ms never reached steady state")
-    val steady = all.drop(Warmup)
-    val wallSec = (steady.last.atNanos - all(Warmup - 1).atNanos) / 1e9
+    val steady = all.drop(warmup)
+    val wallSec = (steady.last.atNanos - all(warmup - 1).atNanos) / 1e9
     val rows = steady.map(_.inputRows).sum
     val durs = steady.map(_.triggerMs).sorted
     def pct(p: Double) = durs(math.min(durs.size - 1, (p * durs.size).toInt))
     val p50 = pct(0.50); val p95 = pct(0.95)
     val stateTraj = Seq(steady.head, steady(steady.size / 2), steady.last)
-    def num(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def num(v: Double) = fmt(v)
     val provider = spark.conf
       .get("spark.sql.streaming.stateStore.providerClass").split("\\.").last
     val line =
@@ -424,14 +540,31 @@ object StreamThroughputProbe {
           .map(st => s""""ingest_stage":"$st",""").getOrElse("") +
         servedPartitioned
           .map(p => s""""partitioned_serve":$p,""").getOrElse("") +
+        annExtra + recallJson +
+        // rows_per_sec_sustained counts SOURCE-READ rows, and a serve
+        // plan that references the batch more than once (st_ann ADC:
+        // the routing collect, the ADC scan, and the pv re-attach each
+        // rescan the micro-batch source — measured 3x) inflates
+        // numInputRows by that factor. Under per-batch pacing the true
+        // probe count is exact by construction, so the honest serving
+        // rate is emitted alongside.
+        rowsPerBatch
+          .map(n => s""""paced":"per_batch","rows_per_batch":$n,""" +
+            s""""probes_per_sec_sustained":${
+              num(n.toDouble * steady.size / wallSec)},""").getOrElse("") +
         s""""rate_rows_per_sec":$rate,"trigger_ms":$triggerMs,""" +
-        s""""batches":${all.size},"warmup_excluded":$Warmup,""" +
+        s""""batches":${all.size},"warmup_excluded":$warmup,""" +
         s""""rows_steady":$rows,"wall_sec_steady":${num(wallSec)},""" +
         s""""rows_per_sec_sustained":${num(rows / wallSec)},""" +
         s""""processed_rows_per_sec_avg":${num(steady.map(_.processedPerSec).sum / steady.size)},""" +
         s""""batch_ms_p50":$p50,"batch_ms_p95":$p95,"batch_ms_max":${durs.last},""" + {
+          // per-batch pacing has no arrival rate to keep: feed the
+          // achieved throughput back so sustained_frac is 1.0 by
+          // definition and `stable` carries only the tail+growth terms
+          val effRate =
+            if (rowsPerBatch.isDefined) rows / wallSec else rate.toDouble
           val (stable, frac, growth) =
-            stability(rate.toDouble, rows / wallSec,
+            stability(effRate, rows / wallSec,
               steady.map(_.triggerMs), triggerMs)
           s""""stable":$stable,"stable_strict":${p95 <= triggerMs},""" +
             s""""sustained_frac":${num(frac)},"batch_growth":${num(growth)},"""

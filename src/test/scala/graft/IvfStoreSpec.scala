@@ -352,6 +352,38 @@ class IvfStoreSpec extends SparkSpec {
       s"probed-cell IN filter did not reach PartitionFilters:\n$plan")
   }
 
+  test("ADC serve from a partitioned artifact: cid-pruned refine is " +
+      "result-identical and the IN set reaches PartitionFilters") {
+    // the st_ann ADC-serving shape (StreamThroughputProbe serveAdc):
+    // the exact-re-rank fetch reads the published artifact filtered to
+    // the batch's routed cells (Sim.routedCids) — candidates are
+    // guaranteed to live in probed cells, so the filter must be a
+    // semantic no-op that becomes static partition pruning on the
+    // refine scan
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("ivf_adc_part").toString
+    val idx0 = graft.sim.Sim.ivfIndex(spark, sfDir, k = 8, iters = 3)
+    graft.sim.IvfStore.save(idx0, dir, partitioned = true)
+    val part = graft.sim.IvfStore.load(spark, dir)
+    val books = graft.sim.Sim.pqBooks(spark, sfDir)
+    val coded = graft.sim.Sim.encodePq(part.assigned, books)
+    val nprobe = 2
+    val oneProbe = part.assigned.filter(col("vec_id") < 1)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+    val cids = graft.sim.Sim.routedCids(oneProbe, part.centroids, nprobe)
+    assert(cids.length === nprobe) // one probe routes to exactly nprobe cells
+    val prunedSrc = part.assigned.filter(col("cid").isin(cids.toIndexedSeq: _*))
+      .select(col("vec_id"), col("v"))
+    val flatSrc = part.assigned.select(col("vec_id"), col("v"))
+    val pruned = graft.sim.Sim.searchIvfAdcProbes(
+      prunedSrc, oneProbe, part.centroids, books, coded, nprobe)
+    assert(rows(pruned) === rows(graft.sim.Sim.searchIvfAdcProbes(
+      flatSrc, oneProbe, part.centroids, books, coded, nprobe)))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert("""PartitionFilters: \[[^\]]*cid#\d+L? IN""".r.findFirstIn(plan).isDefined,
+      s"routed-cell IN filter did not reach the refine scan's PartitionFilters:\n$plan")
+  }
+
   test("IVF-ADC: save -> load -> search is identical to in-memory search") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_store_pq").toString
     val idx = graft.sim.Sim.ivfIndex(spark, sfDir, k = 8, iters = 3)
