@@ -1,17 +1,24 @@
 #!/bin/bash
-# Round-17 100M captures — runs FIRST this round (before
-# probes_r17.sh), because step 2 frees the ~64 GB of resident 100M
-# artifacts that the r16 sf10 sweep died beside (t_domain_rank,
-# IOException in stage materialization at ~14 GB free disk — VERDICT
-# r16 What's-wrong #1). Order is therefore: take the one capture that
-# still needs the artifacts, then delete them, then let probes_r17.sh
-# run the disk-hungry sf10 sweeps on a ~78 GB-free host.
-#  1. ADC serving confirmation at 100M (VERDICT r16 Next #6): st_ann
-#     in ADC mode (SPARK_GRAFT_ANN_ADC=1) boots from the r16
-#     cid-partitioned artifact and serves the production composition
-#     (route x PQ ADC scan x exact re-rank) per micro-batch under the
-#     REGISTERED divisor-8 shortlist rule — no env override; the
-#     artifact self-describes the resolved rule. Fixed 8-probe batches
+# Round-17 100M captures. The harness /tmp was WIPED between the r17
+# code session and this capture session, so the r16 decade artifacts
+# this script originally planned to reuse (25 GB corpus + 39 GB
+# cid-partitioned index) no longer exist. That inverts the documented
+# order: the disk-hungry sf10 sweeps (probes_r17.sh) now run FIRST on
+# the ~78 GB-free host — which is itself the cleanest possible
+# adjudication of the r16 t_domain_rank IOException (same query, same
+# geometry, no resident artifacts) — and THEN this script rebuilds the
+# decade artifacts and takes the one capture that needs them:
+#  1. Rebuild: vec100m corpus (GenScale factor 50000 vectors, ~25 GB,
+#     clustered distribution — identical generator + seed to r15/r16,
+#     so k=1414 geometry and cid skew reproduce), then IvfPublish
+#     cid-partitioned map-side layout (SPARK_GRAFT_IVF_NO_EXCHANGE=1,
+#     ~39 GB), the same build the r16 serving A/B measured.
+#  2. ADC serving confirmation at 100M (VERDICT r16 Next #6): st_ann
+#     in ADC mode (SPARK_GRAFT_ANN_ADC=1) boots from the partitioned
+#     artifact and serves the production composition (route x PQ ADC
+#     scan x exact re-rank) per micro-batch under the REGISTERED
+#     divisor-8 shortlist rule — no env override; the artifact
+#     self-describes the resolved rule. Fixed 8-probe batches
 #     (rate-micro-batch pacing: per-probe cost x any wall-clock rate
 #     > 1 here, so a rate source would spiral by construction), p50/
 #     p95 batch latency from the stream, then the served-recall eval
@@ -19,18 +26,36 @@
 #     standard corpus-drawn recall probes (vec_id in [2000,2050)) vs
 #     exact brute force — recall_adc_served is directly comparable to
 #     ANNPROBE_VEC100M_RULE8_r16's search-side 0.993.
-#  2. Artifact cleanup, gated on step 1 being clean.
+#  3. Artifact cleanup, gated on step 2 being clean.
 # Usage: scripts/ann100m_r17.sh [outDir]
 set -euo pipefail
 OUT="${1:-/root/repo}"
 cd /root/repo
 . scripts/lib_r17.sh
 
-# 1. ADC serve from the partitioned decade artifact.
+free_gb() { df -BG --output=avail / | tail -1 | tr -dc 0-9; }
+
+# 1. Rebuild the decade artifacts (corpus, then partitioned publish).
 if ! have_clean_probe "$OUT/ANNSERVE_ADC_VEC100M_RULE8_r17.json"; then
-  [ -f /tmp/vec100m/.done ] || { echo "ABORT: /tmp/vec100m corpus missing"; exit 1; }
-  [ -f /tmp/ivf100m_part/manifest/0 ] || \
-    { echo "ABORT: /tmp/ivf100m_part artifact missing"; exit 1; }
+  if [ ! -f /tmp/vec100m/.done ]; then
+    [ "$(free_gb)" -ge 70 ] || \
+      { echo "ABORT: need >=70G free for corpus+index, have $(free_gb)G"; exit 1; }
+    echo "=== gen /tmp/vec100m (factor 50000, vectors) ==="
+    SPARK_DRIVER_MEM=64g scripts/run_main.sh graft.tools.GenScale \
+      /root/testdata/sf0.1 /tmp/vec100m 50000 vectors > /tmp/gen_vec100m.log 2>&1
+    touch /tmp/vec100m/.done
+  fi
+  du -sh /tmp/vec100m
+  if [ ! -f /tmp/ivf100m_part/manifest/0 ]; then
+    echo "=== publish 100M cid-partitioned (map-side layout) ==="
+    rm -rf /tmp/ivf100m_part
+    SPARK_GRAFT_IVF_NO_EXCHANGE=1 SPARK_GRAFT_IVF_WRITE_PARTS=32 \
+    SPARK_DRIVER_MEM=64g scripts/run_main.sh graft.sim.IvfPublish \
+      /tmp/vec100m /tmp/ivf100m_part partitioned > /tmp/ivfpub_100m_r17.log 2>&1
+    tail -1 /tmp/ivfpub_100m_r17.log
+  fi
+
+  # 2. ADC serve from the partitioned decade artifact.
   wait_idle
   echo "=== st_ann ADC serve (divisor-8 rule) from the partitioned 100M artifact ==="
   SPARK_GRAFT_HEALTH_DIR=/tmp/ivf100m_part SPARK_GRAFT_ANN_ADC=1 \
@@ -42,10 +67,9 @@ if ! have_clean_probe "$OUT/ANNSERVE_ADC_VEC100M_RULE8_r17.json"; then
   echo "--- $(head -c 500 "$OUT/ANNSERVE_ADC_VEC100M_RULE8_r17.json")"
 fi
 
-# 2. Free the decade artifacts for the sf10 sweeps — only once the
-# capture above is clean (these took ~50 min of build time to stage;
-# deleting them under a dirty capture would force a full rebuild to
-# retry).
+# 3. Free the decade artifacts — only once the capture above is clean
+# (they take ~50 min of build time to stage; deleting them under a
+# dirty capture would force a full rebuild to retry).
 if have_clean_probe "$OUT/ANNSERVE_ADC_VEC100M_RULE8_r17.json"; then
   echo "=== freeing 100M artifacts (capture clean) ==="
   rm -rf /tmp/ivf100m_part /tmp/vec100m

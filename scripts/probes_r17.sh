@@ -1,8 +1,11 @@
 #!/bin/bash
-# Round-17 evidence captures — runs AFTER scripts/ann100m_r17.sh has
-# freed the ~64 GB of resident 100M artifacts (the r16 sf10 sweep's
-# t_domain_rank died beside them at ~14 GB free disk). Serialized for
-# an IDLE host; every artifact self-flags and re-running redoes only
+# Round-17 evidence captures — runs FIRST this round: the harness
+# /tmp wipe already freed the ~64 GB of resident 100M artifacts the
+# r16 sf10 sweep's t_domain_rank died beside (at ~14 GB free disk),
+# so the disk-hungry sf10 sweeps get the clean ~78 GB-free host and
+# scripts/ann100m_r17.sh rebuilds the decade artifacts afterwards.
+# Serialized for an IDLE host; every artifact self-flags and
+# re-running redoes only
 # captures that are missing or flagged — with the FIXED gate
 # (lib_r17.sh): bench artifacts must declare BOTH "n_errors":0 and
 # "degraded":false in the head bytes, which the r16 gate could not see
