@@ -278,8 +278,9 @@ object Dedup {
     pairsMemo.get(d) match {
       case Some((sess, p)) if (sess eq s) && !s.sparkContext.isStopped => p
       case _ =>
-        val p = graft.Caching.retain(
-          graft.Caching.releaseAfter(ngramJaccardPairs(Tables.documents(s, d))))
+        // ngramJaccardPairs already returns a checkpointed frame;
+        // retain just moves its blocks to the session-lifetime registry.
+        val p = graft.Caching.retain(ngramJaccardPairs(Tables.documents(s, d)))
         pairsMemo(d) = (s, p)
         p
     }
@@ -298,8 +299,12 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, maxDf: Long = 1000,
                         threshold: Double = 0.5,
                         adaptive: Boolean = true): DataFrame = {
+      // entries feeds the cap's frequency pass AND the bucket-build
+      // join; persisted so the corpus tokenize+explode runs once
+      // (guide §1.2), released once the pair table is checkpointed.
       val entries = shingleSets(docs)
         .select(col("doc_id"), size(col("shs")).as("n"), explode(col("shs")).as("shingle"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // df-filter BEFORE the bucket build (semi-join on the under-cap
       // shingle set, then collect): the filter-after-grouping form
       // materializes one array per shingle regardless of df — a
@@ -311,7 +316,7 @@ object Dedup {
       val buckets = entries.join(shf, Seq("shingle"))
         .groupBy("shingle")
         .agg(array_sort(collect_list(struct(col("doc_id"), col("n")))).as("ids"))
-      buckets
+      val pairs = buckets
         .select(orderedPairsRows(col("ids"), threshold - 1e-4))
         .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(count(lit(1)).as("n_common"))
@@ -319,6 +324,11 @@ object Dedup {
           round(col("n_common").cast("double") /
             (col("na") + col("nb") - col("n_common")), 4).as("jaccard"))
         .filter(col("jaccard") >= threshold)
+      // Materialize here (the memo checkpointed the SAME plan one
+      // level up before; moving the checkpoint inside lets the
+      // persisted entries be released the moment the pair table
+      // exists, instead of leaking to the query boundary).
+      graft.Caching.releaseAfter(pairs, entries)
   }
 
   /** MinHash parameters: 16 permutations h_i(x) = (a_i·x + b_i) mod p,
@@ -398,10 +408,16 @@ object Dedup {
         array_min(transform(col("hs"), h => (lit(a) * h + lit(b)) % P)).as(s"mh$i")
       }
       val sig = ds.select(col("doc_id") +: mhCols: _*)
+      // bands feeds the cap's frequency pass AND the bucket-build join;
+      // persisted (4 short rows per doc), the 16 × |shingles| signature
+      // permutation folds run ONCE instead of once per consumer (guide
+      // §1.2) — the cached `ds` arrays alone don't help, the fold is
+      // the expensive map-side work above them.
       val bands = sig.select(col("doc_id"),
         posexplode(array((0 until 4).map(b => concat_ws(",",
           (0 until 4).map(k => col(s"mh${b * 4 + k}").cast("string")): _*)): _*))
           .as(Seq("band", "bsig")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // band buckets were previously UNCAPPED (filter ≥ 2 only): a
       // replica-heavy bucket is one corpus-sized collect_list array
       // whose map-side fan-out is quadratic in duplication. Same
@@ -423,7 +439,7 @@ object Dedup {
             (size(col("sa")) + size(col("sb")) -
               size(array_intersect(col("sa"), col("sb")))), 4).as("jaccard"))
         .filter(col("jaccard") >= threshold)
-      graft.Caching.releaseAfter(out, ds)
+      graft.Caching.releaseAfter(out, ds, bands)
   }
 
   /** The full per-doc simhash pairwise oracle — shared verbatim by
@@ -491,18 +507,24 @@ object Dedup {
     * output that can reach ~50M rows (the r7 sf1 signature).
     */
   private def simhashPairsRaw(docs: DataFrame, maxHamming: Int): (DataFrame, DataFrame) = {
-      val tc = graft.Par.spread(docs)
+      // 60 per-bit sums as agg columns in ONE groupBy over raw token
+      // INSTANCES (not a 60× row explode, and not a (doc_id, token)
+      // count prepass): Σ_instances ±1 ≡ Σ_distinct-tokens ±count —
+      // exact integers either way — so the r16 shape's
+      // groupBy(doc_id, token).count() stage bought nothing but a
+      // second full exchange of the doc×token rows (guide §2.4: remove
+      // shuffles outright). Map-side partials collapse each doc to a
+      // single 60-column row before the one remaining exchange (the
+      // exploded instances of a doc are contiguous in their partition,
+      // so the partial-agg hash map stays doc-count-sized).
+      val th = graft.Par.spread(docs)
         .withColumn("t", Text.toks(col("text")))
         .select(col("doc_id"), explode(col("t")).as("token"))
-        .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
-      // 31 per-bit weighted sums as agg columns in ONE groupBy (not a
-      // 31× row explode): shuffle carries |doc×token| rows once, with
-      // map-side partials collapsing each doc to a single 31-column row.
-      val th = tc.select(col("doc_id"), col("c"),
-        ((polyHash(col("token")) % 1073741824L)
-          + (polyHash(col("token"), 131L) % 1073741824L) * 1073741824L).as("h"))
+        .select(col("doc_id"),
+          ((polyHash(col("token")) % 1073741824L)
+            + (polyHash(col("token"), 131L) % 1073741824L) * 1073741824L).as("h"))
       val bitCols = (0 to 59).map(j =>
-        sum(when(expr(s"(h >> $j) & 1") === 1, col("c")).otherwise(-col("c"))).as(s"s$j"))
+        sum(when(expr(s"(h >> $j) & 1") === 1, 1L).otherwise(-1L)).as(s"s$j"))
       val sim = th.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
         .select(col("doc_id"),
           (0 to 59).map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L))
@@ -957,8 +979,13 @@ object Dedup {
       ORDER BY doc_small, doc_big"""),
     (s, d) => {
       val docs = Tables.documents(s, d)
+      // entries feeds the cap's frequency pass AND the bucket-build
+      // join; unpersisted, the corpus is tokenized and shingle-exploded
+      // twice (guide §1.2). One materialization, released with the
+      // result below.
       val entries = shingleSets(docs)
         .select(col("doc_id"), size(col("shs")).as("n"), explode(col("shs")).as("shingle"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // adaptive cap only — containment bounds nothing between na and
       // nb (a tiny doc inside a huge one is the POINT), so the size
       // filter stays off. Join-first bucket build: arrays bounded by
@@ -971,14 +998,16 @@ object Dedup {
         .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(count(lit(1)).as("n_common"))
       val cont = round(col("n_common").cast("double") / least(col("na"), col("nb")), 4)
-      pairs
-        .select(
-          when(col("na") <= col("nb"), col("doc_a")).otherwise(col("doc_b")).as("doc_small"),
-          when(col("na") <= col("nb"), col("doc_b")).otherwise(col("doc_a")).as("doc_big"),
-          cont.as("containment"),
-          round(col("n_common").cast("double") /
-            (col("na") + col("nb") - col("n_common")), 4).as("jaccard"))
-        .filter(col("containment") >= 0.8)
+      graft.Caching.releaseAfter(
+        pairs
+          .select(
+            when(col("na") <= col("nb"), col("doc_a")).otherwise(col("doc_b")).as("doc_small"),
+            when(col("na") <= col("nb"), col("doc_b")).otherwise(col("doc_a")).as("doc_big"),
+            cont.as("containment"),
+            round(col("n_common").cast("double") /
+              (col("na") + col("nb") - col("n_common")), 4).as("jaccard"))
+          .filter(col("containment") >= 0.8),
+        entries)
         .orderBy("doc_small", "doc_big")
     },
   )
@@ -1139,15 +1168,19 @@ object Dedup {
       val docs = Tables.documents(s, d)
       // one bounded driver row: the increment boundary
       val thr = docs.agg(floor(lit(0.9) * (max("doc_id") + 1)).cast("long")).head().getLong(0)
+      // entries feeds the cap's frequency pass AND the index join —
+      // persisted so the corpus tokenize+explode runs once (guide
+      // §1.2), released as soon as the checkpointed index exists.
       val entries = shingleSets(docs)
         .select(col("doc_id"), size(col("shs")).as("n"), explode(col("shs")).as("shingle"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val (_, shf) = cappedShingles(entries, docs.count())
       // the capped index feeds BOTH sides of the increment×corpus join;
       // without materialization each side re-tokenizes the corpus and
       // re-derives the df filter (≈5 full entry passes). Checkpoint it
       // once — at deploy this is the stored historical index artifact
       // the operator's contract already names.
-      val shc = graft.Caching.releaseAfter(entries.join(shf, Seq("shingle")))
+      val shc = graft.Caching.releaseAfter(entries.join(shf, Seq("shingle")), entries)
       val newE = shc.filter(col("doc_id") >= thr)
         .select(col("shingle"), col("doc_id").as("doc_new"), col("n").as("na"))
       val exE = shc.select(col("shingle"), col("doc_id").as("doc_other"), col("n").as("nb"))
@@ -1329,10 +1362,19 @@ object Dedup {
     * the merged duplicated spans, covered fraction.
     */
   def substringSpanStats(docs: DataFrame, L: Int = SpanLen): DataFrame = {
+    // The window table feeds BOTH the duplicated-hash aggregate and
+    // the probe side of the semi-join; unpersisted, the corpus is
+    // tokenized and window-hashed twice (guide §1.2). Materialize it
+    // once — the exact pattern bloomSpanStats already uses for the
+    // same frame (at sf10 the second derivation was the measured
+    // difference between this op at 13.7 s and d_bloom_prefilter's
+    // persisted 10.8 s on a strictly LONGER pipeline).
     val windows = windowTable(docs, L)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dupHashes = windows.groupBy("h")
       .agg(count(lit(1)).as("c")).filter(col("c") >= 2).select("h")
-    spanStats(windows.join(dupHashes, Seq("h"), "left_semi"), L)
+    graft.Caching.releaseAfter(
+      spanStats(windows.join(dupHashes, Seq("h"), "left_semi"), L), windows)
   }
 
   /** d_canonical: the KEEP decision after near-dup clustering — per

@@ -1017,10 +1017,39 @@ object Text {
   /** Per-doc DSIR importance weight over any (doc_id, text) frame,
     * with the target sample drawn by `isTarget` (default: the t_split
     * 10% doc_id-hash bucket).
+    *
+    * Train-and-score-on-the-same-corpus fusion: the naive composition
+    * dsirScore(docs, dsirModel(docs)) tokenizes and explodes the
+    * corpus TWICE — once for the model's bucket counts, once for the
+    * scoring pass (guide §1.2: don't compute things you already have).
+    * Both sides are functions of the per-(doc, bucket) instance counts
+    * `db`: the model's cr/ct are Σ c (and Σ c over target docs — the
+    * target predicate is a pure function of doc_id, so it evaluates on
+    * the aggregated rows identically), and the scoring join consumes
+    * db directly. Compute db once, checkpoint it (two narrow longs +
+    * a count per row), and derive both. Output is bit-identical: the
+    * same integer counts feed the same smoothed-ratio formula.
+    * st_dsir keeps the split dsirModel/dsirScore pair — its scoring
+    * corpus is the STREAM, not the training corpus, so there is
+    * nothing to fuse there.
     */
   private[graft] def dsirWeights(docs: DataFrame,
-      isTarget: Column = polyHash(col("doc_id").cast("string")) % 100 < 10): DataFrame =
-    dsirScore(docs, dsirModel(docs, isTarget))
+      isTarget: Column = polyHash(col("doc_id").cast("string")) % 100 < 10): DataFrame = {
+    val B = DsirBuckets
+    val db = graft.Caching.releaseAfter(
+      dsirFeatureBuckets(docs).groupBy("doc_id", "bucket").agg(count(lit(1)).as("c")))
+    val cnt = db.withColumn("is_t", isTarget)
+      .groupBy("bucket").agg(sum("c").as("cr"),
+        sum(when(col("is_t"), col("c")).otherwise(0L)).as("ct"))
+    val tot = cnt.agg(sum("cr").as("rt"), sum("ct").as("tt"))
+    val lr = cnt.crossJoin(broadcast(tot)).select(col("bucket"),
+      round(log(((col("ct") + 1) * (col("rt") + B)).cast("double") /
+        ((col("cr") + 1) * (col("tt") + B))), 6).as("lr"))
+    db.join(broadcast(lr), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(round(sum(col("c") * col("lr").cast("decimal(12,6)")).cast("double"), 4)
+        .as("dsir_weight"))
+  }
 
   /** Deterministic top-K selection over a (doc_id, dsir_weight) frame
     * (TakeOrdered + rank over the K survivors).
@@ -1490,8 +1519,13 @@ object Text {
     // functionally dependent on src there) — re-deriving from `wu`
     // would replay the shingle self-join pipeline for every consumer
     val wuM = e.select("src", "wu").distinct()
-    // one scalar: the node count (bounded by the domain count, never data)
-    val n = wuM.count()
+    // ONE pass over the checkpointed edges yields both driver scalars
+    // (guide §1.2: don't compute things twice — the r16 shape ran a
+    // distinct-count job AND a separate max job over the same frame):
+    // the node count (bounded by the domain count, never data) and the
+    // fixed-point overflow guard's max edge weight.
+    val scalars = e.agg(countDistinct("src").as("n"), max("w").as("maxW")).head()
+    val n = if (scalars.isNullAt(0)) 0L else scalars.getLong(0)
     if (n == 0) {
       // empty graph (all shingles above SrcDfCap / docs too short /
       // a single source): the oracle returns zero rows — mirror it
@@ -1506,15 +1540,27 @@ object Text {
     // w ≤ Long.MaxValue / RankScale (~9.2e6 shared shingles per source
     // pair). Fail with the knob named rather than an opaque ANSI
     // overflow mid-iteration on a heavier-overlap corpus.
-    val maxW = e.agg(max("w")).head().getLong(0)
+    val maxW = scalars.getLong(1)
     require(maxW <= Long.MaxValue / RankScale,
       s"t_domain_rank: max edge weight $maxW exceeds the fixed-point-safe " +
         s"bound ${Long.MaxValue / RankScale}; lower RankScale to widen headroom")
     val base = (RankScale * 15L / 100L) / n
     var ranks = graft.Caching.releaseAfter(e.select("src").distinct()
       .withColumn("r", lit(RankScale / n)))
+    // Iteration join: `ranks` is NODE-sized (one row per domain) while
+    // `e` is the EDGE table — broadcast the ranks side (guide §3.1 /
+    // §2.4: a broadcast join replaces a shuffle of the large side).
+    // The r16 shape sort-merge-joined them, shuffling the whole edge
+    // table by src EVERY iteration (10 edge shuffles + sorts); these
+    // edge shuffles are exactly the repeated spill volume that
+    // exhausted local disk in the r16 sf10 sweep
+    // (STAGE_MATERIALIZATION IOException — VERDICT r16 #1). Now each
+    // iteration is: scan checkpointed e (no exchange), broadcast-hash
+    // join, map-side partial agg on dst, node-sized exchange. The sums
+    // are exact integer arithmetic — identical under any join
+    // strategy, so the oracle hash is unchanged.
     for (_ <- 1 to RankIters) {
-      ranks = graft.Caching.releaseAfter(e.join(ranks, Seq("src"))
+      ranks = graft.Caching.releaseAfter(e.join(broadcast(ranks), Seq("src"))
         .groupBy("dst").agg(sum(expr("(r * w) div wu")).as("s"))
         .select(col("dst").as("src"),
           (lit(base) + expr("(85 * s) div 100")).cast("long").as("r")))
