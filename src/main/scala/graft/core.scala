@@ -122,7 +122,32 @@ object Caching {
     }
     try org.apache.spark.sql.graftshim.Shim.unloadAllStateStores()
     catch { case _: Throwable => () }
+    // scratch checkpoint dirs of stopped streams: nothing reads them
+    // once the query is stopped, and leaving them accumulates across a
+    // 141-query suite — on tmpfs that is RAM, on disk it is the local
+    // scratch the r16 sf10 sweep exhausted.
+    transientDirs.synchronized {
+      transientDirs.foreach { p =>
+        try deleteRecursively(new java.io.File(p)) catch { case _: Throwable => () }
+      }
+      transientDirs.clear()
+    }
   }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
+  private val transientDirs = scala.collection.mutable.ArrayBuffer[String]()
+
+  /** Register a scratch directory (a stopped stream's throwaway
+    * checkpoint) for recursive delete at the next releaseTransient()
+    * boundary.
+    */
+  def registerTransientDir(path: String): Unit =
+    transientDirs.synchronized { transientDirs += path }
 
   private val transientViews =
     scala.collection.mutable.ArrayBuffer[(SparkSession, String)]()

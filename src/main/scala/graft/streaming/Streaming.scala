@@ -25,6 +25,35 @@ object Streaming {
 
   private val runSeq = new AtomicInteger(0)
 
+  /** Scratch checkpoint root for the harness streams. These queries
+    * checkpoint into throwaway temp dirs (memory/per-batch-dir sinks,
+    * deleted with the JVM) — the checkpoint exists because the API
+    * requires one, not for recovery — yet every micro-batch pays
+    * multiple fsyncs into it (offset WAL, commit log, one state-store
+    * delta per shuffle partition). On hosts with slow durable /tmp
+    * those fsyncs dominate each stream's fixed cost (guide §6: put
+    * scratch I/O on the fast tier). Default: tmpfs (/dev/shm) when
+    * present, else java.io.tmpdir. SPARK_GRAFT_CKPT_ROOT overrides —
+    * a deploy that wants recoverable checkpoints points this at
+    * durable storage, which is the production contract anyway.
+    */
+  private def ckptDir(): String = {
+    val root = sys.env.get("SPARK_GRAFT_CKPT_ROOT").map(java.nio.file.Paths.get(_))
+      .orElse {
+        val shm = java.nio.file.Paths.get("/dev/shm")
+        if (java.nio.file.Files.isWritable(shm)) Some(shm) else None
+      }
+    val dir = root match {
+      case Some(r) => Files.createTempDirectory(r, "graft_ckpt").toString
+      case None => Files.createTempDirectory("graft_ckpt").toString
+    }
+    // throwaway by construction — reclaim at the per-query boundary
+    // (the stream is stopped by then), so tmpfs use stays bounded to
+    // one query's checkpoints however long the suite is.
+    graft.Caching.registerTransientDir(dir)
+    dir
+  }
+
   /** `<table>.parquet` as a micro-batched stream, for BOTH table
     * layouts: the driver's testdata is one parquet FILE per table
     * (stream the parent dir filtered to that file name — a glob filter
@@ -118,7 +147,7 @@ object Streaming {
         s.sparkContext.defaultParallelism
       else 8) {
       val name = s"graft_stream_${runSeq.incrementAndGet()}"
-      val ckpt = Files.createTempDirectory("graft_ckpt").toString
+      val ckpt = ckptDir()
       val q = out.writeStream.format("memory").queryName(name)
         .outputMode(mode).option("checkpointLocation", ckpt).start()
       // the memory sink's rows stay reachable through this temp view
@@ -257,7 +286,7 @@ object Streaming {
       val kafkaDir = Files.createTempDirectory("graft_kafka_sink").toString
       val src = streamEvents(s, d)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
-      val ckpt = Files.createTempDirectory("graft_ckpt").toString
+      val ckpt = ckptDir()
       val q = Pipeline.start(src, "ts",
         Pipeline.Config(esDir = Some(esDir), kafkaDir = Some(kafkaDir)), ckpt)
       q.processAllAvailable()
@@ -802,7 +831,7 @@ object Streaming {
               partitioned = true))
         else graft.sim.Sim.ivfIndex(s, d, k = 8, iters = 3)
       val outDir = Files.createTempDirectory("graft_ann_out").toString
-      val ckpt = Files.createTempDirectory("graft_ckpt").toString
+      val ckpt = ckptDir()
       val probes = streamTable(s, d, "embeddings")
         .filter(col("vec_id") < 10)
         .select(col("vec_id").as("probe_id"),
@@ -875,7 +904,7 @@ object Streaming {
       val thr = graft.sources.Tables.embeddings(s, d)
         .agg(floor(lit(0.9) * (max("vec_id") + 1)).cast("long")).head().getLong(0)
       val outDir = Files.createTempDirectory("graft_health_out").toString
-      val ckpt = Files.createTempDirectory("graft_ckpt").toString
+      val ckpt = ckptDir()
       val arrivals = streamTable(s, d, "embeddings")
         .filter(col("vec_id") >= thr)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -922,7 +951,7 @@ object Streaming {
       val lr = graft.Caching.releaseAfter(
         Text.dsirModel(graft.sources.Tables.documents(s, d)))
       val outDir = Files.createTempDirectory("graft_dsir_out").toString
-      val ckpt = Files.createTempDirectory("graft_ckpt").toString
+      val ckpt = ckptDir()
       val docs = streamTable(s, d, "documents")
       val q = docs.writeStream
         .option("checkpointLocation", ckpt)
@@ -955,7 +984,7 @@ object Streaming {
       val labels = graft.Caching.releaseAfter(s.read.parquet(s"$d/embeddings.parquet")
         .selectExpr("vec_id", "label"))
       val outDir = Files.createTempDirectory("graft_fann_out").toString
-      val ckpt = Files.createTempDirectory("graft_ckpt").toString
+      val ckpt = ckptDir()
       val probes = streamTable(s, d, "embeddings")
         .filter(col("vec_id") < 10)
         .select(col("vec_id").as("probe_id"),
@@ -1007,7 +1036,7 @@ object Streaming {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bloom = widx.bloom
       val outDir = Files.createTempDirectory("graft_ingest_out").toString
-      val ckpt = Files.createTempDirectory("graft_ckpt").toString
+      val ckpt = ckptDir()
       val arrivals = streamTable(s, d, "documents").filter(col("doc_id") >= thr)
       val q = arrivals.writeStream
         .option("checkpointLocation", ckpt)
@@ -1047,7 +1076,7 @@ object Streaming {
       // (trained once per dir, shared with t_quality_probe)
       val (beta, maxTokens) = Text.probeModel(s, d)
       val outDir = Files.createTempDirectory("graft_probe_out").toString
-      val ckpt = Files.createTempDirectory("graft_ckpt").toString
+      val ckpt = ckptDir()
       val docs = streamTable(s, d, "documents")
       val q = docs.writeStream
         .option("checkpointLocation", ckpt)
@@ -1093,7 +1122,7 @@ object Streaming {
       val ctx = graft.Caching.releaseAfter(ctx0)
       val vocab = graft.Caching.releaseAfter(vocab0)
       val outDir = Files.createTempDirectory("graft_lm_out").toString
-      val ckpt = Files.createTempDirectory("graft_ckpt").toString
+      val ckpt = ckptDir()
       val docs = streamTable(s, d, "documents")
       val q = docs.writeStream
         .option("checkpointLocation", ckpt)

@@ -1503,11 +1503,21 @@ object Text {
       .select("source", "shingle").distinct()
     val sf = ss.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= SrcDfCap).select("shingle")
-    val sc2 = ss.join(sf, Seq("shingle"))
-    val ew = sc2.as("a")
-      .join(sc2.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("sa"), col("b.source").as("sb"))
+    // Ordered source pairs per shingle, expanded MAP-SIDE from the
+    // sorted bucket array (bounded by SrcDfCap = 15 elements) instead
+    // of the r16 self-join — which shuffled the whole (source, shingle)
+    // table TWICE more (both join sides) to produce the same pairs
+    // (guide §2.4). Sources per shingle are distinct by construction
+    // (ss is distinct), so sorted i<j expansion ≡ a.source < b.source.
+    val buckets = ss.join(sf, Seq("shingle"))
+      .groupBy("shingle")
+      .agg(sort_array(collect_list(col("source"))).as("srcs"))
+    val pairCol = flatten(transform(col("srcs"), (x, i) =>
+      transform(slice(col("srcs"), i + lit(2), size(col("srcs"))),
+        y => struct(x.as("sa"), y.as("sb")))))
+    val ew = buckets
+      .select(explode(pairCol).as("p"))
+      .groupBy(col("p.sa").as("sa"), col("p.sb").as("sb"))
       .agg(count(lit(1)).as("w"))
     val e0 = ew.select(col("sa").as("src"), col("sb").as("dst"), col("w"))
       .unionByName(ew.select(col("sb").as("src"), col("sa").as("dst"), col("w")))
