@@ -149,6 +149,7 @@ object Caching {
   def registerTransientDir(path: String): Unit =
     transientDirs.synchronized { transientDirs += path }
 
+
   private val transientViews =
     scala.collection.mutable.ArrayBuffer[(SparkSession, String)]()
 

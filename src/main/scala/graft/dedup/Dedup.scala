@@ -299,12 +299,11 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, maxDf: Long = 1000,
                         threshold: Double = 0.5,
                         adaptive: Boolean = true): DataFrame = {
-      // entries feeds the cap's frequency pass AND the bucket-build
-      // join; persisted so the corpus tokenize+explode runs once
-      // (guide §1.2), released once the pair table is checkpointed.
+      // entries is recomputed by the cap pass and the bucket build —
+      // measured cheaper than persisting the exploded strings (see
+      // d_containment).
       val entries = shingleSets(docs)
         .select(col("doc_id"), size(col("shs")).as("n"), explode(col("shs")).as("shingle"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // df-filter BEFORE the bucket build (semi-join on the under-cap
       // shingle set, then collect): the filter-after-grouping form
       // materializes one array per shingle regardless of df — a
@@ -324,11 +323,9 @@ object Dedup {
           round(col("n_common").cast("double") /
             (col("na") + col("nb") - col("n_common")), 4).as("jaccard"))
         .filter(col("jaccard") >= threshold)
-      // Materialize here (the memo checkpointed the SAME plan one
-      // level up before; moving the checkpoint inside lets the
-      // persisted entries be released the moment the pair table
-      // exists, instead of leaking to the query boundary).
-      graft.Caching.releaseAfter(pairs, entries)
+      // Materialize here (the memo wrapped the SAME plan in a second
+      // checkpoint before — one copy of the pair table, not two).
+      graft.Caching.releaseAfter(pairs)
   }
 
   /** MinHash parameters: 16 permutations h_i(x) = (a_i·x + b_i) mod p,
@@ -980,12 +977,13 @@ object Dedup {
     (s, d) => {
       val docs = Tables.documents(s, d)
       // entries feeds the cap's frequency pass AND the bucket-build
-      // join; unpersisted, the corpus is tokenized and shingle-exploded
-      // twice (guide §1.2). One materialization, released with the
-      // result below.
+      // join — deliberately NOT persisted: caching the exploded
+      // shingle strings costs more than the second tokenize pass it
+      // saves (measured at sf1: persisted 19.8 s vs recomputed 12.4 s
+      // isolated min-of-2 — the cache write + heap pressure of a
+      // corpus-sized string explosion beats two CPU-parallel passes).
       val entries = shingleSets(docs)
         .select(col("doc_id"), size(col("shs")).as("n"), explode(col("shs")).as("shingle"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // adaptive cap only — containment bounds nothing between na and
       // nb (a tiny doc inside a huge one is the POINT), so the size
       // filter stays off. Join-first bucket build: arrays bounded by
@@ -998,16 +996,14 @@ object Dedup {
         .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(count(lit(1)).as("n_common"))
       val cont = round(col("n_common").cast("double") / least(col("na"), col("nb")), 4)
-      graft.Caching.releaseAfter(
-        pairs
-          .select(
-            when(col("na") <= col("nb"), col("doc_a")).otherwise(col("doc_b")).as("doc_small"),
-            when(col("na") <= col("nb"), col("doc_b")).otherwise(col("doc_a")).as("doc_big"),
-            cont.as("containment"),
-            round(col("n_common").cast("double") /
-              (col("na") + col("nb") - col("n_common")), 4).as("jaccard"))
-          .filter(col("containment") >= 0.8),
-        entries)
+      pairs
+        .select(
+          when(col("na") <= col("nb"), col("doc_a")).otherwise(col("doc_b")).as("doc_small"),
+          when(col("na") <= col("nb"), col("doc_b")).otherwise(col("doc_a")).as("doc_big"),
+          cont.as("containment"),
+          round(col("n_common").cast("double") /
+            (col("na") + col("nb") - col("n_common")), 4).as("jaccard"))
+        .filter(col("containment") >= 0.8)
         .orderBy("doc_small", "doc_big")
     },
   )
@@ -1168,19 +1164,18 @@ object Dedup {
       val docs = Tables.documents(s, d)
       // one bounded driver row: the increment boundary
       val thr = docs.agg(floor(lit(0.9) * (max("doc_id") + 1)).cast("long")).head().getLong(0)
-      // entries feeds the cap's frequency pass AND the index join —
-      // persisted so the corpus tokenize+explode runs once (guide
-      // §1.2), released as soon as the checkpointed index exists.
+      // entries is recomputed by the cap pass and the index join —
+      // measured cheaper than persisting the exploded strings (see
+      // d_containment).
       val entries = shingleSets(docs)
         .select(col("doc_id"), size(col("shs")).as("n"), explode(col("shs")).as("shingle"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val (_, shf) = cappedShingles(entries, docs.count())
       // the capped index feeds BOTH sides of the increment×corpus join;
       // without materialization each side re-tokenizes the corpus and
       // re-derives the df filter (≈5 full entry passes). Checkpoint it
       // once — at deploy this is the stored historical index artifact
       // the operator's contract already names.
-      val shc = graft.Caching.releaseAfter(entries.join(shf, Seq("shingle")), entries)
+      val shc = graft.Caching.releaseAfter(entries.join(shf, Seq("shingle")))
       val newE = shc.filter(col("doc_id") >= thr)
         .select(col("shingle"), col("doc_id").as("doc_new"), col("n").as("na"))
       val exE = shc.select(col("shingle"), col("doc_id").as("doc_other"), col("n").as("nb"))
