@@ -298,6 +298,19 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, maxDf: Long = 1000,
                         threshold: Double = 0.5,
+                        adaptive: Boolean = true): DataFrame =
+      // Materialize here (the memo wrapped the SAME plan in a second
+      // checkpoint before — one copy of the pair table, not two).
+      graft.Caching.releaseAfter(
+        ngramJaccardPairsPlan(docs, maxDf, threshold, adaptive))
+
+  /** The LAZY pair plan behind [[ngramJaccardPairs]] — split out so
+    * the plan-shape invariants (native generator fan-out, bucket build
+    * after the df-filter join) stay assertable: the public entry
+    * checkpoints, and a checkpoint's plan is an opaque RDD scan.
+    */
+  private[graft] def ngramJaccardPairsPlan(docs: DataFrame, maxDf: Long = 1000,
+                        threshold: Double = 0.5,
                         adaptive: Boolean = true): DataFrame = {
       // entries is recomputed by the cap pass and the bucket build —
       // measured cheaper than persisting the exploded strings (see
@@ -315,7 +328,7 @@ object Dedup {
       val buckets = entries.join(shf, Seq("shingle"))
         .groupBy("shingle")
         .agg(array_sort(collect_list(struct(col("doc_id"), col("n")))).as("ids"))
-      val pairs = buckets
+      buckets
         .select(orderedPairsRows(col("ids"), threshold - 1e-4))
         .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(count(lit(1)).as("n_common"))
@@ -323,9 +336,6 @@ object Dedup {
           round(col("n_common").cast("double") /
             (col("na") + col("nb") - col("n_common")), 4).as("jaccard"))
         .filter(col("jaccard") >= threshold)
-      // Materialize here (the memo wrapped the SAME plan in a second
-      // checkpoint before — one copy of the pair table, not two).
-      graft.Caching.releaseAfter(pairs)
   }
 
   /** MinHash parameters: 16 permutations h_i(x) = (a_i·x + b_i) mod p,

@@ -50,7 +50,9 @@ class PlanShapeSpec extends SparkSpec {
 
   test("near-dup pair fan-out runs the native generator on capped buckets") {
     val docs = graft.sources.Tables.documents(spark, sfDir)
-    val p = plan(graft.dedup.Dedup.ngramJaccardPairs(docs))
+    // the lazy plan: the public entry checkpoints (its plan is an
+    // opaque RDD scan), the invariants live on the plan underneath
+    val p = plan(graft.dedup.Dedup.ngramJaccardPairsPlan(docs))
     assert(p.contains("Generate graft_ordered_pairs"),
       s"pair fan-out must be the native generator:\n$p")
     assert(!p.contains("flatten"),
